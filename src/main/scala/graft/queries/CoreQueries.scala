@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.{Diff, Loading, ValueSpec}
+import graft.ops.ValueSpec._
+
+/** The reference's relational operator inventory (SURVEY.md §2.1–§2.7) as
+  * verifiable queries over the test corpus. Each maps a §2 operator ID to a
+  * DataFrame plan + DuckDB oracle SQL.
+  */
+object CoreQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ── P1/P3/F1: mapped projection with every ValueSpec kind + WHERE ──────
+    QueryDef(
+      "p1_append_map",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        Loading.appendProjection(
+          li,
+          Seq(
+            "order_id"   -> col_("l_orderkey"),
+            "line_no"    -> col_("l_linenumber"),
+            "src_label"  -> Str("datacamp"),
+            "unit_price" -> Sql("round(l_extendedprice * (1.0 - l_discount), 4)"),
+            "load_date"  -> DateLit("15.3.2026"),
+            "note"       -> Null()
+          ),
+          condition = Some("l_quantity > 45.0")
+        ).orderBy("order_id", "line_no")
+      },
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+             |'datacamp' AS src_label,
+             |round(l_extendedprice * (1.0 - l_discount), 4) AS unit_price,
+             |DATE '2026-03-15' AS load_date, CAST(NULL AS VARCHAR) AS note,
+             |'loaded' AS record_status
+             |FROM lineitem WHERE l_quantity > 45.0
+             |ORDER BY order_id, line_no""".stripMargin)
+    ),
+
+    // ── P2: identity projection from schema introspection ──────────────────
+    QueryDef(
+      "p2_identity",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        Loading.appendProjection(c, Loading.identityMapping(c)).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             |'loaded' AS record_status
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ── U1/J3: keyed update-join (UPDATE … JOIN as join+merge) ─────────────
+    QueryDef(
+      "u1_update_join",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir).withColumn("record_status", lit("new"))
+        val sta = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+        Loading.updateWithMap(
+          orders, sta,
+          mapping   = Seq("o_totalprice" -> qcol("sta", "revenue")),
+          keys      = Seq("o_orderkey"),
+          condition = Some("sta.n_items > 1")
+        ).orderBy("o_orderkey")
+      },
+      Some("""WITH sta AS (
+             |  SELECT l_orderkey AS o_orderkey,
+             |         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             |         count(*) AS n_items
+             |  FROM lineitem GROUP BY 1)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+             |  CASE WHEN s.o_orderkey IS NOT NULL AND s.n_items > 1
+             |       THEN s.revenue ELSE o.o_totalprice END AS o_totalprice,
+             |  o.o_orderdate, o.o_orderpriority,
+             |  CASE WHEN s.o_orderkey IS NOT NULL AND s.n_items > 1
+             |       THEN 'loaded' ELSE 'new' END AS record_status
+             |FROM orders o LEFT JOIN sta s ON o.o_orderkey = s.o_orderkey
+             |ORDER BY o.o_orderkey""".stripMargin)
+    ),
+
+    // ── U3: finalize/publish status transition ─────────────────────────────
+    QueryDef(
+      "u3_finalize",
+      (s, dir) => {
+        val ds = Tables.orders(s, dir)
+          .withColumn("record_status",
+            when(col("o_orderstatus") === "F", lit("loaded")).otherwise(lit("pending")))
+        Loading.finalizeDataset(ds, batchId = 42L, now = expr("timestamp'2026-01-15 12:00:00'"))
+          .select("o_orderkey", "record_status", "created_at", "created_by",
+                  "quality_status", "batch_id", "validity_date", "is_hidden")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'new' ELSE 'pending' END AS record_status,
+             |  CASE WHEN o_orderstatus = 'F' THEN TIMESTAMP '2026-01-15 12:00:00' END AS created_at,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'system_loading' END AS created_by,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'ok' END AS quality_status,
+             |  CASE WHEN o_orderstatus = 'F' THEN CAST(42 AS BIGINT) END AS batch_id,
+             |  CAST(NULL AS DATE) AS validity_date,
+             |  CASE WHEN o_orderstatus = 'F' THEN true ELSE false END AS is_hidden
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ── F1: predicate filter from a SQL condition string ───────────────────
+    QueryDef(
+      "f1_filter",
+      (s, dir) => Loading.appendProjection(
+        Tables.lineitem(s, dir),
+        Loading.identityMapping(Tables.lineitem(s, dir)),
+        condition = Some("l_returnflag = 'R' AND l_quantity >= 30.0"),
+        withRecordStatus = false
+      ).orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             |l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30.0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ── F2: incremental watermark filter ───────────────────────────────────
+    QueryDef(
+      "f2_incremental",
+      (s, dir) => Loading.incrementalFilter(
+        Tables.lineitem(s, dir), "l_shipdate", expr("timestamp'2000-01-01 00:00:00'"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate
+             |FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ── A1: MD5 row fingerprint ────────────────────────────────────────────
+    QueryDef(
+      "a1_fingerprint",
+      (s, dir) => Diff.recordFingerprint(
+        Tables.part(s, dir), Seq("p_partkey"), Seq("p_name", "p_brand", "p_type", "p_size"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |md5(concat(coalesce(p_name,''), coalesce(p_brand,''),
+             |           coalesce(p_type,''), coalesce(CAST(p_size AS VARCHAR),''))) AS md5_sum
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ── §2.7 flagship: CDC table diff (J1 anti + J2 residual in one join) ──
+    QueryDef(
+      "cdc_table_diff",
+      (s, dir) => {
+        val t1 = Tables.orders(s, dir)
+        val t2 = t1.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 5 === 0, lit("X-MODIFIED")).otherwise(col("o_orderpriority")))
+        Diff.tableDiff(t1, t2, Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH t2 AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN 'X-MODIFIED' ELSE o_orderpriority END AS o_orderpriority
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |f1 AS (SELECT o_orderkey,
+             |  md5(concat(coalesce(o_orderstatus,''), coalesce(o_orderpriority,''))) AS md5_sum FROM orders),
+             |f2 AS (SELECT o_orderkey,
+             |  md5(concat(coalesce(o_orderstatus,''), coalesce(o_orderpriority,''))) AS md5_sum FROM t2)
+             |SELECT f1.o_orderkey,
+             |  CASE WHEN f2.o_orderkey IS NULL THEN 'n' ELSE 'c' END AS diff
+             |FROM f1 LEFT JOIN f2 ON f1.o_orderkey = f2.o_orderkey
+             |WHERE f2.o_orderkey IS NULL OR f1.md5_sum <> f2.md5_sum
+             |ORDER BY f1.o_orderkey""".stripMargin)
+    ),
+
+    // ── J1: anti-join (customers with no orders) ───────────────────────────
+    QueryDef(
+      "j1_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ── J2: inner join + inequality residual ───────────────────────────────
+    QueryDef(
+      "j2_changed_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_extendedprice") > col("o_totalprice"))
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_extendedprice > o_totalprice
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ── GROUP BY family (north-star §7.3): TPC-H-style pricing summary ─────
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // ── join + agg + deterministic top-k ───────────────────────────────────
+    QueryDef(
+      "q3_topk_revenue",
+      (s, dir) => {
+        val c  = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o  = Tables.orders(s, dir).filter(col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > expr("timestamp'1997-01-01 00:00:00'"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "revenue", "o_orderdate")
+      },
+      Some("""SELECT o_orderkey,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, o_orderdate
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // ── multi-way join with broadcast dims ─────────────────────────────────
+    QueryDef(
+      "q5_nation_revenue",
+      (s, dir) => {
+        val c  = Tables.customer(s, dir)
+        val o  = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1995-01-01 00:00:00'") &&
+                  col("o_orderdate") <  expr("timestamp'1999-01-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir)
+        val su = Tables.supplier(s, dir)
+        val n  = Tables.nation(s, dir)
+        val r  = Tables.region(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    ),
+
+    // ── window functions: top-3 orders per customer ────────────────────────
+    QueryDef(
+      "w1_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)
+    ),
+
+    // ── set operations ─────────────────────────────────────────────────────
+    QueryDef(
+      "set_intersect",
+      (s, dir) => Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT SELECT o_custkey AS c_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "set_except",
+      (s, dir) => Tables.customer(s, dir).select("c_custkey")
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "set_union",
+      (s, dir) => Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .union(Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+          .select(col("o_custkey").as("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000.0
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ── distinct aggregates ────────────────────────────────────────────────
+    QueryDef(
+      "agg_distinct",
+      (s, dir) => Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows,
+             |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+             |FROM lineitem""".stripMargin)
+    )
+  )
+}
