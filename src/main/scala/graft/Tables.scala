@@ -18,7 +18,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (runtime-settable legacy
+    * conf) and truncate to microseconds — the same ns→µs truncation DuckDB
+    * applies when casting TIMESTAMP_NS to TIMESTAMP.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard. Generalizes the
+  * reference's MD5 fingerprint CDC (`lib/etl/loading.rb:254-270`) from
+  * keyed-row diff to corpus-level near-dup detection.
+  *
+  * Portability: every hash is md5-over-strings so the DuckDB oracle computes
+  * bit-identical values; "min over hashes" uses lexicographic string order.
+  *
+  * Scale design:
+  *  - MinHash signatures are k `min()` aggregates in ONE hash-aggregation
+  *    pass over exploded tokens — map-side partial aggs collapse each
+  *    partition to one row per doc before the shuffle; no k-way explosion.
+  *  - LSH banding self-joins on (band, hash) — bucket sizes, not corpus
+  *    size, drive the cost. Degenerate corpora (tiny vocab → identical
+  *    signatures) should collapse identical signatures to a representative
+  *    before pairing; AQE skew-join splits oversized buckets.
+  *  - Exact Jaccard is quadratic per shared token and exists as the
+  *    verifier for LSH candidates, not the scale path.
+  */
+object Dedup {
+
+  /** Exact dedup groups: normalized-text fingerprint → surviving (min) id +
+    * multiplicity. `dropDuplicates` semantics, but deterministic about which
+    * row survives and observable (keeps group size).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, token) pairs — the set representation for Jaccard/MinHash. */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+
+  /** Seeded portable token hash: md5("<seed>|<token>"). */
+  def seededHash(seed: Int, tok: Column): Column =
+    md5(concat(lit(s"$seed|"), tok))
+
+  /** MinHash signatures: one row per id with columns mh0..mh{k-1}, where
+    * mh_i = min over the token set of md5("i|tok") (lexicographic min ≡
+    * min-hash over a random permutation).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = tokenSets(df, idCol, textCol)
+    val aggs  = (0 until k).map(i => min(seededHash(i, col("tok"))).as(s"mh$i"))
+    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band hashes from a signature frame: bands of `rowsPerBand`
+    * signature entries, band hash = md5(concat(slice)). Output:
+    * (id, band, band_hash), one row per band.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must divide into equal bands")
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(slice: _*)).as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs: ids sharing any LSH band bucket (id1 < id2,
+    * distinct across bands).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
+    val a = bands.select(col("band"), col("band_hash"), col(idCol).as("id1"))
+    val b = bands.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
+    * Output: (id1, id2, jaccard) with jaccard rounded to 4dp, filtered to
+    * `minJaccard`. Quadratic in per-token doc frequency — use on samples or
+    * as the LSH verification stage.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val words = tokenSets(df, idCol, textCol).cache()
+    val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = words.select(col(idCol).as("id1"), col("tok"))
+    val b = words.select(col(idCol).as("id2"), col("tok"))
+    val common = a.join(b, Seq("tok")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("sz1") + col("sz2") - col("common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  val HighHexDigits: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** SimHash fingerprint over token multiset: bit j (1-based hex position of
+    * md5(token)) is 1 when the sum of ±1 votes (+1 if hex digit ≥ 8) is
+    * ≥ 0. `bits` ≤ 32. One aggregation pass, `bits` sums — same map-side
+    * collapse as MinHash.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 32)
+    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (1 to bits).map { j =>
+      sum(when(substring(col("h"), j, 1).isInCollection(HighHexDigits), 1).otherwise(-1)).as(s"s$j")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val bitsCols = (1 to bits).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0")))
+    agged.select(col(idCol), concat(bitsCols: _*).as("simhash"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+  * variant as the scale path (candidates come from one bucket join instead
+  * of a full cross product).
+  *
+  * Numeric portability: elements are cast float→double (exact) and reduced
+  * left-to-right with `aggregate`, matching DuckDB's `list_sum` order, so
+  * cosines are bit-identical across engines. All arithmetic stays in
+  * codegen'd higher-order Column functions — no UDFs, no driver collect.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * candidates by cosine (desc), ties broken by candidate id. The
+    * candidate side is the big one — queries broadcast; the per-query
+    * window ranks locally after the broadcast join, so the only wide op is
+    * the final rank (partitioned by query id, never by corpus size).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane weights: dimension i of plane p follows the
+    * high bit of hex digit (i mod 32)+1 of md5("plane<p>_<i/32>"). Computed
+    * once at plan-build time; both the Spark plan and the generated oracle
+    * SQL inline the same constants.
+    */
+  def planeWeights(plane: Int, dims: Int): Seq[Double] = {
+    val hex = (0 to (dims - 1) / 32).map { blk =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane${plane}_$blk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.mkString
+    (0 until dims).map(i => if (Character.digit(hex.charAt(i), 16) >= 8) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane LSH bucket signature: one bit per plane, bit p = 1
+    * iff dot(v, plane_p) >= 0. Narrow per-row transform.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bitCols = (0 until planes).map { p =>
+      val w = array(planeWeights(p, dims).map(lit): _*)
+      when(dot(vec, w) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitCols: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * bucket. Recall < 1 by construction; the join is on bucket equality, so
+    * cost scales with bucket occupancy (corpus/2^planes on balanced data)
+    * instead of the full corpus.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
+    * Exact and quadratic — sample or LSH-prefilter at scale.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+}

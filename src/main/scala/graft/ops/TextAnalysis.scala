@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure `Column` compositions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen and scale linearly with no shuffle — per-document
+  * narrow transforms until the caller aggregates.
+  *
+  * Generalizes the reference's only text machinery — the MD5 row fingerprint
+  * (`lib/etl/loading.rb:254-270`) — to document-level analysis.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (for set-semantics ops: Jaccard, MinHash). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters in the raw text. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Total characters across tokens (whitespace excluded) — the numerator of
+    * mean token length.
+    */
+  def tokenChars(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** Count of tokens found in `stopwords`. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** A BPE-ish subword proxy: tokens split further at letter/digit
+    * boundaries, counting resulting sub-tokens. Deterministic and cheap —
+    * the real tokenizer-cost estimator a pipeline would calibrate against.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(trim(text)), "[^a-z0-9]+"), t => length(t) > 0))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "in", "to", "is", "it")
+
+  /** Language marker words, checked in fixed order; ties resolve to the
+    * earlier language. A real pipeline swaps in fastText — the operator
+    * shape (per-doc scoring, argmax, no shuffle) is what matters at scale.
+    */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "fast", "small"),
+    "fr" -> Seq("le", "la", "et", "petit", "vite"),
+    "es" -> Seq("el", "los", "y", "rapido"),
+    "de" -> Seq("der", "die", "und", "schnell"),
+    "zh" -> Seq("de", "he", "kuai")
+  )
+
+  /** N-gram-heuristic language ID: score = marker hits per language,
+    * predict the argmax (first in [[LanguageMarkers]] order on ties),
+    * 'und' when all scores are zero.
+    */
+  def languageId(text: Column): Column = {
+    val toks   = tokens(text)
+    val scores = LanguageMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Normalized document fingerprint: md5 over the lowercased,
+    * whitespace-collapsed text — the exact-dedup key. Reference A1
+    * generalized from row to document.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
+    * deterministic across engines, so rounding canonicalizes identically).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      charCount(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      size(tokenSet(t)).cast("long").as("n_distinct_tokens"),
+      subwordCount(t).cast("long").as("n_subwords"),
+      stopwordCount(t, DefaultStopwords).cast("long").as("n_stopwords"),
+      round(tokenChars(t).cast("double") / tokenCount(t), 4).as("mean_token_len"),
+      round(stopwordCount(t, DefaultStopwords).cast("double") / tokenCount(t), 4).as("stopword_ratio"),
+      round(size(tokenSet(t)).cast("double") / tokenCount(t), 4).as("distinct_ratio")
+    )
+  }
+}

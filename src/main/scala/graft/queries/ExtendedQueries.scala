@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+
+/** North-star extension queries (SURVEY.md §7.3 + builder prompt): dedup,
+  * similarity search, text analysis, event analytics, multimodal plumbing.
+  * Oracle SQL is GENERATED from the same Scala constants the Spark plans
+  * use (stopword lists, hash seeds, hyperplane weights), so parity holds by
+  * construction.
+  */
+object ExtendedQueries {
+
+  // DuckDB-side token list expression == TextAnalysis.tokens semantics.
+  private val toksSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val subsSql =
+    """list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x <> '')"""
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB double dot product with the same left-to-right fold as
+    * Similarity.dot. */
+  private def dotSql(a: String, b: String, dims: Int): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String, dims: Int): String =
+    s"${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
+
+  /** DuckDB dot against inlined literal ±1 hyperplane weights. */
+  private def planeDotSql(v: String, weights: Seq[Double], dims: Int): String = {
+    val lits = weights.map(w => if (w > 0) "1.0" else "-1.0").mkString(", ")
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> CAST($v[i] AS DOUBLE) * ([$lits])[i]))"
+  }
+
+  /** Events with ns→µs truncation, matching Tables.events (Spark cannot
+    * read TIMESTAMP(NANOS) parquet; both engines truncate to µs). */
+  private val evSql =
+    "(SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) ev"
+
+  private def bucketSql(v: String, planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      s"CASE WHEN ${planeDotSql(v, Similarity.planeWeights(p, dims), dims)} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  private val Dims = 64
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ───────────────────────── text analysis ─────────────────────────────
+    QueryDef(
+      "text_quality",
+      (s, dir) => TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              |  $toksSql AS toks, $subsSql AS subs FROM documents)
+              |SELECT doc_id, n_chars,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+              |  CAST(len(subs) AS BIGINT) AS n_subwords,
+              |  CAST(len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS BIGINT) AS n_stopwords,
+              |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_token_len,
+              |  round(CAST(len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+              |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio
+              |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "text_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = TextAnalysis.LanguageMarkers.map { case (lang, ws) =>
+          s"len(list_filter(toks, t -> t IN (${sqlList(ws)}))) AS s_$lang"
+        }.mkString(",\n  ")
+        val best  = TextAnalysis.LanguageMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+        val cases = TextAnalysis.LanguageMarkers.map { case (lang, _) =>
+          s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |  $scores
+           |FROM b)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "text_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents)
+              |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+              |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ───────────────────────── dedup family ──────────────────────────────
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents)
+              |SELECT md5(array_to_string(toks, ' ')) AS fp, min(doc_id) AS keep_id,
+              |  count(*) AS n_copies
+              |FROM b GROUP BY fp ORDER BY fp""".stripMargin)
+    ),
+
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
+        .orderBy("doc_id"),
+      Some {
+        val sums = (1 to 16).map(j =>
+          s"sum(CASE WHEN substr(h, $j, 1) IN (${sqlList(Dedup.HighHexDigits)}) THEN 1 ELSE -1 END) AS s$j"
+        ).mkString(",\n  ")
+        val bits = (1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, md5(tok) AS h
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d, UNNEST(d.toks) AS t(tok)),
+           |s AS (SELECT doc_id,
+           |  $sums
+           |FROM toks GROUP BY doc_id)
+           |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.lshCandidatePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 8, rowsPerBand = 2)
+        .withColumnRenamed("id1", "doc1").withColumnRenamed("id2", "doc2")
+        .orderBy("doc1", "doc2"),
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM s"
+        ).mkString(" UNION ALL ")
+        s"""WITH w AS (
+           |  SELECT DISTINCT doc_id, tok
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0) d,
+           |       UNNEST(d.toks) AS t(tok)),
+           |s AS (SELECT doc_id, $mins FROM w GROUP BY doc_id),
+           |bands AS ($bands)
+           |SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+           |FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+           |ORDER BY doc1, doc2""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "dedup_jaccard",
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", minJaccard = 0.5)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH w AS (
+              |  SELECT DISTINCT doc_id, tok
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0) d,
+              |       UNNEST(d.toks) AS t(tok)),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id1, id2, jaccard FROM (
+              |  SELECT id1, id2,
+              |    round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4) AS jaccard
+              |  FROM common
+              |  JOIN sz s1 ON s1.doc_id = id1
+              |  JOIN sz s2 ON s2.doc_id = id2)
+              |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin)
+    ),
+
+    QueryDef(
+      "dedup_embedding",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH a AS (SELECT vec_id AS id1, embedding AS v1 FROM embeddings WHERE vec_id % 20 = 0),
+              |b AS (SELECT vec_id AS id2, embedding AS v2 FROM embeddings WHERE vec_id % 20 = 0)
+              |SELECT id1, id2, cos FROM (
+              |  SELECT id1, id2, round(${cosSql("v1", "v2", Dims)}, 6) AS cos
+              |  FROM a CROSS JOIN b WHERE id1 < id2)
+              |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // ─────────────────────── similarity search ───────────────────────────
+    QueryDef(
+      "ann_cosine_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+              |sc AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv", Dims)}, 6) AS cos
+              |       FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+              |r AS (SELECT query_id, neighbor_id,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              |        cos
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    QueryDef(
+      "ann_lsh_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, planes = 8, dims = Dims)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8, Dims)} AS bucket FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+              |sc AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv", Dims)}, 6) AS cos
+              |       FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+              |r AS (SELECT query_id, neighbor_id,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              |        cos
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // ─────────────────────── event analytics ─────────────────────────────
+    QueryDef(
+      "ev_tumbling_1h",
+      (s, dir) => Events.tumblingAgg(Tables.events(s, dir), "ts", "1 hour")
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+             |  min(value) AS min_value, max(value) AS max_value
+             |FROM $evSql GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "ev_sliding_1h_30m",
+      (s, dir) => Events.slidingAgg(Tables.events(s, dir), "ts", "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type"),
+      Some(s"""WITH w AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS s1,
+             |    make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000) AS s2
+             |  FROM $evSql),
+             |u AS (SELECT unnest([s1, s2]) AS window_start, event_type FROM w)
+             |SELECT window_start, event_type, count(*) AS n_events
+             |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "ev_sessionize",
+      (s, dir) => Events.sessionStats(Tables.events(s, dir), "user_id", "ts",
+        gapMinutes = 30, tieCol = "event_id")
+        .orderBy("user_id", "session_id"),
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM $evSql WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  round(sum(value), 2) AS sum_value
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "ev_duration",
+      (s, dir) => Events.durations(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+             |  round((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0, 3) AS duration_sec
+             |FROM $evSql GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // ─────────────────────── multimodal plumbing ─────────────────────────
+    QueryDef(
+      "mm_features",
+      (s, dir) => Multimodal.binaryFeatures(
+        Multimodal.attachBinary(Tables.documents(s, dir), "text"), "doc_id", "content")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}
