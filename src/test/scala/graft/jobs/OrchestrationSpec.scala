@@ -1,0 +1,162 @@
+package graft.jobs
+
+import java.time.{Instant, LocalDate}
+import graft.SparkSpec
+import graft.meta.{DefaultsStore, StatusTracker}
+import graft.meta.Status.Schedule
+
+/** Reference test-matrix parity: scheduling counts (2 daily / 3 monday /
+  * 3 saturday / 1 forced — `test/etl_manager_test.rb:52-90`), defaults KV
+  * semantics (`test/basic_test.rb:11-33`), job lifecycle + side-effect run
+  * (`test/job_running_test.rb:35-53`).
+  */
+class SchedulerSpec extends SparkSpec {
+
+  // Canonical 6-row fixture (FIXTURES.md A / etl_manager_test.rb:72-90).
+  private val fixture = Seq(
+    Schedule(1, "daily_job",  None, isEnabled = true,  "daily",    forceRun = false, 1),
+    Schedule(2, "mon_job",    None, isEnabled = true,  "monday",   forceRun = false, 2),
+    Schedule(3, "sat_job",    None, isEnabled = true,  "saturday", forceRun = false, 3),
+    Schedule(4, "forced_on",  None, isEnabled = true,  "monday",   forceRun = true,  4),
+    Schedule(5, "forced_off", None, isEnabled = false, "monday",   forceRun = true,  5),
+    Schedule(6, "disabled",   None, isEnabled = false, "daily",    forceRun = false, 6))
+
+  private def scheduler = {
+    val reg = new JobRegistry
+    val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker)
+    new Scheduler(reg, runner)
+  }
+
+  test("planned/forced selection matrix matches reference counts 2/3/3/1") {
+    val s = scheduler
+    val tue = LocalDate.of(2026, 8, 11) // a Tuesday
+    val mon = LocalDate.of(2026, 8, 10)
+    val sat = LocalDate.of(2026, 8, 8)
+    assert(s.plannedSchedules(fixture, tue).map(_.jobName) == Seq("daily_job", "forced_on"))
+    assert(s.plannedSchedules(fixture, mon).map(_.jobName) == Seq("daily_job", "mon_job", "forced_on"))
+    assert(s.plannedSchedules(fixture, sat).map(_.jobName) == Seq("daily_job", "sat_job", "forced_on"))
+    assert(s.forcedSchedules(fixture).map(_.jobName) == Seq("forced_on"))
+  }
+
+  test("selection is ordered by run_order (etl_manager.rb:100)") {
+    val shuffled = fixture.reverse
+    assert(scheduler.plannedSchedules(shuffled, LocalDate.of(2026, 8, 10)).map(_.runOrder) == Seq(1, 2, 4))
+  }
+
+  test("legacy due-semantics: daily dedup, weekly ≥7 days (job_schedule.rb:33-82)") {
+    val s     = scheduler
+    val today = LocalDate.of(2026, 8, 12)
+    val daily  = fixture.head
+    val weekly = daily.copy(schedule = "weekly")
+    assert(s.isDue(daily, today, None))
+    assert(!s.isDue(daily, today, Some(today)))
+    assert(s.isDue(daily, today, Some(today.minusDays(1))))
+    assert(!s.isDue(weekly, today, Some(today.minusDays(6))))
+    assert(s.isDue(weekly, today, Some(today.minusDays(7))))
+    assert(s.isDue(daily.copy(forceRun = true), today, Some(today)))
+  }
+}
+
+class JobLifecycleSpec extends SparkSpec {
+
+  private class RecordingJob(val name: String, fail: Boolean) extends EtlJob {
+    var ran = false
+    override def run(ctx: JobContext): Unit = {
+      ctx.setPhase("working") // reference job.rb:69-76 / test.rb:15-17
+      if (fail) throw new JobFailedException("boom")
+      ran = true
+    }
+  }
+
+  private def fixedClock: () => Instant = {
+    val it = Iterator.iterate(Instant.parse("2026-01-01T00:00:00Z"))(_.plusSeconds(10))
+    () => it.next()
+  }
+
+  test("lifecycle init→running→ok with phase and elapsed time (job.rb:78-139)") {
+    val tracker = new StatusTracker
+    val runner  = new JobRunner(spark, new DefaultsStore, tracker, fixedClock)
+    val job     = new RecordingJob("good_job", fail = false)
+    val id      = runner.run(job)
+    val st      = tracker.all.find(_.id == id).get
+    assert(job.ran)
+    assert(st.status == "ok")
+    assert(st.phase.contains("working"))
+    assert(st.endTime.isDefined && st.endTime.get.after(st.startTime))
+  }
+
+  test("failure path records failed + message, does not throw (job.rb:110-119)") {
+    val tracker = new StatusTracker
+    val runner  = new JobRunner(spark, new DefaultsStore, tracker, fixedClock)
+    val id      = runner.run(new RecordingJob("bad_job", fail = true))
+    val st      = tracker.all.find(_.id == id).get
+    assert(st.status == "failed")
+    assert(st.message.contains("boom"))
+  }
+
+  test("debug mode re-raises (job.rb:110-119)") {
+    val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker, fixedClock)
+    intercept[JobFailedException] {
+      runner.run(new RecordingJob("bad_job", fail = true), debug = true)
+    }
+  }
+
+  test("scheduler run loop: side-effect count and missing-job skip (job_running_test.rb:35-53, etl_manager.rb:142-145)") {
+    val tracker = new StatusTracker
+    val reg     = new JobRegistry
+    val runner  = new JobRunner(spark, new DefaultsStore, tracker, fixedClock)
+    val sched   = new Scheduler(reg, runner)
+    val job     = new RecordingJob("test_job", fail = false)
+    reg.register(job)
+    val results = sched.runSchedules(Seq(
+      Schedule(1, "test_job", None, isEnabled = true, "daily", forceRun = false, 1),
+      Schedule(2, "missing_job", None, isEnabled = true, "daily", forceRun = false, 2)))
+    assert(job.ran)
+    assert(results.map(_._2.isDefined) == Seq(true, false))
+    assert(tracker.forJob("test_job").head.status == "ok")
+  }
+
+  test("job name derivation convention (job_bundle.rb:105-108)") {
+    val reg = new JobRegistry
+    assert(reg.deriveName("CustomerImportETLJob") == "customer_import")
+    assert(reg.deriveName("DailySyncLoadingJob") == "daily_sync")
+  }
+}
+
+class DefaultsSpec extends SparkSpec {
+
+  test("KV semantics: get/set/get-or-set/bool/delete (basic_test.rb:11-33)") {
+    val store = new DefaultsStore
+    val d     = store.forDomain("test_domain")
+    assert(d.get("missing").isEmpty)
+    assert(d.value("key1", "default1") == "default1") // get-or-set writes
+    assert(d.get("key1").contains("default1"))
+    assert(d.value("key1", "other") == "default1")    // second read returns stored
+    d.update("key2", 42)
+    assert(d.get("key2").contains("42"))              // values stored as strings
+    d.update("flag1", "yes"); d.update("flag2", "0"); d.update("flag3", "true")
+    assert(d.boolValue("flag1") && !d.boolValue("flag2") && d.boolValue("flag3"))
+    assert(!d.boolValue("missing_flag"))
+    d.delete("key1")
+    assert(d.get("key1").isEmpty)
+  }
+
+  test("domains are isolated (etl_manager.rb:181-184)") {
+    val store = new DefaultsStore
+    store.forDomain("a").update("k", "va")
+    store.forDomain("b").update("k", "vb")
+    assert(store.forDomain("a").get("k").contains("va"))
+    assert(store.forDomain("b").get("k").contains("vb"))
+  }
+
+  test("parquet persistence roundtrip") {
+    val store = new DefaultsStore
+    store.forDomain("d1").update("k1", "v1")
+    store.forDomain("d2").update("k2", "v2")
+    val path = java.nio.file.Files.createTempDirectory("defaults").toString + "/kv"
+    store.save(spark, path)
+    val loaded = new DefaultsStore
+    loaded.load(spark, path)
+    assert(loaded.snapshot == store.snapshot)
+  }
+}

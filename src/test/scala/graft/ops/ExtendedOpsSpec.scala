@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercase, trim, drop empties") {
+    val out = Seq("  The Quick  fox ").toDF("text")
+      .select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
+    assert(out == Seq("the", "quick", "fox"))
+  }
+
+  test("quality features on a known doc") {
+    val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val r  = TextAnalysis.qualityFeatures(df, "text", "doc_id").head()
+    assert(r.getAs[Long]("n_tokens") == 3)
+    assert(r.getAs[Long]("n_distinct_tokens") == 2)
+    assert(r.getAs[Long]("n_stopwords") == 2)
+    assert(r.getAs[Double]("mean_token_len") == math.rint(9.0 / 3 * 10000) / 10000)
+  }
+
+  test("language id picks first language on ties, und on no markers") {
+    val df = Seq((1L, "le la et"), (2L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "fr")
+    assert(out(1).getString(1) == "und")
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq(("a  b\tc"), ("A B C")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect()
+    assert(df(0).getString(0) == df(1).getString(0))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "alpha  beta gamma"),   // whitespace-normalized dup of 1
+    (3L, "alpha beta delta"),    // near-dup of 1 (jaccard 2/4 = 0.5)
+    (4L, "completely different words entirely")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts copies") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(g.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccardPairs computes exact set jaccard") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.4)
+      .orderBy("id1", "id2").collect()
+    val m = p.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(m((1L, 2L)) == 1.0)   // identical token sets
+    assert(m((1L, 3L)) == 0.5)   // 2 common of 4 union
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("minhash: identical token sets share signatures; lsh finds the pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1)) // doc 1 ≡ doc 2
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val s = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(4L))
+    assert(s(1L).length == 16 && s(1L).forall(c => c == '0' || c == '1'))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0") {
+    val c = vecs.alias("a").crossJoin(vecs.alias("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((0L, 1L)) == 1.0)
+    assert(c((0L, 2L)) == 0.0)
+    assert(math.abs(c((0L, 3L)) - math.sqrt(0.5)) < 1e-5)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("lsh buckets: identical vectors share buckets; topk finds identical twin") {
+    val out = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 3, planes = 4, dims = 3).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("planeWeights deterministic and ±1") {
+    val w1 = Similarity.planeWeights(3, 64)
+    val w2 = Similarity.planeWeights(3, 64)
+    assert(w1 == w2)
+    assert(w1.forall(w => w == 1.0 || w == -1.0))
+    assert(w1 != Similarity.planeWeights(4, 64))
+  }
+}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ev = Seq(
+    (1L, 10L, "2026-01-01 10:00:00", "view", 1.0),
+    (2L, 10L, "2026-01-01 10:10:00", "view", 2.0),  // same session (10 min gap)
+    (3L, 10L, "2026-01-01 11:00:00", "click", 3.0), // new session (50 min gap)
+    (4L, 20L, "2026-01-01 10:05:00", "view", 4.0)
+  ).toDF("event_id", "user_id", "ts_s", "event_type", "value")
+    .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+  test("sessionize splits on gap > threshold per user") {
+    val s = Events.sessionStats(ev, "user_id", "ts", gapMinutes = 30, tieCol = "event_id")
+      .orderBy("user_id", "session_id").collect()
+    assert(s.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSeq ==
+      Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("tumbling window aligns to epoch hour") {
+    val w = Events.tumblingAgg(ev, "ts", "1 hour").orderBy("window_start", "event_type")
+    val starts = w.select("window_start").collect().map(_.getTimestamp(0).toString).toSet
+    assert(starts == Set("2026-01-01 10:00:00.0", "2026-01-01 11:00:00.0"))
+  }
+
+  test("durations per key") {
+    val d = Events.durations(ev, "user_id", "ts").orderBy("user_id").collect()
+    assert(d(0).getAs[Double]("duration_sec") == 3600.0)
+    assert(d(1).getAs[Double]("duration_sec") == 0.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary plumbing: length/md5/head on real bytes") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val r  = Multimodal.binaryFeatures(
+      Multimodal.attachBinary(df, "text"), "doc_id", "content").head()
+    assert(r.getAs[Long]("n_bytes") == 11L)
+    assert(r.getAs[String]("content_md5") == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(r.getAs[String]("head_hex") == "68656c6c6f20776f") // "hello wo"
+  }
+
+  test("featurize mapPartitions pipeline with stubbed decoder") {
+    implicit val s = spark
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "fake image bytes".getBytes("UTF-8"), "image/fake"),
+      Multimodal.MediaRecord(2L, Array[Byte](), "image/fake")))
+    val out = Multimodal.featurize(ds).collect().sortBy(_.id)
+    assert(out(0).nBytes == 16L && out(0).embedding.length == 8)
+    assert(out(1).nBytes == 0L)
+    // determinism of the stub
+    assert(Multimodal.decodeStub("abc".getBytes).toSeq == Multimodal.decodeStub("abc".getBytes).toSeq)
+  }
+}
+
+class FetchSpec extends SparkSpec {
+
+  test("filename derivation (download_manager.rb:249-251)") {
+    assert(graft.io.Fetch.deriveFilename("http://x.test/a/b/file.csv?q=1") == "file.csv")
+    assert(graft.io.Fetch.deriveFilename("file:///tmp/data.json") == "data.json")
+  }
+
+  test("executor-side fetch of file:// urls with per-url status") {
+    val src = java.nio.file.Files.createTempDirectory("fetchsrc")
+    val dst = java.nio.file.Files.createTempDirectory("fetchdst")
+    java.nio.file.Files.writeString(src.resolve("a.txt"), "AAA")
+    java.nio.file.Files.writeString(src.resolve("b.txt"), "BBB")
+    val urls = Seq(s"file://$src/a.txt", s"file://$src/b.txt", s"file://$src/missing.txt")
+    val res  = graft.io.Fetch.fetchAll(spark, urls, dst.toString, parallelism = 2)
+      .collect().map(r => r.url -> r.status_code).toMap
+    assert(res(s"file://$src/a.txt") == 200)
+    assert(res(s"file://$src/missing.txt") == 404)
+    assert(java.nio.file.Files.readString(dst.resolve("a.txt")) == "AAA")
+  }
+}
+
+class ConnectionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.io.Connections
+
+  test("registry + parquet read/write/drop roundtrip (S1/S6/S7/S8)") {
+    val base = java.nio.file.Files.createTempDirectory("conn").toString
+    Connections.clear()
+    Connections.add(Connections.ConnectionInfo("staging", "parquet", basePath = Some(base)))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Connections.write(df, "staging", "t1", mode = "overwrite")
+    assert(Connections.read(spark, "staging", "t1").count() == 2)
+    Connections.write(df, "staging", "t1") // append (S6)
+    assert(Connections.read(spark, "staging", "t1").count() == 4)
+    Connections.dropTable(spark, "staging", "t1") // S8
+    assert(!new java.io.File(s"$base/t1.parquet").exists())
+  }
+
+  test("first registration wins on search path (repository_manager.rb:47-66)") {
+    Connections.clear()
+    Connections.add(Connections.ConnectionInfo("c", "parquet", basePath = Some("/first")))
+    Connections.add(Connections.ConnectionInfo("c", "parquet", basePath = Some("/second")))
+    assert(Connections.get("c").get.basePath.contains("/first"))
+  }
+}
