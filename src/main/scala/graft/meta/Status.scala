@@ -102,4 +102,19 @@ final class StatusTracker {
 
   def all: Seq[JobStatus] = synchronized(rows.toSeq)
   def forJob(name: String): Seq[JobStatus] = synchronized(rows.filter(_.jobName == name).toSeq)
+
+  /** O10 durability: persist status rows as parquet (the reference's
+    * metadata tables, minus the RDBMS).
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    all.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Unit = synchronized {
+    import spark.implicits._
+    rows.clear()
+    rows ++= spark.read.parquet(path).as[JobStatus].collect()
+    nextId.set(rows.map(_.id).maxOption.getOrElse(0L) + 1)
+  }
 }

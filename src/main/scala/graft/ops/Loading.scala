@@ -171,4 +171,24 @@ object Loading {
     */
   def incrementalFilter(df: DataFrame, watermarkCol: String, lastRun: Column): DataFrame =
     df.filter(col(watermarkCol) > lastRun)
+
+  /** S9: the index-equivalent physical layout. Spark has no secondary
+    * indexes (reference `create_staging_table_index`, `loading.rb:276-278`);
+    * the join-acceleration analog is clustering: repartition on the key so
+    * subsequent key-joins co-locate without reshuffling, sort within
+    * partitions so parquet min/max stats prune key lookups.
+    */
+  def clusterByKey(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+
+  /** S10: single literal-row insert (reference `test/jobs/test.etl/
+    * test.rb:20-23`) — a union with a one-row frame; columnar stores have
+    * no row-level INSERT.
+    */
+  def insertRow(df: DataFrame, values: Seq[Any]): DataFrame = {
+    val row = org.apache.spark.sql.Row(values: _*)
+    df.union(df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), df.schema))
+  }
 }

@@ -30,14 +30,20 @@ object Similarity {
     * candidate side is the big one — queries broadcast; the per-query
     * window ranks locally after the broadcast join, so the only wide op is
     * the final rank (partitioned by query id, never by corpus size).
+    *
+    * Norms are computed ONCE per side before the join (N+Q sqrt-dots
+    * instead of 3·N·Q per-pair) — bit-identical to the per-pair formula
+    * since the fold order is unchanged.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -77,12 +83,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
+      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes, dims).as("bucket"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes, dims).as("bucket"))
+      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes, dims).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -94,10 +100,10 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"), norm(col(vecCol)).as("n1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"), norm(col(vecCol)).as("n2"))
     a.crossJoin(b).filter(col("id1") < col("id2"))
-      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }

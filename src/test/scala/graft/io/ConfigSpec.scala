@@ -1,0 +1,85 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.ops.Loading
+import org.apache.spark.sql.functions._
+
+class ConfigSpec extends SparkSpec {
+
+  private def write(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("cfg", ".yml")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("loadConnections parses names, formats, paths, options (S5/S3)") {
+    Connections.clear()
+    val p = write(
+      """staging:
+        |  format: parquet
+        |  path: /data/staging
+        |warehouse:
+        |  format: jdbc
+        |  options:
+        |    url: jdbc:postgresql://db/x
+        |""".stripMargin)
+    val names = Config.loadConnections(p)
+    assert(names.sorted == Seq("staging", "warehouse"))
+    assert(Connections.get("staging").get.basePath.contains("/data/staging"))
+    assert(Connections.get("warehouse").get.options("url") == "jdbc:postgresql://db/x")
+  }
+
+  test("search path: first definition wins (repository_manager.rb:47-66)") {
+    Connections.clear()
+    val p1 = write("c1: { format: parquet, path: /first }\n")
+    val p2 = write("c1: { format: parquet, path: /second }\nc2: { format: csv, path: /two }\n")
+    Config.loadConnectionSearchPath(Seq(p1, "/nonexistent.yml", p2))
+    assert(Connections.get("c1").get.basePath.contains("/first"))
+    assert(Connections.get("c2").get.format == "csv")
+  }
+
+  test("loadSchedules parses the reference schedule shape") {
+    val p = write(
+      """- { job: daily_load, schedule: daily, run_order: 1 }
+        |- { job: mon_sync, schedule: monday, run_order: 2, enabled: false }
+        |- { job: forced, schedule: daily, force_run: true }
+        |""".stripMargin)
+    val s = Config.loadSchedules(p)
+    assert(s.map(_.jobName) == Seq("daily_load", "mon_sync", "forced"))
+    assert(s(0).isEnabled && !s(1).isEnabled)
+    assert(s(2).forceRun && s(2).runOrder == 3)
+  }
+}
+
+class PersistenceSpec extends SparkSpec {
+
+  test("StatusTracker parquet roundtrip (O10)") {
+    val t = new graft.meta.StatusTracker
+    val id = t.begin("job_a", java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    t.update(id, status = "ok", phase = "done",
+      endTime = java.time.Instant.parse("2026-01-01T00:01:00Z"))
+    val path = java.nio.file.Files.createTempDirectory("st").toString + "/status"
+    t.save(spark, path)
+    val t2 = new graft.meta.StatusTracker
+    t2.load(spark, path)
+    assert(t2.all == t.all)
+    // next id continues after the loaded max
+    assert(t2.begin("job_b", java.time.Instant.now()) == id + 1)
+  }
+
+  test("clusterByKey produces key-partitioned sorted layout (S9)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
+    val out = Loading.clusterByKey(df, Seq("k"), 4)
+    assert(out.rdd.getNumPartitions == 4)
+    assert(out.count() == 100)
+  }
+
+  test("insertRow appends one literal row (S10)") {
+    import spark.implicits._
+    val df  = Seq(("a", 1L)).toDF("s", "n")
+    val out = Loading.insertRow(df, Seq("b", 2L))
+    assert(out.count() == 2)
+    assert(out.filter(col("s") === "b" && col("n") === 2L).count() == 1)
+  }
+}
