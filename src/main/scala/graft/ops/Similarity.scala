@@ -16,8 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two array columns. */
+  /** Left-to-right double dot product of two array columns — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (bit-identical to
+    * the HOF formulation `aggregate(zip_with(...))`, see [[dotHof]], but
+    * compiled into a tight loop).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.graft_dot(a, b)
+
+  /** The built-ins-only formulation, kept as the reference semantics the
+    * native expression must match.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
