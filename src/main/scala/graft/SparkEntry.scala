@@ -33,7 +33,8 @@ object SparkEntry {
       .groupBy("diff").agg(count(lit(1)).as("n"))
   }
 
-  private def allQueries: Seq[QueryDef] = CoreQueries.all ++ ExtendedQueries.all
+  private def allQueries: Seq[QueryDef] =
+    CoreQueries.all ++ ExtendedQueries.all ++ SqlSurfaceQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

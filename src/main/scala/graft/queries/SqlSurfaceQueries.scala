@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Skew
+
+/** SQL-surface breadth beyond the reference's inventory: multi-dimensional
+  * aggregation (rollup/cube/having), subquery shapes (scalar, semi),
+  * pivot, scalar-function families (string/date/conditional), exact
+  * percentiles, and the salted-aggregation rewrite verified against its
+  * unsalted oracle.
+  */
+object SqlSurfaceQueries {
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "agg_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    ),
+
+    QueryDef(
+      "agg_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    QueryDef(
+      "agg_having",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .filter(col("n") >= 100)
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
+             |ORDER BY l_suppkey""".stripMargin)
+    ),
+
+    // scalar subquery: orders above the average total price
+    QueryDef(
+      "sq_scalar",
+      (s, dir) => {
+        val o   = Tables.orders(s, dir)
+        val avgP = o.agg(avg("o_totalprice").as("avg_price"))
+        o.crossJoin(broadcast(avgP))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // semi join: customers that have at least one urgent order
+    QueryDef(
+      "sq_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // pivot: documents per (source, lang) as wide columns
+    QueryDef(
+      "pivot_lang",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "fr", "es", "de", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  count(*) FILTER (lang = 'en') AS en,
+             |  count(*) FILTER (lang = 'fr') AS fr,
+             |  count(*) FILTER (lang = 'es') AS es,
+             |  count(*) FILTER (lang = 'de') AS de,
+             |  count(*) FILTER (lang = 'zh') AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // scalar string-function family
+    QueryDef(
+      "fn_string",
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_sub"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        when(col("p_name").like("%gold%"), lit("gold")).otherwise(lit("other")).as("tag"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
+             |  substring(p_name, 1, 5) AS name_head,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_sub,
+             |  concat_ws('|', p_brand, p_type) AS joined,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+             |  CASE WHEN p_name LIKE '%gold%' THEN 'gold' ELSE 'other' END AS tag
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // date/time function family
+    QueryDef(
+      "fn_datetime",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(month(o_orderdate) AS BIGINT) AS m,
+             |  CAST(day(o_orderdate) AS BIGINT) AS d,
+             |  CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // conditional/null-handling family
+    QueryDef(
+      "fn_conditional",
+      (s, dir) => Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_coalesced"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 40, "mid")
+          .otherwise("high").as("qty_band"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  greatest(l_discount, l_tax) AS max_rate,
+             |  least(l_discount, l_tax) AS min_rate,
+             |  nullif(l_returnflag, 'N') AS flag_or_null,
+             |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_coalesced,
+             |  CASE WHEN l_quantity < 10 THEN 'low'
+             |       WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS qty_band
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // exact interpolated percentiles per group
+    QueryDef(
+      "agg_percentile",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // inverted-index style: top document-frequency terms
+    QueryDef(
+      "text_top_terms",
+      (s, dir) => graft.ops.Dedup.tokenSets(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("tok"))
+        .limit(20),
+      Some("""SELECT tok, count(*) AS df FROM (
+             |  SELECT DISTINCT doc_id, tok
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+             |        FROM documents) d, UNNEST(d.toks) AS t(tok))
+             |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin)
+    ),
+
+    // salted two-phase aggregation == plain GROUP BY (skew rewrite proof)
+    QueryDef(
+      "skew_salted_agg",
+      (s, dir) => Skew.saltedSumCount(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity",
+        saltN = 16, saltBy = Seq("l_orderkey"))
+        .select(col("l_returnflag"), col("sum_l_quantity").as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fact = (1 to 1000).map { i =>
+    // hot key: 80% of rows share key 1
+    (if (i % 5 == 0) (i % 7) + 2L else 1L, i.toLong, i * 1.5)
+  }.toDF("k", "id", "v")
+
+  private lazy val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+    (5L, "d"), (6L, "e"), (7L, "f"), (8L, "g")).toDF("k", "label")
+
+  test("saltedSumCount equals plain groupBy on skewed data") {
+    val salted = Skew.saltedSumCount(fact, Seq("k"), "v", saltN = 8, saltBy = Seq("id"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val plain = fact.groupBy("k").agg(sum("v"), count(lit(1)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), saltN = 8, saltBy = Seq("id"))
+      .orderBy("id").select("id", "label").collect().map(r => (r.getLong(0), r.getString(1)))
+    val plain = fact.join(dim, Seq("k"))
+      .orderBy("id").select("id", "label").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 1000) // every fact row found its dim match
+  }
+
+  test("salt spreads a hot key across partitions") {
+    val salts = fact.filter(col("k") === 1L)
+      .select(Skew.saltCol(8, Seq(col("id"))).as("s"))
+      .distinct().count()
+    assert(salts == 8) // hot key occupies all 8 salt buckets
+  }
+}
