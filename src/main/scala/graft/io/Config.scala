@@ -45,11 +45,14 @@ object Config {
     val root = loadYaml(path)
     root.toSeq.sortBy(_._1).map { case (name, spec) =>
       val m = asStrMap(spec)
+      val options = spec match {
+        case jm: java.util.Map[_, _] =>
+          jm.asScala.collectFirst { case (k, v) if k.toString == "options" => asStrMap(v) }
+            .getOrElse(Map.empty[String, String])
+        case _ => Map.empty[String, String]
+      }
       Connections.add(Connections.ConnectionInfo(
-        name,
-        m.getOrElse("format", "parquet"),
-        asStrMap(spec.asInstanceOf[java.util.Map[String, Any]].asScala.getOrElse("options", new java.util.HashMap[String, Any]())),
-        m.get("path")))
+        name, m.getOrElse("format", "parquet"), options, m.get("path")))
       name
     }
   }

@@ -244,6 +244,44 @@ object ExtendedQueries {
              |FROM $evSql GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // The SAME tumbling aggregation computed through the streaming path:
+    // readStream → watermarked groupBy(window) → writeStream (complete mode,
+    // AvailableNow) → memory table. Oracle-checked against the identical
+    // batch SQL — streaming correctness goes through the driver gate, not
+    // just unit tests.
+    QueryDef(
+      "ev_tumbling_stream",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // The streaming file source requires a directory; the corpus ships
+        // single files — stage a symlink into a temp dir.
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_stream")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val agg = withTs
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+        val name = s"ev_stream_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy("window_start", "event_type")
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+              |FROM $evSql GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     QueryDef(
       "ev_sliding_1h_30m",
       (s, dir) => Events.slidingAgg(Tables.events(s, dir), "ts", "1 hour", "30 minutes")

@@ -224,4 +224,34 @@ class ConnectionsSpec extends SparkSpec {
     Connections.add(Connections.ConnectionInfo("c", "parquet", basePath = Some("/second")))
     assert(Connections.get("c").get.basePath.contains("/first"))
   }
+
+  test("csv and json formats roundtrip through the registry") {
+    val base = java.nio.file.Files.createTempDirectory("connfmt").toString
+    Connections.clear()
+    Connections.add(Connections.ConnectionInfo("csvz", "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true"), basePath = Some(base)))
+    Connections.add(Connections.ConnectionInfo("jsonz", "json", basePath = Some(base)))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Connections.write(df, "csvz", "t_csv", mode = "overwrite")
+    Connections.write(df, "jsonz", "t_json", mode = "overwrite")
+    assert(Connections.read(spark, "csvz", "t_csv").count() == 2)
+    assert(Connections.read(spark, "jsonz", "t_json")
+      .filter(col("v") === "b").select("id").head().getLong(0) == 2L)
+  }
+
+  test("partitioned write enables partition pruning on read (100TB layout)") {
+    val base = java.nio.file.Files.createTempDirectory("connpart").toString
+    Connections.clear()
+    Connections.add(Connections.ConnectionInfo("ds", "parquet", basePath = Some(base)))
+    val df = (1 to 100).map(i => (i.toLong, s"2026-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+    Connections.write(df, "ds", "facts", mode = "overwrite", partitionBy = Seq("month"))
+    val read = Connections.read(spark, "ds", "facts").filter(col("month") === "2026-01")
+    // pruned scan: only the matching partition directory is read
+    val plan = read.queryExecution.executedPlan.toString
+    assert(read.count() == df.filter(col("month") === "2026-01").count())
+    assert(plan.contains("PartitionFilters") || plan.contains("month#"))
+    val dirs = new java.io.File(s"$base/facts.parquet").listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("month=")) == 3)
+  }
 }
