@@ -205,25 +205,36 @@ object CoreQueries {
     ),
 
     // ── GROUP BY family (north-star §7.3): TPC-H-style pricing summary ─────
+    // Money sums run in EXACT decimal and only cast to double at the output
+    // boundary: at 100 TB a double fold's order-dependent ulp error exceeds
+    // any rounding guard (observed at sf0.1 already), while decimal sums are
+    // order-independent and bit-identical across engines.
     QueryDef(
       "q1_pricing_summary",
-      (s, dir) => Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, dir) => {
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc1 = (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)")
+        val tax1  = (lit(1) + col("l_tax").cast("decimal(3,2)")).cast("decimal(4,2)")
+        val prod1 = (price * disc1).cast("decimal(18,4)")
+        val prod2 = (prod1 * tax1).cast("decimal(24,6)")
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(prod1).cast("double").as("sum_disc_price"),
+            sum(prod2).cast("double").as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |  sum(l_quantity) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4)) * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
              |  round(avg(l_quantity), 4) AS avg_qty,
              |  round(avg(l_discount), 4) AS avg_disc,
              |  count(*) AS count_order
@@ -277,11 +288,13 @@ object CoreQueries {
           .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
