@@ -37,6 +37,19 @@ object Dedup {
   def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
 
+  /** Word n-gram (shingle) array: "a b c d" with n=2 → ["a b","b c","c d"].
+    * Empty when the doc has fewer than n tokens. The n-gram Jaccard unit —
+    * order-sensitive where unigram sets are not.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
   /** Seeded portable token hash: md5("<seed>|<token>"). */
   def seededHash(seed: Int, tok: Column): Column =
     md5(concat(lit(s"$seed|"), tok))
@@ -90,8 +103,22 @@ object Dedup {
     * D distinct sets, not N docs; the expansion is linear in output size.
     * Values are identical to the naive all-pairs computation.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks"))
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame =
+    jaccardPairsOnSets(
+      df.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks")),
+      minJaccard)
+
+  /** N-gram (shingle) Jaccard — same machinery over [[shingles]] sets. */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minJaccard: Double): DataFrame =
+    jaccardPairsOnSets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks")),
+      minJaccard)
+
+  /** Core pair computation over a pre-built (id, toks) set frame. */
+  def jaccardPairsOnSets(input: DataFrame, minJaccard: Double): DataFrame = {
+    val docs = input
+      .filter(size(col("toks")) > 0)
       .withColumn("fp", md5(concat_ws(" ", array_sort(col("toks")))))
       .cache()
     val members = docs.select(col("fp"), col("id"))

@@ -105,6 +105,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * first `nCentroids` vectors by id — a real system trains k-means; the
+    * index structure, not the centroid quality, is what scales) assigns
+    * every vector to its nearest centroid, and each query probes ONLY its
+    * own centroid's inverted list. Cost per query drops from N to
+    * N/nCentroids on balanced lists — the classic IVF trade of recall for
+    * a bucket-join instead of a cross product.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int): DataFrame = {
+    val cents = candidates.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("__cs", round(dot(col(vec), col("cent_v")) /
+          (norm(col(vec)) * norm(col("cent_v"))), 6))
+      val w = Window.partitionBy(id).orderBy(desc("__cs"), col("cent_id"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__cs", "__rn", "cent_v")
+    }
+    val c = assign(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn")), "neighbor_id", "cv")
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")), "query_id", "qv")
+    val scored = c.join(broadcast(q), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
     * Exact and quadratic — sample or LSH-prefilter at scale.
     */

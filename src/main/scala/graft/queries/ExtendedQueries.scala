@@ -233,6 +233,77 @@ object ExtendedQueries {
               |ORDER BY query_id, rank""".stripMargin)
     ),
 
+    QueryDef(
+      "dedup_shingle_jaccard",
+      (s, dir) => Dedup.shingleJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 2, minJaccard = 0.3)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(toks) - 1, 0) + 1),
+              |         i -> array_to_string(toks[i:i+1], ' '))) AS toks FROM d),
+              |w AS (SELECT DISTINCT doc_id, tok FROM sh, UNNEST(sh.toks) AS t(tok)),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id1, id2, jaccard FROM (
+              |  SELECT id1, id2,
+              |    round(CAST(common AS DOUBLE) / (s1.sz + s2.sz - common), 4) AS jaccard
+              |  FROM common
+              |  JOIN sz s1 ON s1.doc_id = id1
+              |  JOIN sz s2 ON s2.doc_id = id2)
+              |WHERE jaccard >= 0.3 ORDER BY id1, id2""".stripMargin)
+    ),
+
+    QueryDef(
+      "ann_ivf_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, nCentroids = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qv", "cv", Dims)
+        val cosVC = cosSql("v", "cent_v", Dims)
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |sc AS (SELECT query_id, neighbor_id, round($cosQC, 6) AS cos
+           |       FROM c JOIN q USING (cent_id) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           |        cos
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // Sketch-based distinct count: values differ across engines'
+    // HLL implementations, so no SQL oracle — the driver records the
+    // weaker rows-only check by design.
+    QueryDef(
+      "agg_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
+        count(lit(1)).as("n_rows")),
+      None
+    ),
+
     // ─────────────────────── event analytics ─────────────────────────────
     QueryDef(
       "ev_tumbling_1h",

@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("shingles: word 2-grams, order-sensitive, short docs empty") {
+    val out = Seq(("a b c d"), ("d c b a"), ("solo")).toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh")).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(out(1).getSeq[String](0) == Seq("d c", "c b", "b a")) // ≠ doc 1: order matters
+    assert(out(2).getSeq[String](0).isEmpty)
+  }
+
+  test("shingle jaccard: reordered docs score 0 where unigram jaccard is 1") {
+    val docs = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9).count() == 1)       // same word set
+    assert(Dedup.shingleJaccardPairs(docs, "doc_id", "text", 2, 0.01).count() == 0) // no shared bigram
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val s = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -113,6 +127,15 @@ class SimilaritySpec extends SparkSpec {
       vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
       k = 3, planes = 4, dims = 3).collect()
     assert(out.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("ivfTopK: identical twin found when it shares the centroid list") {
+    val out = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 3, nCentroids = 2).collect()
+    // vec 1 is identical to query 0 → same nearest centroid → rank 1
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+    assert(out.head.getAs[Int]("rank") == 1)
   }
 
   test("planeWeights deterministic and ±1") {
