@@ -148,6 +148,71 @@ object Dedup {
     crossPairs.unionByName(withinPairs)
   }
 
+  /** Exact Jaccard restricted to given candidate pairs — the verification
+    * stage after LSH: cost is |pairs| × shared-token joins, not all-pairs.
+    * `words` is the (id, tok) set frame; `pairs` has (id1, id2).
+    */
+  def verifyPairsJaccard(words: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(words.select(col("id").as("id1"), col("tok")), Seq("id1"))
+      .join(words.select(col("id").as("id2"), col("tok").as("tok2")), Seq("id2"))
+      .filter(col("tok") === col("tok2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    pairs
+      .join(common, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard", round(
+        coalesce(col("common"), lit(0L)).cast("double") /
+          (col("sz1") + col("sz2") - coalesce(col("common"), lit(0L))), 4))
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** The full training-data dedup pipeline, composed for scale:
+    *
+    *  1. exact collapse — normalized fingerprint, min-id survivor per group
+    *     (removes exact dups BEFORE any pairwise work);
+    *  2. LSH candidate generation among the surviving representatives;
+    *  3. exact-Jaccard verification of candidates only;
+    *  4. decision: drop any representative with a verified near-dup of
+    *     smaller id (keeps one doc per near-dup chain, deterministically,
+    *     without computing connected components — the standard large-corpus
+    *     compromise).
+    *
+    * Output: (id, status) with status ∈ exact_dup | near_dup | kept.
+    */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.7): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val keep = fp.groupBy("fp").agg(min(col("id")).as("keep_id"))
+    val withKeep = fp.join(keep, Seq("fp")).cache()
+    val repIds = withKeep.filter(col("id") === col("keep_id")).select("id")
+    val reps = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(repIds, Seq("id"))
+    val words = tokenSets(reps, "id", "__text").cache()
+    val sigs  = {
+      val aggs = (0 until k).map(i => min(seededHash(i, col("tok"))).as(s"mh$i"))
+      words.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val bands = lshBands(sigs, "id", k, rowsPerBand)
+    val cands = bands.select(col("band"), col("band_hash"), col("id").as("id1"))
+      .join(bands.select(col("band"), col("band_hash"), col("id").as("id2")),
+        Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val nearDropped = verifyPairsJaccard(words, cands)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id2").as("id")).distinct()
+    withKeep.select(col("id"), col("keep_id"))
+      .join(nearDropped.withColumn("__near", lit(true)), Seq("id"), "left")
+      .withColumn("status",
+        when(col("id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("__near"), lit("near_dup"))
+          .otherwise(lit("kept")))
+      .select("id", "status")
+  }
+
   val HighHexDigits: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** SimHash fingerprint over token multiset: bit j (1-based hex position of

@@ -233,6 +233,61 @@ object ExtendedQueries {
               |ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // The composed flagship: exact collapse → LSH candidates → Jaccard
+    // verification → keep/drop decision, mirrored in SQL end-to-end.
+    QueryDef(
+      "dedup_pipeline",
+      (s, dir) => Dedup.dedupPipeline(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8, rowsPerBand = 2, minJaccard = 0.7)
+        .orderBy("id"),
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM sigs"
+        ).mkString(" UNION ALL ")
+        s"""WITH fp AS (
+           |  SELECT doc_id AS id, md5(array_to_string($toksSql, ' ')) AS fp
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |keep AS (SELECT fp, min(id) AS keep_id FROM fp GROUP BY fp),
+           |wk AS (SELECT f.id, k.keep_id FROM fp f JOIN keep k ON f.fp = k.fp),
+           |w AS (
+           |  SELECT DISTINCT d.id, tok
+           |  FROM (SELECT doc_id AS id, $toksSql AS toks
+           |        FROM documents WHERE doc_id % 10 = 0) d, UNNEST(d.toks) AS t(tok)
+           |  WHERE d.id IN (SELECT id FROM wk WHERE id = keep_id)),
+           |sigs AS (SELECT id, $mins FROM w GROUP BY id),
+           |bands AS ($bands),
+           |cands AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+           |sz AS (SELECT id, count(*) AS sz FROM w GROUP BY id),
+           |common AS (
+           |  SELECT c.id1, c.id2, count(*) AS common
+           |  FROM cands c
+           |  JOIN w w1 ON w1.id = c.id1
+           |  JOIN w w2 ON w2.id = c.id2 AND w2.tok = w1.tok
+           |  GROUP BY 1, 2),
+           |verified AS (
+           |  SELECT id1, id2 FROM (
+           |    SELECT c.id1, c.id2,
+           |      round(CAST(coalesce(m.common, 0) AS DOUBLE) /
+           |            (s1.sz + s2.sz - coalesce(m.common, 0)), 4) AS j
+           |    FROM cands c
+           |    LEFT JOIN common m ON m.id1 = c.id1 AND m.id2 = c.id2
+           |    JOIN sz s1 ON s1.id = c.id1
+           |    JOIN sz s2 ON s2.id = c.id2)
+           |  WHERE j >= 0.7),
+           |near AS (SELECT DISTINCT id2 AS id FROM verified)
+           |SELECT wk.id,
+           |  CASE WHEN wk.id <> wk.keep_id THEN 'exact_dup'
+           |       WHEN n.id IS NOT NULL THEN 'near_dup'
+           |       ELSE 'kept' END AS status
+           |FROM wk LEFT JOIN near n ON n.id = wk.id
+           |ORDER BY wk.id""".stripMargin
+      }
+    ),
+
     QueryDef(
       "dedup_shingle_jaccard",
       (s, dir) => Dedup.shingleJaccardPairs(

@@ -85,6 +85,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingleJaccardPairs(docs, "doc_id", "text", 2, 0.01).count() == 0) // no shared bigram
   }
 
+  test("dedupPipeline: exact collapse, LSH+verify near-dups, deterministic keep") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha  beta gamma delta epsilon zeta eta"),  // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta theta"), // near dup (jaccard 6/8=0.75)
+      (4L, "totally different content entirely")         // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(corpus, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "kept")
+    assert(out(2L) == "exact_dup")
+    assert(out(3L) == "near_dup") // dropped in favor of smaller id 1
+    assert(out(4L) == "kept")
+  }
+
+  test("verifyPairsJaccard computes only requested pairs, zero for disjoint") {
+    val words = Dedup.tokenSets(docs, "doc_id", "text")
+      .withColumnRenamed("doc_id", "id")
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = Dedup.verifyPairsJaccard(words, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 2)
+    assert(out((1L, 3L)) == 0.5)
+    assert(out((1L, 4L)) == 0.0)
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val s = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
