@@ -203,6 +203,102 @@ object SqlSurfaceQueries {
              |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin)
     ),
 
+    // window-function family beyond row_number
+    QueryDef(
+      "w2_window_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w  = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(Window.partitionBy("o_custkey")
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))).cast("long").as("price_rank"),
+          dense_rank().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderstatus"))).cast("long").as("status_drank"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          count(lit(1)).over(wr).cast("long").as("running_n"),
+          round(sum(col("o_totalprice")).over(wr), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+             |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_drank,
+             |  lag(o_orderkey, 1) OVER w AS prev_order,
+             |  lead(o_orderkey, 1) OVER w AS next_order,
+             |  CAST(count(*) OVER wr AS BIGINT) AS running_n,
+             |  round(sum(o_totalprice) OVER wr, 2) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // full outer join with both-null handling
+    QueryDef(
+      "join_full_outer",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+        val su = Tables.supplier(s, dir).groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+             |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+             |  ON c.c_nationkey = s.s_nationkey
+             |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // bag-semantics set ops
+    QueryDef(
+      "set_except_all",
+      (s, dir) => Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.customer(s, dir).select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT o_custkey AS k FROM orders
+             |  EXCEPT ALL SELECT c_custkey AS k FROM customer)
+             |GROUP BY k ORDER BY k""".stripMargin)
+    ),
+
+    // ordered string aggregation
+    QueryDef(
+      "agg_string",
+      (s, dir) => Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    ),
+
+    // null-safe equality (<=> / IS NOT DISTINCT FROM)
+    QueryDef(
+      "fn_nullsafe",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_n"))
+        .withColumn("same_as_null", col("st_n") <=> lit(null))
+        .withColumn("same_as_f", col("st_n") <=> lit("F"))
+        .select("o_orderkey", "st_n", "same_as_null", "same_as_f")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st_n,
+             |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS same_as_null,
+             |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS same_as_f
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // salted two-phase aggregation == plain GROUP BY (skew rewrite proof)
     QueryDef(
       "skew_salted_agg",
