@@ -444,6 +444,28 @@ object ExtendedQueries {
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // as-of join: each event matched to the user's most recent purchase
+    // at-or-before it; oracle uses DuckDB's native ASOF JOIN.
+    QueryDef(
+      "ev_asof_purchase",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event"), col("ts").as("p_ts"))
+        AsOf.asofJoin(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("p_event", "p_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |p AS (SELECT user_id, event_id AS p_event, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+             |SELECT e.event_id, e.user_id, e.ts, p.p_event, p.p_ts
+             |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.p_ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin)
+    ),
+
     QueryDef(
       "ev_duration",
       (s, dir) => Events.durations(Tables.events(s, dir), "user_id", "ts")

@@ -197,6 +197,24 @@ class EventsSpec extends SparkSpec {
     assert(starts == Set("2026-01-01 10:00:00.0", "2026-01-01 11:00:00.0"))
   }
 
+  test("asofJoin: latest right at-or-before, inclusive, per key") {
+    val purchases = Seq(
+      (101L, 10L, "2026-01-01 10:08:00"),
+      (102L, 10L, "2026-01-01 11:00:00")
+    ).toDF("p_id", "user_id", "ts_s")
+      .withColumn("p_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOf.asofJoin(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "p_ts",
+      payload = Seq("p_id", "p_ts"))
+      .orderBy("event_id").collect()
+    // event 1 (10:00) → none; event 2 (10:10) → 101; event 3 (11:00) → 102 inclusive
+    assert(out(0).isNullAt(out(0).fieldIndex("p_id")))
+    assert(out(1).getAs[Long]("p_id") == 101L)
+    assert(out(2).getAs[Long]("p_id") == 102L)
+    assert(out(3).isNullAt(out(3).fieldIndex("p_id"))) // other user
+  }
+
   test("durations per key") {
     val d = Events.durations(ev, "user_id", "ts").orderBy("user_id").collect()
     assert(d(0).getAs[Double]("duration_sec") == 3600.0)
