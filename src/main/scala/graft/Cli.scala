@@ -23,6 +23,17 @@ object Cli {
     val defaults  = new DefaultsStore
     val registry  = new JobRegistry
     var schedules: Seq[Schedule] = Nil
+
+    // Built-in smoke job (the reference shipped test.etl as its sample):
+    // proves the run path end-to-end with no deployment wiring.
+    registry.register(new EtlJob {
+      val name = "sample_noop"
+      def run(ctx: JobContext): Unit = {
+        ctx.setPhase("working")
+        val n = ctx.spark.range(1000).count()
+        require(n == 1000)
+      }
+    })
   }
 
   def main(args: Array[String]): Unit = {

@@ -299,6 +299,32 @@ object SqlSurfaceQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // range (interval) join: orders matched into derived quarter intervals
+    // by containment — the dimension side is tiny and broadcast, so the
+    // range predicate evaluates without a cross product at scale.
+    QueryDef(
+      "range_join_quarters",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val quarters = o.select(date_trunc("quarter", col("o_orderdate")).as("q_start"))
+          .distinct()
+          .withColumn("q_end", expr("q_start + INTERVAL 3 MONTH"))
+        o.join(broadcast(quarters),
+            col("o_orderdate") >= col("q_start") && col("o_orderdate") < col("q_end"))
+          .groupBy("q_start")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("q_start")
+      },
+      Some("""WITH quarters AS (
+             |  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS q_start,
+             |    date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS q_end
+             |  FROM orders)
+             |SELECT q_start, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN quarters
+             |  ON o_orderdate >= q_start AND o_orderdate < q_end
+             |GROUP BY q_start ORDER BY q_start""".stripMargin)
+    ),
+
     // salted two-phase aggregation == plain GROUP BY (skew rewrite proof)
     QueryDef(
       "skew_salted_agg",
