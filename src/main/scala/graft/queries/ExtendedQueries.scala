@@ -475,6 +475,23 @@ object ExtendedQueries {
              |FROM $evSql GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // JSON property extraction + grouped aggregation over the parsed value
+    QueryDef(
+      "ev_json_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // ─────────────────────── multimodal plumbing ─────────────────────────
     QueryDef(
       "mm_features",
