@@ -19,14 +19,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
+        // Non-AQE physical plan: codegen stages render as *(n) markers
+        // (AdaptiveSparkPlan hides them until execution).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         val df   = fn(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val plan = df.queryExecution.executedPlan.toString
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         val smells = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           // BNLJ is expected only for the intentionally-quadratic ops
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "no-codegen" -> !plan.contains("WholeStageCodegen")
+          "no-codegen" -> !(plan.contains("WholeStageCodegen") || plan.contains("*("))
         ).collect { case (s, true) => s }
         println(s"\n===== $name ${if (smells.nonEmpty) "SMELLS: " + smells.mkString(",") else ""}")
         println(df.queryExecution.explainString(
