@@ -299,6 +299,36 @@ object SqlSurfaceQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // analytic-window family: distribution functions + value accessors
+    QueryDef(
+      "w3_window_analytics",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir).select(
+          col("c_nationkey"), col("c_custkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("c_custkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_poorest"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  first_value(c_custkey) OVER wr AS poorest,
+             |  nth_value(c_custkey, 2) OVER wr AS second_poorest
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+             |       wr AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)
+    ),
+
     // range (interval) join: orders matched into derived quarter intervals
     // by containment — the dimension side is tiny and broadcast, so the
     // range predicate evaluates without a cross product at scale.
