@@ -25,6 +25,14 @@ object GraftFunctions {
   def graft_cosine(a: Column, b: Column): Column =
     graft_dot(a, b) / (graft_norm(a) * graft_norm(b))
 
+  /** Heap-based top-k aggregate (see [[TopKByScore]]): returns
+    * `array<struct<score,id>>` sorted (score desc, id asc).
+    */
+  def graft_topk(score: Column, id: Column, k: Int): Column =
+    GraftShim.column(
+      TopKByScore(GraftShim.expression(score), GraftShim.expression(id), k)
+        .toAggregateExpression())
+
   /** Make the functions SQL-callable on a live session:
     * `SELECT graft_dot(e1, e2) FROM ...`.
     */

@@ -105,6 +105,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** [[bruteForceTopK]] with the heap aggregate
+    * ([[graft.functions.TopKByScore]]) instead of a rank window: map-side
+    * partial top-k buffers collapse each partition to k rows per query
+    * BEFORE the shuffle, and no partition ever sorts. Identical output.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.graft_topk
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .groupBy("query_id")
+      .agg(graft_topk(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t.score").as("cos"))
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer (the
     * first `nCentroids` vectors by id — a real system trains k-means; the
     * index structure, not the centroid quality, is what scales) assigns

@@ -211,6 +211,29 @@ object ExtendedQueries {
               |ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // Same result as ann_cosine_topk through the heap-aggregate path
+    // (TypedImperativeAggregate) instead of the rank window — the SAME
+    // DuckDB oracle must hash-match both implementations.
+    QueryDef(
+      "ann_topk_agg",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopKAgg(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+              |sc AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv", Dims)}, 6) AS cos
+              |       FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+              |r AS (SELECT query_id, neighbor_id,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+              |        cos
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+
     QueryDef(
       "ann_lsh_topk",
       (s, dir) => {

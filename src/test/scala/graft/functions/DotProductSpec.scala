@@ -36,6 +36,29 @@ class DotProductSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_.getDouble(1) > 0))
   }
 
+  test("graft_topk aggregate equals the window formulation on real data") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaWindow = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 4), e, "vec_id", "embedding", k = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val viaAgg = Similarity.bruteForceTopKAgg(
+      e.filter(col("vec_id") < 4), e, "vec_id", "embedding", k = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
+  test("graft_topk: tie-break by smaller id, k larger than group") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.8, 7L)).toDF("g", "s", "i")
+    val out = df.groupBy("g")
+      .agg(GraftFunctions.graft_topk(col("s"), col("i"), 5).as("t"))
+      .select(explode(col("t")).as("e")).select("e.score", "e.id").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.9, 5L), (0.9, 10L), (0.8, 7L)))
+  }
+
   test("type check rejects non-array inputs") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] {
