@@ -306,6 +306,55 @@ object CoreQueries {
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
     ),
 
+    // ── conditional-aggregate ratio (TPC-H Q14 shape) ──────────────────────
+    QueryDef(
+      "q14_promo_ratio",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+                  col("l_shipdate") <  expr("timestamp'1997-01-01 00:00:00'"))
+        val p   = Tables.part(s, dir)
+        val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(rev).cast("double")).as("promo_revenue_pct"))
+      },
+      Some("""SELECT 100.0 *
+             |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+             |        THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))
+             |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE)
+             |  AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+    ),
+
+    // ── correlated aggregate filter (TPC-H Q17 shape) ──────────────────────
+    QueryDef(
+      "q17_small_qty",
+      (s, dir) => {
+        val li     = Tables.lineitem(s, dir)
+        val perPart = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(avg("l_quantity").as("avg_qty"))
+        li.join(perPart, li("l_partkey") === perPart("p_key"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total_price"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+             |  count(*) AS n_rows
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+             |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.p_key
+             |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin)
+    ),
+
     // ── window functions: top-3 orders per customer ────────────────────────
     QueryDef(
       "w1_window_rank",
