@@ -36,6 +36,54 @@ object SqlSurfaceQueries {
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // explicit grouping-set membership indicators
+    QueryDef(
+      "agg_grouping_sets",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+             |  count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // array-function family: ordered collect, slice, stringify
+    QueryDef(
+      "agg_array_ops",
+      (s, dir) => {
+        val ranked = Tables.customer(s, dir)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("c_nationkey").orderBy(desc("c_acctbal"), col("c_custkey"))))
+        ranked.filter(col("rn") <= 3)
+          .groupBy("c_nationkey")
+          .agg(
+            // collect_list has no ordering guarantee — collect (rn, name)
+            // structs, sort, then project, for a deterministic result
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("rn"), col("c_name")))),
+              x => x.getField("c_name"))).as("top3_names"),
+            count(lit(1)).as("n_top"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+             |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey) AS top3_names,
+             |  count(*) AS n_top
+             |FROM (
+             |  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) WHERE rn <= 3
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    ),
+
     QueryDef(
       "agg_having",
       (s, dir) => Tables.lineitem(s, dir)
