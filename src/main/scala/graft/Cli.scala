@@ -77,6 +77,15 @@ object Cli {
         results.foreach { case (name, id) =>
           println(s"$name: ${id.fold("skipped")(_ => "ran")}")
         }
+      // O10: bootstrap the parquet-backed metadata store (the reference's
+      // create_etl_manager_structures / `etl initialize`).
+      case "initialize" :: rest =>
+        val metaDir = rest.headOption
+          .orElse(sys.env.get("GRAFT_META_DIR"))
+          .getOrElse(sys.props("user.dir") + "/meta")
+        CliEnv.defaults.save(spark, s"$metaDir/etl_defaults")
+        CliEnv.tracker.save(spark, s"$metaDir/etl_job_status")
+        println(s"initialized metadata store at $metaDir")
       case _ =>
         System.err.println(
           "usage: graft.Cli [-d|--debug] [-F|--force] " +
