@@ -213,6 +213,35 @@ object Dedup {
       .select("id", "status")
   }
 
+  /** SimHash near-dup pairs: candidates share at least one of `nBands`
+    * contiguous fingerprint bands (pigeonhole: hamming ≤ maxHamming with
+    * maxHamming < nBands guarantees a shared band), verified by exact
+    * hamming distance. Band join cost = bucket occupancy; never all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, nBands: Int = 4, maxHamming: Int = 2): DataFrame = {
+    require(bits % nBands == 0)
+    val w    = bits / nBands
+    val sh   = simhash(df, idCol, textCol, bits)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash"), b * w + 1, w).as("bh"))
+    }
+    val bands = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"), col("id").as("id1"), col("simhash").as("sh1"))
+    val b = bands.select(col("band"), col("bh"), col("id").as("id2"), col("simhash").as("sh2"))
+    val hamming = (1 to bits).map(j =>
+      when(substring(col("sh1"), j, 1) =!= substring(col("sh2"), j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   val HighHexDigits: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** SimHash fingerprint over token multiset: bit j (1-based hex position of

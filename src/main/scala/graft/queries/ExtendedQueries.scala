@@ -129,6 +129,39 @@ object ExtendedQueries {
     ),
 
     QueryDef(
+      "dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", bits = 16, nBands = 4, maxHamming = 2)
+        .orderBy("id1", "id2"),
+      Some {
+        val sums = (1 to 16).map(j =>
+          s"sum(CASE WHEN substr(h, $j, 1) IN (${sqlList(Dedup.HighHexDigits)}) THEN 1 ELSE -1 END) AS s$j"
+        ).mkString(", ")
+        val bitsExpr = (1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT id, $b AS band, substr(simhash, ${b * 4 + 1}, 4) AS bh, simhash FROM sh"
+        ).mkString(" UNION ALL ")
+        val hamming = (1 to 16).map(j =>
+          s"CASE WHEN substr(sh1, $j, 1) <> substr(sh2, $j, 1) THEN 1 ELSE 0 END"
+        ).mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id AS id, md5(tok) AS h
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 0) d,
+           |       UNNEST(d.toks) AS t(tok)),
+           |s AS (SELECT id, $sums FROM toks GROUP BY id),
+           |sh AS (SELECT id, $bitsExpr AS simhash FROM s),
+           |bands AS ($bands),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS sh1, b.simhash AS sh2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+           |SELECT id1, id2, hamming FROM (
+           |  SELECT id1, id2, CAST($hamming AS BIGINT) AS hamming FROM pairs)
+           |WHERE hamming <= 2 ORDER BY id1, id2""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.lshCandidatePairs(
         Tables.documents(s, dir).filter(col("doc_id") % 50 === 0),

@@ -111,6 +111,21 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) == 0.0)
   }
 
+  test("simhashPairs finds identical docs at hamming 0, skips disjoint") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 16, 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L) // identical token multisets
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("MLlib MinHashLSH finds the exact-dup pair (library-first variant)") {
+    val out = MlDedup.minhashNearDups(docs, "doc_id", "text", maxDist = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 0.0)      // identical token sets, distance 0
+    assert(out.contains((1L, 3L)))    // near dup within threshold
+    assert(!out.keys.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val s = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
