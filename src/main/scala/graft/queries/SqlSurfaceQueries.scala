@@ -196,6 +196,29 @@ object SqlSurfaceQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // math-function family (IEEE-exact ops only: abs/ceil/floor/sqrt/sign/mod
+    // are bit-deterministic across engines; transcendentals are not)
+    QueryDef(
+      "fn_math",
+      (s, dir) => Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(30000.0)).as("abs_diff"),
+        ceil(col("l_quantity") / 7.0).cast("long").as("ceil_q"),
+        floor(col("l_quantity") / 7.0).cast("long").as("floor_q"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        signum(col("l_discount") - col("l_tax")).as("rate_sign"),
+        (col("l_orderkey") % 97).as("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_extendedprice - 30000.0) AS abs_diff,
+             |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+             |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+             |  sqrt(l_extendedprice) AS sqrt_price,
+             |  CAST(sign(l_discount - l_tax) AS DOUBLE) AS rate_sign,
+             |  l_orderkey % 97 AS key_mod
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
     // conditional/null-handling family
     QueryDef(
       "fn_conditional",
