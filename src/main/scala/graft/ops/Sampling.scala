@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * A training-data pipeline needs REPRODUCIBLE population assignment: the
+  * same document must land in the same sample/split on every run, on any
+  * engine, at any parallelism — `rand()` and `df.sample` give none of that.
+  * We hash the stable id with md5 and take the first 3 hex digits as a
+  * bucket in [0, 4096); samples and split assignments are bucket ranges.
+  *
+  * Scale: a narrow, codegen'd column expression — no shuffle, no state, no
+  * driver round-trip. At 100 TB a hash-sample is a plain filter evaluated
+  * behind the scan, and split assignment is a free projected column.
+  *
+  * Generalizes the reference's MD5 row fingerprint
+  * (`lib/etl/loading.rb:254-270`) from change detection to population
+  * assignment. Hashing is md5-over-strings like all graft dedup hashing, so
+  * a SQL oracle reproduces it bit-for-bit (NOTES.md "hash portability").
+  */
+object Sampling {
+
+  val Buckets: Int = 4096
+
+  /** Hex-digit value without a 16-way CASE: ascii(d) - (48 | 87). */
+  private def hexVal(d: Column): Column =
+    ascii(d) - when(d >= "a", 87).otherwise(48)
+
+  /** Bucket in [0, 4096): value of the first 3 hex digits of
+    * md5(cast(id as string)). Uniform because md5 is.
+    */
+  def hashBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (hexVal(substring(h, 1, 1)) * 256 +
+      hexVal(substring(h, 2, 1)) * 16 +
+      hexVal(substring(h, 3, 1))).cast("int")
+  }
+
+  /** Deterministic ~`fraction` sample: rows whose bucket falls below
+    * `fraction * 4096`. Re-running, re-partitioning, or re-ordering the
+    * input cannot change membership.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    df.filter(hashBucket(col(idCol)) < threshold(fraction))
+  }
+
+  /** Split assignment by cumulative bucket thresholds, e.g.
+    * `Seq("train" -> 0.90, "valid" -> 0.05, "test" -> 0.05)` (weights must
+    * sum to 1; the last split absorbs the rounding remainder).
+    */
+  def splitColumn(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $weights")
+    val b = hashBucket(id)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(threshold)
+    weights.map(_._1).zip(cum).init.foldRight(lit(weights.last._1): Column) {
+      case ((name, hi), els) => when(b < hi, lit(name)).otherwise(els)
+    }
+  }
+
+  /** Bucket threshold for a cumulative fraction — shared with the SQL
+    * oracle generator so both engines use identical integer cut points.
+    */
+  def threshold(fraction: Double): Int = math.round(fraction * Buckets).toInt
+
+  val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.90, "valid" -> 0.05, "test" -> 0.05)
+}

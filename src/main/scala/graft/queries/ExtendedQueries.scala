@@ -39,6 +39,28 @@ object ExtendedQueries {
   private val evSql =
     "(SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) ev"
 
+  // DuckDB-side language-ID score columns / argmax CASE == TextAnalysis
+  // .languageId semantics (argmax over marker hits, first-language ties,
+  // 'und' at zero); expects a `toks` column in scope.
+  private val langScoresSql = TextAnalysis.LanguageMarkers.map { case (lang, ws) =>
+    s"len(list_filter(toks, t -> t IN (${sqlList(ws)}))) AS s_$lang"
+  }.mkString(",\n  ")
+  private val langCaseSql = {
+    val best = TextAnalysis.LanguageMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+    TextAnalysis.LanguageMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** DuckDB bucket-in-[0,4096) == Sampling.hashBucket: value of the first
+    * 3 hex digits of md5(id); expects an `hh` md5-hex column in scope.
+    */
+  private val hashBucketSql = {
+    def hx(i: Int) =
+      s"(ascii(substr(hh, $i, 1)) - CASE WHEN substr(hh, $i, 1) >= 'a' THEN 87 ELSE 48 END)"
+    s"(${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)})"
+  }
+
   private def bucketSql(v: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>
       s"CASE WHEN ${planeDotSql(v, Similarity.planeWeights(p, dims), dims)} >= 0 THEN '1' ELSE '0' END"
@@ -71,21 +93,14 @@ object ExtendedQueries {
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      Some {
-        val scores = TextAnalysis.LanguageMarkers.map { case (lang, ws) =>
-          s"len(list_filter(toks, t -> t IN (${sqlList(ws)}))) AS s_$lang"
-        }.mkString(",\n  ")
-        val best  = TextAnalysis.LanguageMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
-        val cases = TextAnalysis.LanguageMarkers.map { case (lang, _) =>
-          s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
-        }.mkString(" ")
+      Some(
         s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |s AS (SELECT doc_id,
-           |  $scores
+           |  $langScoresSql
            |FROM b)
-           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+           |SELECT doc_id, $langCaseSql AS lang_pred
            |FROM s ORDER BY doc_id""".stripMargin
-      }
+      )
     ),
 
     QueryDef(
