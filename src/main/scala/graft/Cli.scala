@@ -2,15 +2,17 @@ package graft
 
 import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
-import graft.io.Connections
+import graft.io.{Config, Connections}
 import graft.jobs._
 import graft.meta.{DefaultsStore, StatusTracker}
 import graft.meta.Status.Schedule
 
 /** CLI — reference `bin/etl` (O11: `list-jobs`, `list-connections`,
   * `run <job> [arg]`, `run-scheduled`, `list-schedule`; flags `-d/--debug`,
-  * `-F/--force`). Jobs and schedules come from [[CliEnv]] (the compile-time
-  * registry replacing the reference's bundle search path, SURVEY.md §7.4.6).
+  * `-F/--force`, `-c/--config <yaml>` loading connections + schedules like
+  * the reference's config.yml at `bin/etl:69`). Jobs come from [[CliEnv]]
+  * (the compile-time registry replacing the reference's bundle search path,
+  * SURVEY.md §7.4.6).
   */
 object Cli {
 
@@ -36,11 +38,24 @@ object Cli {
     })
   }
 
+  /** Args minus the value-carrying `-c <path>` pair: (config?, rest). */
+  private[graft] def extractConfigArg(args: Array[String]): (Option[String], Array[String]) = {
+    val i = args.indexWhere(a => a == "-c" || a == "--config")
+    if (i < 0 || i + 1 >= args.length) (None, args)
+    else (Some(args(i + 1)), args.patch(i, Nil, 2))
+  }
+
   def main(args: Array[String]): Unit = {
-    val flags = args.filter(_.startsWith("-")).toSet
-    val cmd   = args.filterNot(_.startsWith("-")).toList
+    val (configPath, rest) = extractConfigArg(args)
+    val flags = rest.filter(_.startsWith("-")).toSet
+    val cmd   = rest.filterNot(_.startsWith("-")).toList
     val debug = flags("-d") || flags("--debug")
     val force = flags("-F") || flags("--force")
+
+    configPath.foreach { p =>
+      val scheds = Config.loadAppConfig(p)
+      if (scheds.nonEmpty) CliEnv.schedules = scheds
+    }
 
     lazy val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -88,7 +103,7 @@ object Cli {
         println(s"initialized metadata store at $metaDir")
       case _ =>
         System.err.println(
-          "usage: graft.Cli [-d|--debug] [-F|--force] " +
+          "usage: graft.Cli [-d|--debug] [-F|--force] [-c|--config <yaml>] " +
           "(list-jobs | list-connections | list-schedule | run <job> [arg] | run-scheduled)")
         sys.exit(2)
     }

@@ -63,6 +63,35 @@ object Config {
   def loadConnectionSearchPath(paths: Seq[String]): Seq[String] =
     paths.filter(p => new java.io.File(p).exists()).flatMap(loadConnections)
 
+  /** Load a top-level app config — the reference's `config.yml`
+    * (`bin/etl:34-58,69`): connection file search path + schedules file.
+    * Relative paths resolve against the config file's directory. Returns
+    * the parsed schedules (empty when the key is absent); connections are
+    * registered into [[Connections]] as a side effect.
+    *
+    * The reference WROTE `repository_search_path` in its sample config but
+    * READ `connection_search_path` (`bin/etl:44` vs
+    * `repository_manager.rb:19-22` — a real key-mismatch bug, SURVEY.md
+    * §7.4.5). Resolved deliberately here: BOTH keys are accepted,
+    * `connection_search_path` first.
+    */
+  def loadAppConfig(path: String): Seq[Schedule] = {
+    val root = loadYaml(path)
+    val dir  = new java.io.File(path).getAbsoluteFile.getParent
+    def resolve(p: String): String =
+      if (new java.io.File(p).isAbsolute) p else s"$dir/$p"
+    val searchPath = Seq("connection_search_path", "repository_search_path")
+      .flatMap(root.get)
+      .flatMap {
+        case l: java.util.List[_] => l.asScala.toSeq.map(String.valueOf(_))
+        case v                    => Seq(String.valueOf(v))
+      }
+    loadConnectionSearchPath(searchPath.map(resolve))
+    root.get("schedules")
+      .map(v => loadSchedules(resolve(String.valueOf(v))))
+      .getOrElse(Nil)
+  }
+
   /** Load schedules from YAML:
     * {{{
     * - { job: daily_load, schedule: daily, run_order: 1 }

@@ -156,8 +156,7 @@ object Dedup {
     val sizes = words.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = pairs
       .join(words.select(col("id").as("id1"), col("tok")), Seq("id1"))
-      .join(words.select(col("id").as("id2"), col("tok").as("tok2")), Seq("id2"))
-      .filter(col("tok") === col("tok2"))
+      .join(words.select(col("id").as("id2"), col("tok")), Seq("id2", "tok"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
     pairs
       .join(common, Seq("id1", "id2"), "left")

@@ -160,8 +160,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Scale path for embedding near-dup pairs: hyperplane-LSH banded
+    * candidate generation + exact-cosine verification — the embedding
+    * analog of [[graft.ops.Dedup.simhashPairs]]. The `planes`-bit
+    * signature splits into `nBands` contiguous bands; a pair is a
+    * candidate iff it agrees on at least one full band (identical
+    * vectors share every band, so recall on true duplicates is 1).
+    *
+    * Cost model at 100 TB: band self-join on (band, band-bits) — bucket
+    * occupancy, never all-pairs; candidates are narrow (id1, id2) rows,
+    * and the fat vector columns re-attach through two equi-joins only
+    * for the surviving candidates. Verification is exact, so precision
+    * is 1; only recall is approximate (pairs differing in every band are
+    * missed — more planes per band = fewer random candidates, more
+    * bands = higher recall).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, planes: Int, nBands: Int,
+                      dims: Int): DataFrame = {
+    require(planes % nBands == 0, "planes must divide into equal bands")
+    val w = planes / nBands
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    val sigs = df.select(col(idCol).as("id"),
+      lshBucket(col(vecCol), planes, dims).as("sig"))
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), substring(col("sig"), b * w + 1, w).as("bh"))
+    }
+    val bands = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bands.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(bands.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1"), col("n").as("n1")), Seq("id1"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
-    * Exact and quadratic — sample or LSH-prefilter at scale.
+    * Exact and quadratic — the small-N verifier; [[lshNearDupPairs]] is
+    * the scale path.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

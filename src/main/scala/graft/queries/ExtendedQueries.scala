@@ -66,6 +66,17 @@ object ExtendedQueries {
       s"CASE WHEN ${planeDotSql(v, Similarity.planeWeights(p, dims), dims)} >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
+  /** DuckDB CASE mirroring Sampling.splitColumn over a `bucket` column —
+    * generated from the same cumulative thresholds the Spark plan uses.
+    */
+  private val splitCaseSql = {
+    val names = Sampling.DefaultSplits.map(_._1)
+    val cum = Sampling.DefaultSplits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(Sampling.threshold)
+    names.zip(cum).init.map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${names.last}' END")
+  }
+
   private val Dims = 64
 
   def all: Seq[QueryDef] = Seq(
@@ -236,6 +247,58 @@ object ExtendedQueries {
               |  SELECT id1, id2, round(${cosSql("v1", "v2", Dims)}, 6) AS cos
               |  FROM a CROSS JOIN b WHERE id1 < id2)
               |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // Scale path for embedding near-dups: hyperplane-LSH banded candidates
+    // + exact-cosine verify (never all-pairs); cosineNearDupPairs above
+    // stays as the small-N verifier. 24 planes / 6 bands of 4 bits —
+    // sized for the synthetic corpus, where "near" is cos ≥ 0.25 (the
+    // vectors are random; real near-dup corpora use tighter thresholds
+    // and wider bands).
+    QueryDef(
+      "dedup_embedding_lsh",
+      (s, dir) => Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.25, planes = 24, nBands = 6, dims = Dims)
+        .orderBy("id1", "id2"),
+      Some {
+        val (planes, nB, w) = (24, 6, 4)
+        val bands = (0 until nB).map(b =>
+          s"SELECT id, $b AS band, substr(sig, ${b * w + 1}, $w) AS bh FROM e"
+        ).mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+           |            ${bucketSql("embedding", planes, Dims)} AS sig
+           |          FROM embeddings WHERE vec_id % 5 = 0),
+           |bands AS ($bands),
+           |cands AS (SELECT DISTINCT a.id AS id1, c.id AS id2
+           |          FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.id < c.id),
+           |p AS (SELECT id1, id2, round(${cosSql("e1.v", "e2.v", Dims)}, 6) AS cos
+           |      FROM cands JOIN e e1 ON e1.id = id1 JOIN e e2 ON e2.id = id2)
+           |SELECT id1, id2, cos FROM p WHERE cos >= 0.25 ORDER BY id1, id2""".stripMargin
+      }
+    ),
+
+    // ─────────────── deterministic sampling / dataset splits ─────────────
+    QueryDef(
+      "sample_hash",
+      (s, dir) => Sampling.sampleByHash(Tables.documents(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+              |SELECT doc_id, $hashBucketSql AS bucket FROM b
+              |WHERE $hashBucketSql < ${Sampling.threshold(0.25)} ORDER BY doc_id""".stripMargin)
+    ),
+
+    QueryDef(
+      "split_assign",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"),
+          Sampling.splitColumn(col("doc_id"), Sampling.DefaultSplits).as("split"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+              |k AS (SELECT doc_id, $hashBucketSql AS bucket FROM b)
+              |SELECT doc_id, bucket, $splitCaseSql AS split FROM k ORDER BY doc_id""".stripMargin)
     ),
 
     // ─────────────────────── similarity search ───────────────────────────
@@ -561,6 +624,81 @@ object ExtendedQueries {
              |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Append-mode streaming with a watermark: the same tumbling aggregation
+    // as ev_tumbling_stream, but windows are EMITTED (and their state
+    // evicted) only once the watermark passes them — the bounded-state
+    // shape an unbounded stream needs. With the whole file as one batch,
+    // the final watermark is max(ts) - delay and AvailableNow's trailing
+    // no-data batch flushes every window whose end <= watermark; the
+    // oracle applies the same cutoff in SQL.
+    QueryDef(
+      "ev_append_stream",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_append")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val agg = graft.streaming.StreamOps.windowedCounts(
+          withTs, "ts", "1 hour", "10 minutes")
+        val name = s"ev_append_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(agg, name, outputMode = "append")
+        s.table(name).orderBy("window_start", "event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e)
+             |SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+             |FROM e GROUP BY 1, 2
+             |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+             |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ──────────────── monitoring view (O9, reference SQL) ────────────────
+    // v_etl_enabled_job_status (install/etl_tables.mysql.sql:56-64): status
+    // × enabled schedules, IFNULL(end, now) duration, newest first. Fixture
+    // is a literal — mirrored as VALUES rows in the oracle — because the
+    // reference defines this view over its own metadata tables, not data.
+    QueryDef(
+      "meta_status_view",
+      (s, _) => {
+        import s.implicits._
+        val statuses = Seq(
+          ("etl_daily", "ok", Some("finished"), "2026-03-01 01:00:00", Some("2026-03-01 01:05:30")),
+          ("etl_daily", "running", Some("load"), "2026-03-02 01:00:00", None),
+          ("etl_weekly", "failed", None, "2026-03-01 02:00:00", Some("2026-03-01 02:00:01")),
+          ("old_job", "ok", Some("x"), "2026-02-01 00:00:00", Some("2026-02-01 00:10:00")))
+          .toDF("jobName", "status", "phase", "st", "et")
+          .select(col("jobName"), col("status"), col("phase"),
+            to_timestamp(col("st")).as("startTime"), to_timestamp(col("et")).as("endTime"))
+        val schedules = Seq(
+          ("etl_daily", true, 1), ("etl_weekly", true, 2), ("old_job", false, 3))
+          .toDF("jobName", "isEnabled", "runOrder")
+        graft.meta.Status.monitoringView(statuses, schedules,
+          java.sql.Timestamp.valueOf("2026-03-02 02:00:00"))
+      },
+      Some("""WITH st(job_name, status, phase, start_time, end_time) AS (VALUES
+             |  ('etl_daily', 'ok', 'finished', TIMESTAMP '2026-03-01 01:00:00', TIMESTAMP '2026-03-01 01:05:30'),
+             |  ('etl_daily', 'running', 'load', TIMESTAMP '2026-03-02 01:00:00', NULL),
+             |  ('etl_weekly', 'failed', NULL, TIMESTAMP '2026-03-01 02:00:00', TIMESTAMP '2026-03-01 02:00:01'),
+             |  ('old_job', 'ok', 'x', TIMESTAMP '2026-02-01 00:00:00', TIMESTAMP '2026-02-01 00:10:00')),
+             |sch(job_name, is_enabled, run_order) AS (VALUES
+             |  ('etl_daily', true, 1), ('etl_weekly', true, 2), ('old_job', false, 3))
+             |SELECT st.job_name AS "jobName", status, phase,
+             |  start_time AS "startTime", end_time AS "endTime",
+             |  round((epoch_ms(coalesce(end_time, TIMESTAMP '2026-03-02 02:00:00'))
+             |         - epoch_ms(start_time)) / 1000.0, 3) AS duration_sec,
+             |  run_order AS "runOrder"
+             |FROM st JOIN sch ON st.job_name = sch.job_name AND sch.is_enabled
+             |ORDER BY "startTime" DESC""".stripMargin)
     ),
 
     // ─────────────────────── multimodal plumbing ─────────────────────────

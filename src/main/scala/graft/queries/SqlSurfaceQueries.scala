@@ -401,8 +401,9 @@ object SqlSurfaceQueries {
     ),
 
     // range (interval) join: orders matched into derived quarter intervals
-    // by containment — the dimension side is tiny and broadcast, so the
-    // range predicate evaluates without a cross product at scale.
+    // by containment. Bucketed (graft.ops.RangeJoin) so the plan is a
+    // BroadcastHashJoin on the bucket key with the range predicate as a
+    // residual — never a nested-loop sweep of points × intervals.
     QueryDef(
       "range_join_quarters",
       (s, dir) => {
@@ -410,8 +411,8 @@ object SqlSurfaceQueries {
         val quarters = o.select(date_trunc("quarter", col("o_orderdate")).as("q_start"))
           .distinct()
           .withColumn("q_end", expr("q_start + INTERVAL 3 MONTH"))
-        o.join(broadcast(quarters),
-            col("o_orderdate") >= col("q_start") && col("o_orderdate") < col("q_end"))
+        graft.ops.RangeJoin.intervalJoin(o, quarters, "o_orderdate",
+            "q_start", "q_end", bucketDays = 45)
           .groupBy("q_start")
           .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
           .orderBy("q_start")

@@ -38,6 +38,46 @@ class ConfigSpec extends SparkSpec {
     assert(Connections.get("c2").get.format == "csv")
   }
 
+  test("loadAppConfig: connections + schedules, relative paths, key alias (bin/etl:69)") {
+    Connections.clear()
+    val dir = java.nio.file.Files.createTempDirectory("appcfg")
+    java.nio.file.Files.writeString(dir.resolve("conns.yml"),
+      "appdb: { format: parquet, path: /app/data }\n")
+    java.nio.file.Files.writeString(dir.resolve("sched.yml"),
+      "- { job: daily_load, schedule: daily, run_order: 1 }\n")
+    java.nio.file.Files.writeString(dir.resolve("config.yml"),
+      """connection_search_path: [conns.yml]
+        |schedules: sched.yml
+        |""".stripMargin)
+    val scheds = Config.loadAppConfig(dir.resolve("config.yml").toString)
+    assert(Connections.get("appdb").get.basePath.contains("/app/data"))
+    assert(scheds.map(_.jobName) == Seq("daily_load"))
+
+    // the reference WROTE repository_search_path but READ
+    // connection_search_path (its config.yml bug, SURVEY §7.4.5) — we
+    // deliberately accept both spellings.
+    Connections.clear()
+    java.nio.file.Files.writeString(dir.resolve("config2.yml"),
+      "repository_search_path: [conns.yml]\n")
+    assert(Config.loadAppConfig(dir.resolve("config2.yml").toString).isEmpty)
+    assert(Connections.get("appdb").isDefined)
+  }
+
+  test("Cli -c <config> wires connections before command dispatch (O11)") {
+    Connections.clear()
+    val dir = java.nio.file.Files.createTempDirectory("clicfg")
+    java.nio.file.Files.writeString(dir.resolve("conns.yml"),
+      "clidb: { format: parquet, path: /cli/data }\n")
+    java.nio.file.Files.writeString(dir.resolve("config.yml"),
+      "connection_search_path: [conns.yml]\n")
+    graft.Cli.main(Array("-c", dir.resolve("config.yml").toString, "list-connections"))
+    assert(Connections.get("clidb").get.basePath.contains("/cli/data"))
+    // the value-carrying flag is stripped from the remaining args
+    val (c, rest) = graft.Cli.extractConfigArg(Array("-d", "--config", "/x.yml", "run", "j"))
+    assert(c.contains("/x.yml"))
+    assert(rest.toSeq == Seq("-d", "run", "j"))
+  }
+
   test("loadSchedules parses the reference schedule shape") {
     val p = write(
       """- { job: daily_load, schedule: daily, run_order: 1 }

@@ -186,6 +186,130 @@ class SimilaritySpec extends SparkSpec {
     assert(w1.forall(w => w == 1.0 || w == -1.0))
     assert(w1 != Similarity.planeWeights(4, 64))
   }
+
+  test("lshNearDupPairs ⊆ exact pairs, same cosines, full recall on twins") {
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      planes = 8, nBands = 4, dims = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical vectors share every band → always recalled
+    assert(lsh.contains((0L, 1L)) && lsh((0L, 1L)) == 1.0)
+    // verification is exact: no false positives, values match the verifier
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, c) => assert(exact(k) == c) }
+  }
+
+  test("lshNearDupPairs plan has no cartesian product (scale shape)") {
+    val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(0, 4000).toDF("id")
+
+  test("hashBucket in [0, 4096) and invariant under repartition") {
+    val b1 = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1.values.forall(b => b >= 0 && b < Sampling.Buckets))
+    val b2 = ids.repartition(13)
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2)
+  }
+
+  test("sampleByHash: nested membership, fraction within tolerance, 0/1 edges") {
+    val s25 = Sampling.sampleByHash(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.sampleByHash(ids, "id", 0.50).collect().map(_.getLong(0)).toSet
+    assert(s25.subsetOf(s50)) // bucket-range samples nest by construction
+    assert(math.abs(s25.size / 4000.0 - 0.25) < 0.05)
+    assert(math.abs(s50.size / 4000.0 - 0.50) < 0.05)
+    assert(Sampling.sampleByHash(ids, "id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(ids, "id", 1.0).count() == 4000)
+  }
+
+  test("splitColumn: total partition, fractions near weights, threshold-consistent") {
+    val out = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"),
+      Sampling.splitColumn(col("id"), Sampling.DefaultSplits).as("split")).collect()
+    val counts = out.groupBy(_.getString(2)).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(math.abs(counts("train") / 4000.0 - 0.90) < 0.03)
+    out.foreach { r =>
+      val b = r.getInt(1)
+      val expect =
+        if (b < Sampling.threshold(0.90)) "train"
+        else if (b < Sampling.threshold(0.95)) "valid"
+        else "test"
+      assert(r.getString(2) == expect)
+    }
+  }
+
+  test("splitColumn rejects weights not summing to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, "2026-01-01"), (2L, "2026-01-31"), (3L, "2026-02-15"),
+    (4L, "2026-03-01"), (5L, "2025-12-31"))
+    .toDF("id", "d").withColumn("d", col("d").cast("date"))
+
+  private def intervals = Seq(
+    ("q1", "2026-01-01", "2026-03-01"),   // spans several 10-day buckets
+    ("jan", "2026-01-01", "2026-02-01"),
+    ("empty", "2026-01-10", "2026-01-10")) // start == end matches nothing
+    .toDF("name", "s", "e")
+    .withColumn("s", col("s").cast("date")).withColumn("e", col("e").cast("date"))
+
+  test("bucketed interval join == naive range join (boundaries, multi-bucket, no dups)") {
+    val naive = points.join(intervals, col("d") >= col("s") && col("d") < col("e"))
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out = RangeJoin.intervalJoin(points, intervals, "d", "s", "e", bucketDays = 10)
+    val bucketed = out.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(bucketed.toSet == naive)
+    assert(bucketed.length == naive.size) // exploding buckets never duplicates a match
+    assert(bucketed.toSet.contains((1L, "q1")) && bucketed.toSet.contains((1L, "jan")))
+    assert(!bucketed.toSet.contains((4L, "q1"))) // end exclusive: 03-01 not in [01-01, 03-01)
+    assert(!bucketed.exists(_._2 == "empty"))
+  }
+
+  test("plan is a hash join on the bucket key, not a nested-loop sweep") {
+    val plan = RangeJoin.intervalJoin(points, intervals, "d", "s", "e", bucketDays = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+}
+
+class SketchSpec extends SparkSpec {
+
+  // HLL++ is deterministic for a fixed input, so the bound is a stable
+  // assertion, not a flaky statistical one: 3×rsd covers the estimator's
+  // guarantee with wide margin (agg_approx_distinct's correctness anchor —
+  // its oracle row is rows-only by design since HLL values differ per
+  // engine).
+  test("approx_count_distinct within 3×rsd of exact at low and high cardinality") {
+    val df = spark.range(200000)
+      .selectExpr("id % 5000 AS k", "id % 37 AS j", "id AS u")
+    val r = df.agg(
+      approx_count_distinct(col("k")).as("k5"),        // default rsd = 0.05
+      approx_count_distinct(col("j"), 0.02).as("j2"),
+      approx_count_distinct(col("u"), 0.05).as("u5")).head()
+    def relErr(est: Long, exact: Long) = math.abs(est - exact.toDouble) / exact
+    assert(relErr(r.getLong(0), 5000L) < 0.15)
+    assert(relErr(r.getLong(1), 37L) < 0.06)
+    assert(relErr(r.getLong(2), 200000L) < 0.15)
+  }
 }
 
 class EventsSpec extends SparkSpec {
@@ -269,6 +393,37 @@ class FetchSpec extends SparkSpec {
     assert(graft.io.Fetch.deriveFilename("file:///tmp/data.json") == "data.json")
   }
 
+  test("http fetch via loopback server: 200 body, 404, connection error") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", (ex: HttpExchange) => {
+      val body = "x,y\n1,2\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/missing.csv", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    // a port with nothing listening → connect refused → transport error 599
+    val deadPort = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    try {
+      val port = server.getAddress.getPort
+      val dst  = java.nio.file.Files.createTempDirectory("httpdst")
+      val urls = Seq(
+        s"http://127.0.0.1:$port/data.csv",
+        s"http://127.0.0.1:$port/missing.csv",
+        s"http://127.0.0.1:$deadPort/nope.csv")
+      val res = graft.io.Fetch.fetchAll(spark, urls, dst.toString, parallelism = 2)
+        .collect().map(r => r.url -> r.status_code).toMap
+      assert(res(urls(0)) == 200)
+      assert(java.nio.file.Files.readString(dst.resolve("data.csv")) == "x,y\n1,2\n")
+      assert(res(urls(1)) == 404)
+      assert(res(urls(2)) == 599)
+    } finally server.stop(0)
+  }
+
   test("executor-side fetch of file:// urls with per-url status") {
     val src = java.nio.file.Files.createTempDirectory("fetchsrc")
     val dst = java.nio.file.Files.createTempDirectory("fetchdst")
@@ -298,6 +453,25 @@ class ConnectionsSpec extends SparkSpec {
     assert(Connections.read(spark, "staging", "t1").count() == 4)
     Connections.dropTable(spark, "staging", "t1") // S8
     assert(!new java.io.File(s"$base/t1.parquet").exists())
+  }
+
+  test("jdbc roundtrip through embedded Derby (S3, repository_manager.rb:32-71)") {
+    // Derby ships with Spark (hive-metastore dependency) — a pure-JVM
+    // in-memory RDBMS, so the "jdbc" read/write branches run for real.
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby").toString)
+    Connections.clear()
+    Connections.add(Connections.ConnectionInfo("warehouse", "jdbc",
+      options = Map(
+        "url"    -> "jdbc:derby:memory:graftdb;create=true",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Connections.write(df, "warehouse", "t_jdbc", mode = "overwrite") // CTAS (S7)
+    assert(Connections.read(spark, "warehouse", "t_jdbc").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    Connections.write(df, "warehouse", "t_jdbc") // append (S6)
+    assert(Connections.read(spark, "warehouse", "t_jdbc").count() == 4)
   }
 
   test("first registration wins on search path (repository_manager.rb:47-66)") {

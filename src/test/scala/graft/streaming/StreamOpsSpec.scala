@@ -35,6 +35,51 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("2026-01-01 10:00:00.0", "view", 2L), ("2026-01-01 11:00:00.0", "click", 1L)))
   }
 
+  test("append mode across micro-batches: watermark drops late data, bounds emission") {
+    val dir = java.nio.file.Files.createTempDirectory("wm_src")
+    val now = System.currentTimeMillis()
+    def writeOne(name: String, mtime: Long,
+                 rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wm_tmp").toString
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+      assert(dir.resolve(name).toFile.setLastModified(mtime))
+    }
+    // batch 0 advances the watermark to 12:00 - 10min = 11:50
+    writeOne("b1.parquet", now - 180000, Seq(
+      (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
+      (2L, 1L, "view", 1.0, sqlTs("2026-01-01 10:05:00")),
+      (3L, 1L, "view", 1.0, sqlTs("2026-01-01 12:00:00"))))
+    // batch 1: the 11:50 watermark takes effect — the 10:00 window is
+    // finalized (2 events) and its state EVICTED at this batch's end.
+    // (Late-record filtering uses the PREVIOUS batch's watermark while
+    // eviction uses the current one — SPARK-40925 — so the drop is only
+    // observable one batch after the advance.)
+    writeOne("b2.parquet", now - 120000, Seq(
+      (4L, 1L, "view", 1.0, sqlTs("2026-01-01 12:30:00"))))
+    // batch 2: event 5 (10:20) is behind the late-record watermark
+    // (11:50) → dropped at input instead of resurrecting the evicted
+    // window as a duplicate append row.
+    writeOne("b3.parquet", now - 60000, Seq(
+      (5L, 1L, "view", 1.0, sqlTs("2026-01-01 10:20:00")),
+      (6L, 1L, "view", 1.0, sqlTs("2026-01-01 13:30:00"))))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val agg = StreamOps.windowedCounts(stream, "ts", "1 hour", "10 minutes")
+    StreamOps.runToMemory(agg, "wm_out") // append mode
+    val rows = spark.table("wm_out").orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    // 10:00 window: 2 events, late 10:20 dropped; 12:00 window: closed by
+    // the final 13:20 watermark with 2 events; 13:00 window never closes
+    // (end 14:00 > 13:20) so append mode holds it back.
+    assert(rows.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", 2L), ("2026-01-01 12:00:00.0", 2L)))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
