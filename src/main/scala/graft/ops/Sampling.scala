@@ -47,6 +47,23 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold(fraction))
   }
 
+  /** Stratified deterministic sampling: a different fraction per stratum
+    * value (e.g. downsample dominant languages, keep rare ones whole),
+    * `defaultFraction` for unlisted strata. Same md5-bucket membership as
+    * [[sampleByHash]] — rerun/repartition-invariant per id, and a plain
+    * codegen'd filter at any scale.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
+                             fractions: Seq[(String, Double)],
+                             defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.map(_._2) :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f"))
+    val thr = fractions.foldRight(lit(threshold(defaultFraction)): Column) {
+      case ((k, f), els) => when(col(strataCol) === k, lit(threshold(f))).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol)) < thr)
+  }
+
   /** Split assignment by cumulative bucket thresholds, e.g.
     * `Seq("train" -> 0.90, "valid" -> 0.05, "test" -> 0.05)` (weights must
     * sum to 1; the last split absorbs the rounding remainder).

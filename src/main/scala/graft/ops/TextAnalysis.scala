@@ -80,6 +80,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Polynomial ("rolling") hash parameters: h ← (h·B + v(tok)) mod M with
+    * v(tok) = the first 32 bits of md5(tok). M is prime and < 2^30, so the
+    * fold stays far inside Long range (h·31 + 2^32 < 2^36) on any engine.
+    */
+  val RollBase: Long = 31L
+  val RollMod: Long  = 1000000007L
+
+  private def tokVal(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  private def polyHash(toks: Column): Column =
+    aggregate(toks, lit(0L), (h, v) => (h * RollBase + tokVal(v)) % RollMod)
+
+  /** Order-sensitive integer document fingerprint via a polynomial hash of
+    * the token sequence — the Rabin–Karp fingerprint family. Unlike
+    * [[fingerprint]] (md5 string) it composes incrementally, which is what
+    * makes per-window fingerprints ([[ngramHashes]]) affordable.
+    */
+  def rollingFingerprint(text: Column): Column = polyHash(tokens(text))
+
+  /** Polynomial hash of every n-token window — shingle fingerprints
+    * without materializing concatenated shingle strings. Empty when the
+    * document has fewer than n tokens. Narrow per-row transform; pair with
+    * explode + groupBy for corpus-level shingle matching.
+    */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => polyHash(slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
     * deterministic across engines, so rounding canonicalizes identically).
     */

@@ -66,6 +66,24 @@ object ExtendedQueries {
       s"CASE WHEN ${planeDotSql(v, Similarity.planeWeights(p, dims), dims)} >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
+  /** Stratified-sampling fractions shared by the Spark plan and the
+    * generated oracle CASE.
+    */
+  private val StrataFractions = Seq("en" -> 0.1, "zh" -> 0.5)
+  private val StrataDefault   = 0.25
+  private val strataCaseSql =
+    StrataFractions.map { case (k, f) => s"WHEN lang = '$k' THEN ${Sampling.threshold(f)}" }
+      .mkString("CASE ", " ", s" ELSE ${Sampling.threshold(StrataDefault)} END")
+
+  /** DuckDB list_reduce mirror of TextAnalysis.polyHash over a token-list
+    * expression: fold (h·B + first-32-bits-of-md5(tok)) mod M left to
+    * right, seeded with 0.
+    */
+  private def polyHashSql(listExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($listExpr, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+       |    (h, v) -> (h * ${TextAnalysis.RollBase} + v) % ${TextAnalysis.RollMod})""".stripMargin
+
   /** DuckDB CASE mirroring Sampling.splitColumn over a `bucket` column —
     * generated from the same cumulative thresholds the Spark plan uses.
     */
@@ -121,6 +139,26 @@ object ExtendedQueries {
         .orderBy("doc_id"),
       Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents)
               |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+              |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Rabin–Karp-style rolling-hash fingerprints: whole-document polynomial
+    // hash + distinct 3-token-window hashes (shingle fingerprints without
+    // concatenated shingle strings).
+    QueryDef(
+      "text_rolling_fp",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"),
+          size(array_distinct(TextAnalysis.ngramHashes(col("text"), 3)))
+            .cast("long").as("n_distinct_3grams"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents)
+              |SELECT doc_id,
+              |  ${polyHashSql("toks")} AS roll_fp,
+              |  CAST(len(list_distinct(list_transform(
+              |    range(1, greatest(len(toks) - 2, 0) + 1),
+              |    i -> ${polyHashSql("toks[i:i+2]")}))) AS BIGINT) AS n_distinct_3grams
               |FROM b ORDER BY doc_id""".stripMargin)
     ),
 
@@ -299,6 +337,21 @@ object ExtendedQueries {
       Some(s"""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
               |k AS (SELECT doc_id, $hashBucketSql AS bucket FROM b)
               |SELECT doc_id, bucket, $splitCaseSql AS split FROM k ORDER BY doc_id""".stripMargin)
+    ),
+
+    // per-stratum fractions: downsample the dominant language, keep a rare
+    // one at a higher rate — the corpus-balancing daily-use op.
+    QueryDef(
+      "sample_stratified",
+      (s, dir) => Sampling.stratifiedSampleByHash(Tables.documents(s, dir),
+          "doc_id", "lang", StrataFractions, defaultFraction = StrataDefault)
+        .select(col("doc_id"), col("lang"), Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+              |k AS (SELECT doc_id, lang, $hashBucketSql AS bucket FROM b)
+              |SELECT doc_id, lang, bucket FROM k
+              |WHERE bucket < $strataCaseSql
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     // ─────────────────────── similarity search ───────────────────────────
@@ -660,6 +713,38 @@ object ExtendedQueries {
              |FROM e GROUP BY 1, 2
              |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
              |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Streaming exact dedup with bounded state: the stream reads the events
+    // file TWICE (two symlinks → every row duplicated) and
+    // dropDuplicatesWithinWatermark collapses it back to the original
+    // table, which the batch oracle reads once.
+    QueryDef(
+      "ev_dedup_stream",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_dedup")
+        Seq("a", "b").foreach { n =>
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(s"$n.parquet"),
+            java.nio.file.Paths.get(s"$dir/events.parquet"))
+        }
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val dedup = graft.streaming.StreamOps.dedupStream(
+          withTs, Seq("event_id"), "ts", "10 minutes")
+        val name = s"ev_dedup_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(dedup, name, outputMode = "append")
+        s.table(name)
+          .select("event_id", "user_id", "event_type", "value", "ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+             |FROM events ORDER BY event_id""".stripMargin)
     ),
 
     // ──────────────── monitoring view (O9, reference SQL) ────────────────

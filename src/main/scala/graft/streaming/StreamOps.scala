@@ -33,6 +33,18 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: the first row per key wins
+    * and later duplicates are dropped; per-key state is evicted once the
+    * watermark passes the key's event time plus the delay — the property
+    * that lets an unbounded ingest stream dedup with finite executor
+    * memory (duplicates in real pipelines arrive close together; the
+    * watermark bounds how far apart they may be).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: java.sql.Timestamp)
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)

@@ -253,6 +253,55 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("stratifiedSampleByHash: per-stratum fractions, default for the rest") {
+    val df = spark.range(0, 3000)
+      .selectExpr("id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'zh' ELSE 'fr' END AS lang")
+    val out = Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Seq("en" -> 0.1, "zh" -> 0.6), defaultFraction = 0.3)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") / 1000.0 - 0.1) < 0.05)
+    assert(math.abs(counts("zh") / 1000.0 - 0.6) < 0.05)
+    assert(math.abs(counts("fr") / 1000.0 - 0.3) < 0.05)
+    // same ids always selected: membership is a pure function of the id
+    val again = Sampling.stratifiedSampleByHash(df.repartition(11), "id", "lang",
+      Seq("en" -> 0.1, "zh" -> 0.6), defaultFraction = 0.3)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+}
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM-side mirror of the polynomial fold for expected values. */
+  private def tokVal(t: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 8), 16)
+  }
+  private def poly(toks: Seq[String]): Long =
+    toks.foldLeft(0L)((h, t) =>
+      (h * TextAnalysis.RollBase + tokVal(t)) % TextAnalysis.RollMod)
+
+  test("rollingFingerprint matches the reference fold; order-sensitive") {
+    val out = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "  Alpha  beta GAMMA "))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == poly(Seq("alpha", "beta", "gamma")))
+    assert(out(1L) != out(2L))       // order matters
+    assert(out(1L) == out(3L))       // case/whitespace normalization
+  }
+
+  test("ngramHashes: one hash per window, short docs empty") {
+    val rows = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.ngramHashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) == Seq(poly(Seq("a", "b", "c")), poly(Seq("b", "c", "d"))))
+    assert(rows(2L).isEmpty)
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {

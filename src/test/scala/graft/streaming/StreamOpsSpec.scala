@@ -80,6 +80,36 @@ class StreamOpsSpec extends SparkSpec {
       ("2026-01-01 10:00:00.0", 2L), ("2026-01-01 12:00:00.0", 2L)))
   }
 
+  test("dedupStream drops duplicate keys within the watermark across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("dd_src")
+    val now = System.currentTimeMillis()
+    def writeOne(name: String, mtime: Long,
+                 rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dd_tmp").toString
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+      assert(dir.resolve(name).toFile.setLastModified(mtime))
+    }
+    writeOne("b1.parquet", now - 120000, Seq(
+      (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
+      (2L, 1L, "view", 2.0, sqlTs("2026-01-01 10:01:00")),
+      (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00")))) // same-batch dup
+    writeOne("b2.parquet", now - 60000, Seq(
+      (2L, 1L, "view", 2.0, sqlTs("2026-01-01 10:01:00")),  // cross-batch dup
+      (3L, 1L, "view", 3.0, sqlTs("2026-01-01 10:02:00"))))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val dedup = StreamOps.dedupStream(stream, Seq("event_id"), "ts", "10 minutes")
+    StreamOps.runToMemory(dedup, "dd_out")
+    val ids = spark.table("dd_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
