@@ -316,6 +316,21 @@ object ExtendedQueries {
       }
     ),
 
+    // Bloom-prefiltered anti join: exactly the plain left_anti result
+    // (orders with no lineitems), but only bloom-positive probe rows reach
+    // the anti-join shuffle — the 100 TB CDC shape.
+    QueryDef(
+      "j1_anti_join_bloom",
+      (s, dir) => BloomJoin.bloomAntiJoin(
+        Tables.orders(s, dir), Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")),
+        "o_orderkey", expectedItems = 200000L, numBits = 2000000L)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // ─────────────── deterministic sampling / dataset splits ─────────────
     QueryDef(
       "sample_hash",
