@@ -201,6 +201,50 @@ object Similarity {
       .select("id1", "id2", "cos")
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i/maxAbs·127
+    * + 0.5) ∈ [-127, 127]. A float32 corpus shrinks 4× (the difference
+    * between an in-memory ANN index and a spilling one at 100 TB) and the
+    * scoring hot path becomes integer multiply-adds. `floor(x + 0.5)`
+    * instead of `round` so both engines use identical rounding (Spark
+    * rounds half-up via BigDecimal, DuckDB half-even).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, y => abs(y.cast("double"))))
+    transform(vec, x =>
+      when(mx === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / mx * 127.0 + 0.5))
+        .cast("int"))
+  }
+
+  /** Exact integer dot product of two quantized vectors — order-independent
+    * (integer addition is associative), so no fold-order parity concerns.
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k over int8-quantized vectors: integer dot products,
+    * cosine from integer norms. Ranking approximates the float ranking to
+    * quantization error; both engines compute the identical quantized
+    * ranking.
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), quantizeInt8(col(vecCol)).as(v))
+        .withColumn(n, sqrt(intDot(col(v), col(v)).cast("double")))
+    val q = prep(queries, "query_id", "qv", "qn")
+    val c = prep(candidates, "neighbor_id", "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(intDot(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
     * Exact and quadratic — the small-N verifier; [[lshNearDupPairs]] is
     * the scale path.

@@ -435,6 +435,41 @@ object ExtendedQueries {
               |ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // ANN over int8-quantized vectors: 4× smaller corpus, integer dot
+    // products (order-independent — no float-fold parity care needed),
+    // cosine from integer norms. floor(x+0.5) rounding on both engines.
+    QueryDef(
+      "ann_quantized_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.quantizedTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def qz(v: String) =
+          s"""list_transform(range(1, ${Dims + 1}),
+             |      i -> CAST(floor(CAST($v[i] AS DOUBLE) /
+             |             list_max(list_transform(range(1, ${Dims + 1}), j -> abs(CAST($v[j] AS DOUBLE))))
+             |             * 127.0 + 0.5) AS INTEGER))""".stripMargin
+        def idot(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+        s"""WITH z AS (SELECT vec_id, ${qz("embedding")} AS qv FROM embeddings),
+           |n AS (SELECT vec_id, qv, sqrt(CAST(${idot("qv", "qv")} AS DOUBLE)) AS nn FROM z),
+           |q AS (SELECT vec_id AS query_id, qv AS qqv, nn AS qn FROM n WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS neighbor_id, qv AS cv, nn AS cn FROM n),
+           |sc AS (SELECT query_id, neighbor_id,
+           |         round(CAST(${idot("qqv", "cv")} AS DOUBLE) / (qn * cn), 6) AS cos
+           |       FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           |        cos
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // The composed flagship: exact collapse → LSH candidates → Jaccard
     // verification → keep/drop decision, mirrored in SQL end-to-end.
     QueryDef(

@@ -200,6 +200,27 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (k, c) => assert(exact(k) == c) }
   }
 
+  test("quantizeInt8: max magnitude maps to ±127, zero vector to zeros") {
+    val out = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(64, -127, 32)) // floor(±x/1.0*127+0.5)
+    assert(out(2L) == Seq(0, 0, 0))
+  }
+
+  test("quantizedTopK ranks like exact topK on well-separated vectors") {
+    val exact = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val quant = Similarity.quantizedTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(quant == exact) // 8-bit error ≪ the separation between these vectors
+  }
+
   test("lshNearDupPairs plan has no cartesian product (scale shape)") {
     val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
