@@ -259,4 +259,79 @@ object Dedup {
     val bitsCols = (1 to bits).map(j => when(col(s"s$j") >= 0, lit("1")).otherwise(lit("0")))
     agged.select(col(idCol), concat(bitsCols: _*).as("simhash"))
   }
+
+  /** Connected components over an undirected pair graph ((id1, id2) rows,
+    * e.g. [[simhashPairs]]/[[lshCandidatePairs]] output) by hash-min label
+    * propagation: every node repeatedly adopts the minimum label in its
+    * closed neighborhood until fixpoint. Output: (id, component) where
+    * component = min node id of the connected component.
+    *
+    * This is the dedup endgame the pair ops feed: near-dup PAIRS overcount
+    * (a 5-copy cluster is 10 pairs); clustering them and keeping one
+    * representative per component is what actually shrinks a corpus.
+    *
+    * Scale: each round is one shuffle join (messages along edges) + one
+    * hash-aggregation (min per node) — no driver-side graph state; the loop
+    * runs O(component diameter) rounds, and near-dup graphs are dense
+    * star/clique-like clusters with tiny diameters (2–3 rounds typical).
+    * Labels are checkpointed every round — iterative plans grow
+    * exponentially otherwise (each round embeds the previous round's plan
+    * twice), so lineage MUST be truncated, not just cached. Local
+    * checkpoints suffice single-JVM; on a cluster set a reliable
+    * `sparkContext.setCheckpointDir` and swap in `.checkpoint()` if
+    * executor loss during the loop must be survivable. For adversarial
+    * long-chain graphs use alternating large/small-star (O(log n) rounds);
+    * not needed for dedup.
+    */
+  def connectedComponents(pairs: DataFrame, src: String = "id1",
+                          dst: String = "id2", maxIter: Int = 25): DataFrame = {
+    // Materialize the pair source ONCE — edges/nodes below reference it
+    // four times, and candidate generation upstream (banded joins) is far
+    // too expensive to recompute per branch.
+    val p = pairs.select(col(src).as("src"), col(dst).as("dst")).localCheckpoint()
+    val nodes = p.select(col("src")).union(p.select(col("dst").as("src"))).distinct()
+    // Self-loops make "min over closed neighborhood" a single join+agg —
+    // the loop body then has no Union, so every round's plan is one flat
+    // shuffle join over two checkpointed relations.
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("src").as("id"))
+      .withColumn("component", col("id")).localCheckpoint()
+    // Fixpoint detection: labels only ever decrease, so the label sum is
+    // strictly decreasing until convergence — one scan-only aggregate on
+    // the just-materialized round, no comparison join. Decimal sum cannot
+    // overflow (double-width accumulator).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == null // no pairs → no nodes
+    while (!converged && iter < maxIter) {
+      val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(min("component").as("component"))
+        .withColumnRenamed("dst", "id")
+        .localCheckpoint()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    p.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: every id gets the min id of its
+    * near-dup component (itself when unpaired); `kept` marks the one
+    * representative per cluster that survives dedup.
+    */
+  def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"))
+      .join(connectedComponents(pairs).withColumnRenamed("component", "cluster_id"),
+        Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("kept", col("id") === col("cluster_id"))
 }

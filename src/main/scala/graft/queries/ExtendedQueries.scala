@@ -84,6 +84,35 @@ object ExtendedQueries {
        |      list_transform($listExpr, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
        |    (h, v) -> (h * ${TextAnalysis.RollBase} + v) % ${TextAnalysis.RollMod})""".stripMargin
 
+  /** Shared simhash-pairs CTE chain (docs filtered by `pred` → banded
+    * candidate pairs with exact hamming in a final `pairs` CTE), reused by
+    * `dedup_simhash_pairs` and the `dedup_clusters` connected-components
+    * oracle so both derive from identical SQL.
+    */
+  private def simhashPairsCtes(pred: String): String = {
+    val sums = (1 to 16).map(j =>
+      s"sum(CASE WHEN substr(h, $j, 1) IN (${sqlList(Dedup.HighHexDigits)}) THEN 1 ELSE -1 END) AS s$j"
+    ).mkString(", ")
+    val bitsExpr = (1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT id, $b AS band, substr(simhash, ${b * 4 + 1}, 4) AS bh, simhash FROM sh"
+    ).mkString(" UNION ALL ")
+    val hamming = (1 to 16).map(j =>
+      s"CASE WHEN substr(sh1, $j, 1) <> substr(sh2, $j, 1) THEN 1 ELSE 0 END"
+    ).mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id AS id, md5(tok) AS h
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $pred) d,
+       |       UNNEST(d.toks) AS t(tok)),
+       |s AS (SELECT id, $sums FROM toks GROUP BY id),
+       |sh AS (SELECT id, $bitsExpr AS simhash FROM s),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS sh1, b.simhash AS sh2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+       |pairs AS (SELECT id1, id2, CAST($hamming AS BIGINT) AS hamming FROM cand)""".stripMargin
+  }
+
   /** DuckDB CASE mirroring Sampling.splitColumn over a `bucket` column —
     * generated from the same cumulative thresholds the Spark plan uses.
     */
@@ -198,31 +227,40 @@ object ExtendedQueries {
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
         "doc_id", "text", bits = 16, nBands = 4, maxHamming = 2)
         .orderBy("id1", "id2"),
-      Some {
-        val sums = (1 to 16).map(j =>
-          s"sum(CASE WHEN substr(h, $j, 1) IN (${sqlList(Dedup.HighHexDigits)}) THEN 1 ELSE -1 END) AS s$j"
-        ).mkString(", ")
-        val bitsExpr = (1 to 16).map(j => s"CASE WHEN s$j >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT id, $b AS band, substr(simhash, ${b * 4 + 1}, 4) AS bh, simhash FROM sh"
-        ).mkString(" UNION ALL ")
-        val hamming = (1 to 16).map(j =>
-          s"CASE WHEN substr(sh1, $j, 1) <> substr(sh2, $j, 1) THEN 1 ELSE 0 END"
-        ).mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id AS id, md5(tok) AS h
-           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 0) d,
-           |       UNNEST(d.toks) AS t(tok)),
-           |s AS (SELECT id, $sums FROM toks GROUP BY id),
-           |sh AS (SELECT id, $bitsExpr AS simhash FROM s),
-           |bands AS ($bands),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS sh1, b.simhash AS sh2
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
-           |SELECT id1, id2, hamming FROM (
-           |  SELECT id1, id2, CAST($hamming AS BIGINT) AS hamming FROM pairs)
-           |WHERE hamming <= 2 ORDER BY id1, id2""".stripMargin
-      }
+      Some(s"""WITH ${simhashPairsCtes("doc_id % 10 = 0")}
+              |SELECT id1, id2, hamming FROM pairs
+              |WHERE hamming <= 2 ORDER BY id1, id2""".stripMargin)
+    ),
+
+    // Pairs → clusters → keep-one: connected components over the simhash
+    // near-dup graph (Spark: hash-min label propagation; oracle: recursive
+    // transitive closure + min). The corpus-shrinking step the pair ops
+    // feed — every doc gets its cluster's min id, representatives are kept.
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          bits = 16, nBands = 4, maxHamming = 2)
+        Dedup.clusterAssign(docs, "doc_id", pairs)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairsCtes("doc_id % 10 = 0")},
+              |hp AS (SELECT id1, id2 FROM pairs WHERE hamming <= 2),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM hp
+              |          UNION SELECT id2, id1 FROM hp),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+              |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+              |SELECT d.doc_id,
+              |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+              |  d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS kept
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN cc ON cc.id = d.doc_id
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     QueryDef(

@@ -133,6 +133,32 @@ class DedupSpec extends SparkSpec {
     assert(s(1L) != s(4L))
     assert(s(1L).length == 16 && s(1L).forall(c => c == '0' || c == '1'))
   }
+
+  test("connectedComponents: min-label per component, transitive chains close") {
+    // 1-2-3 is a chain (no direct 1-3 pair), 10-11 separate, 7-8-9 a triangle.
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges past diameter and survives repartition") {
+    // Path graph 1-2-...-8: worst case for hash-min (diameter 7).
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2").repartition(5)
+    val cc = Dedup.connectedComponents(chain).collect()
+    assert(cc.length == 8 && cc.forall(_.getLong(1) == 1L))
+  }
+
+  test("clusterAssign: singletons self-clustered, one kept per cluster") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 3L)).toDF("id1", "id2")
+    val out = Dedup.clusterAssign(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((1L, true)), 2L -> ((2L, true)),
+      3L -> ((2L, false)), 4L -> ((4L, true))))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
