@@ -85,4 +85,40 @@ object Sampling {
 
   val DefaultSplits: Seq[(String, Double)] =
     Seq("train" -> 0.90, "valid" -> 0.05, "test" -> 0.05)
+
+  /** 16^13 = 2^52 — denominator for the 13-hex-digit md5 uniform; shared
+    * with the SQL oracle generator.
+    */
+  val UniformDenom: Double = 4503599627370496.0
+
+  /** Deterministic uniform in (0,1) from a stable id: the first 13 hex
+    * digits of md5 (52 bits, exact in a double), offset by 0.5 so u is
+    * never exactly 0 or 1.
+    */
+  def uniformFromId(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("double") + 0.5) /
+      UniformDenom
+
+  /** Weighted-sampling key ln(u)/w (Efraimidis–Spirakis via the log
+    * transform): taking the k LARGEST keys draws a weighted sample without
+    * replacement — selection probability proportional to weight, membership
+    * reproducible on any engine at any parallelism. Rounded to 9 dp so
+    * libm `log` ulp differences between engines cannot flip a rank; ties
+    * are broken by id downstream.
+    */
+  def weightedKey(id: Column, weight: Column): Column =
+    round(log(uniformFromId(id)) / weight.cast("double"), 9)
+
+  /** Top-k weighted sample: (id, w, skey) rows with the k largest keys.
+    * Global top-k is TakeOrdered — per-partition heads then a driver merge
+    * of k·partitions rows, never a full sort — so this scales to any
+    * corpus a scan scales to. Non-positive weights are excluded (a
+    * zero-weight row must never be drawn; ln(u)/0 would be -Inf anyway).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame =
+    df.withColumn("w", weight.cast("double"))
+      .filter(col("w") > 0)
+      .select(col(idCol), col("w"), weightedKey(col(idCol), col("w")).as("skey"))
+      .orderBy(desc("skey"), col(idCol))
+      .limit(k)
 }

@@ -407,6 +407,25 @@ object ExtendedQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis, ln(u)/w
+    // keys from the md5 uniform): longer documents proportionally more
+    // likely — the quality-weighted corpus-selection op. Both engines
+    // derive u from the same 13 md5 hex digits; keys rounded to 9 dp so
+    // libm log ulps can't flip ranks, doc_id breaks residual ties.
+    QueryDef(
+      "sample_weighted",
+      (s, dir) => Sampling.weightedSample(
+        Tables.documents(s, dir), "doc_id", col("n_chars"), k = 100)
+        .orderBy(desc("skey"), col("doc_id")),
+      Some(s"""WITH u AS (
+              |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+              |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+              |      / ${Sampling.UniformDenom} AS u
+              |  FROM documents WHERE n_chars > 0)
+              |SELECT doc_id, w, round(ln(u) / w, 9) AS skey FROM u
+              |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin)
+    ),
+
     // ─────────────────────── similarity search ───────────────────────────
     QueryDef(
       "ann_cosine_topk",
@@ -630,6 +649,18 @@ object ExtendedQueries {
       (s, dir) => Tables.lineitem(s, dir).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
+        count(lit(1)).as("n_rows")),
+      None
+    ),
+
+    // Quantile sketch (GK): rows-only like the HLL query — sketch values
+    // are engine-specific; the error-bound anchor is SketchSpec's
+    // rank-band test against exact percentiles.
+    QueryDef(
+      "agg_approx_percentile",
+      (s, dir) => Tables.lineitem(s, dir).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_qty"),
         count(lit(1)).as("n_rows")),
       None
     ),

@@ -317,6 +317,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).toSet ==
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("uniformFromId in (0,1); weightedKey monotone in weight for a fixed id") {
+    val u = ids.select(Sampling.uniformFromId(col("id")).as("u")).collect().map(_.getDouble(0))
+    assert(u.forall(x => x > 0.0 && x < 1.0))
+    // ln(u) < 0, so dividing by a LARGER weight moves the key toward 0 (up).
+    val k = ids.limit(50).select(
+      Sampling.weightedKey(col("id"), lit(1.0)).as("k1"),
+      Sampling.weightedKey(col("id"), lit(10.0)).as("k10")).collect()
+    assert(k.forall(r => r.getDouble(1) > r.getDouble(0)))
+  }
+
+  test("weightedSample: heavy weights dominate, membership repartition-invariant") {
+    val df = ids.withColumn("w", when(col("id") < 100, 1000.0).otherwise(1.0))
+    val top = Sampling.weightedSample(df, "id", col("w"), k = 50)
+    val heavy = top.filter(col("id") < 100).count()
+    assert(heavy >= 45) // 100 heavy ids at 1000× weight vs 3900 light ones
+    assert(top.count() == 50)
+    val again = Sampling.weightedSample(df.repartition(17), "id", col("w"), k = 50)
+    assert(top.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // zero/negative weights can never be drawn
+    val z = Sampling.weightedSample(
+      df.withColumn("w", when(col("id") === 0, 0.0).otherwise(col("w"))), "id", col("w"), 4000)
+    assert(!z.collect().map(_.getLong(0)).contains(0L))
+  }
 }
 
 class RollingHashSpec extends SparkSpec {
@@ -405,6 +430,23 @@ class SketchSpec extends SparkSpec {
     assert(relErr(r.getLong(0), 5000L) < 0.15)
     assert(relErr(r.getLong(1), 37L) < 0.06)
     assert(relErr(r.getLong(2), 200000L) < 0.15)
+  }
+
+  // GK sketch guarantee: rank error ≤ N/accuracy, so the estimate must sit
+  // inside the exact quantile band q ± 1/accuracy (deterministic for a
+  // fixed input — agg_approx_percentile's correctness anchor; its oracle
+  // row is rows-only since sketch values differ per engine).
+  test("percentile_approx within the rank-error band of exact quantiles") {
+    val n = 100000L
+    val df = spark.range(n).selectExpr(
+      "CAST(id AS DOUBLE) AS x",          // uniform: value(q) = q·n
+      "CAST(id AS DOUBLE) * id AS y")     // skewed: value(q) = (q·n)²
+    val r = df.agg(
+      percentile_approx(col("x"), lit(0.5), lit(1000)).as("px"),
+      percentile_approx(col("y"), lit(0.9), lit(1000)).as("py")).head()
+    // accuracy 1000 → rank error ≤ 100 of 100000 → quantile band ±0.001 (doubled for slack)
+    assert(r.getDouble(0) >= 0.498 * n && r.getDouble(0) <= 0.502 * n)
+    assert(r.getDouble(1) >= math.pow(0.898 * n, 2) && r.getDouble(1) <= math.pow(0.902 * n, 2))
   }
 }
 
