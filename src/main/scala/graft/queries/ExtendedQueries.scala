@@ -866,6 +866,33 @@ object ExtendedQueries {
              |FROM events ORDER BY event_id""".stripMargin)
     ),
 
+    // Stream-static enrichment: every micro-batch broadcast-joins the
+    // customer dimension — stateless, constant memory on an unbounded
+    // stream. The batch oracle is the same inner join.
+    QueryDef(
+      "ev_stream_enrich",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_enrich")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        val enriched = graft.streaming.StreamOps
+          .enrichStream(stream, dim, Seq("user_id" -> "c_custkey"))
+          .select("event_id", "user_id", "event_type", "c_nationkey", "c_mktsegment")
+        val name = s"ev_enrich_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(enriched, name, outputMode = "append")
+        s.table(name).orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey, c.c_mktsegment
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // ──────────────── monitoring view (O9, reference SQL) ────────────────
     // v_etl_enabled_job_status (install/etl_tables.mysql.sql:56-64): status
     // × enabled schedules, IFNULL(end, now) duration, newest first. Fixture

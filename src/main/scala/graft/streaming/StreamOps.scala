@@ -45,6 +45,17 @@ object StreamOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against the
+    * static dimension with the dim side broadcast — stateless (no watermark
+    * or join state), so an unbounded stream enriches with constant memory;
+    * the dim table is re-resolvable per batch, so a slowly-refreshed
+    * dimension is picked up without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[(String, String)]): DataFrame =
+    stream.join(broadcast(dim),
+      keys.map { case (a, b) => stream(a) === dim(b) }.reduce(_ && _))
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: java.sql.Timestamp)
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)

@@ -110,6 +110,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("enrichStream broadcast-joins each micro-batch against the static dim") {
+    val dir = java.nio.file.Files.createTempDirectory("en_src")
+    Seq((1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
+        (2L, 20L, "buy", 2.0, sqlTs("2026-01-01 10:01:00")),
+        (3L, 99L, "view", 3.0, sqlTs("2026-01-01 10:02:00"))) // no dim row: dropped
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val dim = Seq((10L, "DE"), (20L, "FR")).toDF("cust_id", "country")
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val out = StreamOps.enrichStream(stream, dim, Seq("user_id" -> "cust_id"))
+      .select("event_id", "country")
+    StreamOps.runToMemory(out, "en_out", outputMode = "append")
+    val rows = spark.table("en_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "DE", 2L -> "FR"))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
