@@ -376,6 +376,34 @@ class RollingHashSpec extends SparkSpec {
   }
 }
 
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketed tables sort-merge-join with NO exchange and no sort") {
+    val dir = java.nio.file.Files.createTempDirectory("bkt").toString
+    val orders = (1L to 1000L).map(k => (k, s"o$k")).toDF("k", "o")
+    val items  = (1L to 3000L).map(i => (i % 1000 + 1, i)).toDF("k", "item")
+    Bucketing.writeBucketed(orders, "bkt_orders", s"$dir/o", Seq("k"), 8)
+    Bucketing.writeBucketed(items, "bkt_items", s"$dir/i", Seq("k"), 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.bucketedJoin(spark, "bkt_orders", "bkt_items", Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 3000)
+      // and the result matches the plain (shuffling) join
+      assert(joined.agg(sum($"item")).head.getLong(0) ==
+        items.join(orders, "k").agg(sum($"item")).head.getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_items")
+    }
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
