@@ -136,9 +136,73 @@ object Similarity {
     * a bucket-join instead of a cross product.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int): DataFrame = {
-    val cents = candidates.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+              vecCol: String, k: Int, nCentroids: Int): DataFrame =
+    ivfTopKWith(queries, candidates, idCol, vecCol, k,
+      candidates.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
+
+  /** Lloyd's k-means for IVF centroid training — the drop-in replacement
+    * for [[ivfTopK]]'s deterministic sampler when centroid quality
+    * matters. Pure Spark dataflow per round: broadcast centroids →
+    * nearest-centroid assignment by cosine (the same shape as ivfTopK's
+    * probe) → per-dimension mean via posexplode + (cluster, dim) hash-agg
+    * (D× row blowup, collapsed map-side before the shuffle).
+    *
+    * Centroids are collected to the driver between rounds — k·D doubles,
+    * index metadata, bounded by construction (this is NOT a driver-side
+    * data loop); it also keeps each round's lineage flat. Deterministic:
+    * init = first k vectors by id, assignment ties break on centroid id,
+    * clusters that lose all members keep their previous centroid.
+    * Output: (cent_id, cent_v) with cent_v array<double>.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    var cents: Seq[(Int, Seq[Double])] = df.orderBy(col(idCol)).limit(k)
+      .select(dvec.as("v")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toIndexedSeq
+    for (_ <- 0 until iters) {
+      val scored = df.select(col(idCol).as("__rid"), dvec.as("v"))
+        .crossJoin(broadcast(centroidFrame(spark, cents)))
+        .withColumn("__cs", dot(col("v"), col("cent_v")) /
+          (norm(col("v")) * norm(col("cent_v"))))
+      val w = Window.partitionBy("__rid").orderBy(desc("__cs"), col("cent_id"))
+      val assigned = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("cent_id"), col("v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cent_id", "dim").agg(avg("x").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cent_v"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+    }
+    centroidFrame(spark, cents)
+  }
+
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.map { case (i, v) => org.apache.spark.sql.Row(i, v) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent_v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** [[ivfTopK]] with externally-supplied centroids (e.g. trained by
+    * [[kmeansCentroids]]): identical probe structure — broadcast-assign
+    * both sides, equi-join on the centroid id — only the quantizer
+    * changes.
+    */
+  def ivfTopKWith(queries: DataFrame, candidates: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("cent_v"))
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("__cs", round(dot(col(vec), col("cent_v")) /

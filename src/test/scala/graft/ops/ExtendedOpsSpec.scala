@@ -247,6 +247,30 @@ class SimilaritySpec extends SparkSpec {
     assert(quant == exact) // 8-bit error ≪ the separation between these vectors
   }
 
+  test("kmeansCentroids converges to blob means; trained IVF finds the twin") {
+    // Two tight blobs around x̂ and ŷ; init (first 2 by id) lands one seed
+    // in each, so two rounds of Lloyd pull centroids to the blob means.
+    val blobs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)), (1L, Array(0.05f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, -0.05f, 0.0f)), (3L, Array(-0.05f, 1.0f, 0.0f)),
+      (4L, Array(0.9f, 0.0f, 0.1f)), (5L, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(blobs, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cent_id").collect().map(_.getSeq[Double](1))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(cents(0), Seq(1.0, 0.0, 0.0)) > 0.99) // blob A mean ≈ x̂
+    assert(cos(cents(1), Seq(0.0, 1.0, 0.0)) > 0.99) // blob B mean ≈ ŷ
+    // the trained quantizer routes the identical twin into the same list
+    val top = Similarity.ivfTopKWith(
+      blobs.filter(col("vec_id") === 0), blobs, "vec_id", "embedding", k = 1,
+      Similarity.kmeansCentroids(blobs, "vec_id", "embedding", 2, 3))
+      .collect()
+    assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 2L) // nearest same-blob vector
+  }
+
   test("lshNearDupPairs plan has no cartesian product (scale shape)") {
     val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
