@@ -116,6 +116,35 @@ object TextAnalysis {
   /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
     * deterministic across engines, so rounding canonicalizes identically).
     */
+  /** Per-document TF-IDF top terms: tf = raw in-doc term count, idf =
+    * ln((N+1)/(df+1)) with add-one smoothing (never zero, never divides by
+    * zero), score rounded to 9 dp so libm `log` ulps can't flip a rank
+    * across engines (term text breaks residual ties).
+    *
+    * Scale: two hash-aggs over the exploded tokens — (doc, term) counts,
+    * then per-term doc frequencies off that already-collapsed frame — one
+    * broadcast of the single-row corpus count, and a per-doc rank window.
+    * Map-side partial aggs collapse the explosion before either shuffle;
+    * nothing is ever quadratic in corpus or vocabulary.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    val ndocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(ndocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df_t"),
+        col("rank"), col("score"))
+  }
+
   def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(

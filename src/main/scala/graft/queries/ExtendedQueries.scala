@@ -191,6 +191,34 @@ object ExtendedQueries {
               |FROM b ORDER BY doc_id""".stripMargin)
     ),
 
+    // TF-IDF top terms per document: the distinctive-vocabulary op (two
+    // hash-aggs over exploded tokens + a per-doc rank window). Smoothed
+    // idf = ln((N+1)/(df+1)); scores rounded to 9 dp, term breaks ties.
+    QueryDef(
+      "text_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id AS id, tok
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 5 = 0) d,
+              |       UNNEST(d.toks) AS t(tok)),
+              |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+              |dfq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+              |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id % 5 = 0),
+              |sc AS (SELECT id, tok, tf, df_t,
+              |         round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df_t + 1)), 9) AS score
+              |       FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
+              |r AS (SELECT id, tok, tf, df_t,
+              |        CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, tok) AS INTEGER) AS rank,
+              |        score
+              |      FROM sc)
+              |SELECT id AS doc_id, tok, tf, df_t, rank, score FROM r WHERE rank <= 3
+              |ORDER BY doc_id, rank""".stripMargin)
+    ),
+
     // ───────────────────────── dedup family ──────────────────────────────
     QueryDef(
       "dedup_exact",

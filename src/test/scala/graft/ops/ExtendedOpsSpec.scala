@@ -34,6 +34,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.fingerprint(col("text"))).collect()
     assert(df(0).getString(0) == df(1).getString(0))
   }
+
+  test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
+    val df = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(5)))).toMap
+    // idf("common") = ln(4/4) = 0; idf(unique) = ln(4/2) = ln 2
+    assert(out((1L, 1))._1 == "alpha")
+    assert(out((1L, 1))._2 == 2L) // tf counts repeats
+    assert(out((1L, 1))._3 == math.rint(2 * math.log(2.0) * 1e9) / 1e9)
+    assert(out((2L, 1))._1 == "beta")
+    assert(out((2L, 2))._1 == "common" && out((2L, 2))._3 == 0.0)
+  }
 }
 
 class DedupSpec extends SparkSpec {
