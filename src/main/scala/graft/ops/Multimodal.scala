@@ -44,6 +44,34 @@ object Multimodal {
       md5(col(bytesCol)).as("content_md5"),
       lower(hex(expr(s"substring($bytesCol, 1, 8)"))).as("head_hex"))
 
+  /** Frame sampling: treat the payload as fixed-size `frameBytes` frames (a
+    * stand-in for the frame boundaries a real demuxer would emit) and keep
+    * every `stride`-th frame — one output row per sampled frame. Pure
+    * Column ops (binary substr + sequence/explode), so the payload never
+    * crosses a UDF boundary and sampling stays inside codegen; a 100 TB
+    * video corpus pays one scan and emits only the kept frames.
+    */
+  def frameSample(df: DataFrame, idCol: String, bytesCol: String,
+                  frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nFrames = ceil(length(col(bytesCol)).cast("double") / frameBytes).cast("int")
+    df.filter(length(col(bytesCol)) > 0)
+      .select(col(idCol), col(bytesCol),
+        explode(filter(sequence(lit(0), nFrames - 1),
+          i => i % stride === 0)).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        col(bytesCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
+  /** Byte-level payload resize (truncate to `maxBytes`): the stub analog of
+    * an image downscale — a real pipeline would decode, scale, re-encode;
+    * the distribution-relevant property (payload shrinks in place behind
+    * the scan, no UDF, no shuffle) is identical.
+    */
+  def resizeBinary(bytes: org.apache.spark.sql.Column, maxBytes: Int): org.apache.spark.sql.Column =
+    bytes.substr(lit(1), lit(maxBytes))
+
   /** STUB decoder: a real pipeline would decode image/audio here (JPEG →
     * pixels, PCM frames, …). No codec libraries exist in this container, so
     * this produces a deterministic fake embedding from a rolling byte hash —

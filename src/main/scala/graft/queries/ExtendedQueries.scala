@@ -971,6 +971,33 @@ object ExtendedQueries {
              |  md5(text) AS content_md5,
              |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Frame sampling over binary payloads: every 4th 64-byte frame, one
+    // row per kept frame. Spark slices real binary behind the scan;
+    // DuckDB 1.0 can't slice blobs, so the oracle slices the hex string
+    // (2 chars/byte) — same bytes, same rows.
+    QueryDef(
+      "mm_frame_sample",
+      (s, dir) => Multimodal.frameSample(
+        Multimodal.attachBinary(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0), "text"),
+        "doc_id", "content", frameBytes = 64, stride = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_frame_bytes"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id % 20 = 0 AND octet_length(encode(text)) > 0),
+             |f AS (
+             |  SELECT doc_id, hx, UNNEST(range(0, CAST(ceil(n / 64.0) AS INT))) AS frame_idx
+             |  FROM b)
+             |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             |  CAST(length(substring(hx, frame_idx * 128 + 1, 128)) / 2 AS BIGINT) AS n_frame_bytes,
+             |  substring(hx, frame_idx * 128 + 1, 128) AS frame_hex
+             |FROM f WHERE frame_idx % 4 = 0
+             |ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

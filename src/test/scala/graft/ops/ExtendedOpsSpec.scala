@@ -590,6 +590,24 @@ class MultimodalSpec extends SparkSpec {
     // determinism of the stub
     assert(Multimodal.decodeStub("abc".getBytes).toSeq == Multimodal.decodeStub("abc".getBytes).toSeq)
   }
+
+  test("frameSample: fixed-size frames, stride, ragged tail, empty payload") {
+    val payload = "x" * 300 // 300 bytes → frames of 64: 0..4, tail = 44 bytes
+    val df = Seq((1L, payload), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(
+      Multimodal.attachBinary(df, "text"), "doc_id", "content",
+      frameBytes = 64, stride = 4)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 0) -> 64, (1L, 4) -> 44)) // doc 2 (empty) dropped
+  }
+
+  test("resizeBinary truncates to maxBytes and keeps short payloads whole") {
+    val out = Seq(("abcdefgh"), ("ab")).toDF("text")
+      .select(Multimodal.resizeBinary(encode(col("text"), "UTF-8"), 4).as("b"))
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+    assert(out.toSeq == Seq("abcd", "ab"))
+  }
 }
 
 class FetchSpec extends SparkSpec {
