@@ -437,6 +437,25 @@ object SqlSurfaceQueries {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // salted replicated join == plain inner join (the hot-key join rewrite:
+    // the fact side is salted, the dim side replicated saltN×, so one hot
+    // nation key spreads over saltN reducers without changing the answer)
+    QueryDef(
+      "skew_salted_join",
+      (s, dir) => Skew.saltedJoin(
+        Tables.customer(s, dir),
+        Tables.nation(s, dir).select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        Seq("c_nationkey"), saltN = 8, saltBy = Seq("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |  round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
     )
   )
 }
