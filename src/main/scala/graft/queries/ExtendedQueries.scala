@@ -894,6 +894,51 @@ object ExtendedQueries {
              |FROM events ORDER BY event_id""".stripMargin)
     ),
 
+    // Streaming sessionization parity: the flatMapGroupsWithState op emits
+    // a running update per event; folding the stream's appends with
+    // max(n_events) per (user, session) must reproduce the BATCH window
+    // sessionization exactly — same gap rule, same (ts, event_id) order,
+    // same session numbering.
+    QueryDef(
+      "ev_sessionize_stream",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_sess")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val sessions = graft.streaming.StreamOps.sessionizeStream(
+          withTs.select("event_id", "user_id", "event_type", "value", "ts")
+            .as[graft.streaming.StreamOps.Event], gapMinutes = 30)
+        val name = s"ev_sess_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(sessions.toDF(), name, outputMode = "append")
+        s.table(name)
+          .groupBy("user_id", "session_id")
+          .agg(max("n_events").as("n_events"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM $evSql WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Stream-static enrichment: every micro-batch broadcast-joins the
     // customer dimension — stateless, constant memory on an unbounded
     // stream. The batch oracle is the same inner join.

@@ -64,15 +64,16 @@ object StreamOps {
   /** Stateful gap sessionization with `flatMapGroupsWithState` — the
     * custom-state shape (`KeyValueGroupedDataset`) the built-in windowing
     * can't express. Emits a session row per update; state carries
-    * (session counter, last event time). ProcessingTimeTimeout keeps the
-    * example runnable under `Trigger.AvailableNow` in tests.
+    * (session counter, last event time). NoTimeout: we never arm timers,
+    * and an armed ProcessingTimeTimeout keeps the engine scheduling
+    * timeout batches under `Trigger.AvailableNow` (the run never drains).
     */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
