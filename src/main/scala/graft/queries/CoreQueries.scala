@@ -355,6 +355,65 @@ object CoreQueries {
              |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin)
     ),
 
+    // ── TPC-H q10 shape: returned-item revenue per customer ────────────────
+    QueryDef(
+      "q10_returned_items",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1996-10-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val c  = Tables.customer(s, dir)
+        val n  = Tables.nation(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+          .select("c_custkey", "c_name", "revenue", "n_name")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, n_name
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // ── TPC-H q18 shape: large-volume orders (agg-filtered semi join) ──────
+    QueryDef(
+      "q18_large_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        big.join(o, big("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_orderdate,
+             |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |      FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 250) big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+    ),
+
     // ── window functions: top-3 orders per customer ────────────────────────
     QueryDef(
       "w1_window_rank",

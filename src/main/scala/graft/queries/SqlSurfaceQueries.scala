@@ -400,6 +400,31 @@ object SqlSurfaceQueries {
              |ORDER BY c_nationkey, c_custkey""".stripMargin)
     ),
 
+    // time-RANGE window frame: trailing-30-day per-customer spend. Ordered
+    // on epoch seconds so both engines use a numeric RANGE frame; the sum
+    // runs in exact decimal (sliding-frame double add/remove orders differ
+    // per engine — NOTES.md money-sum rule).
+    QueryDef(
+      "w4_window_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-2592000L, 0L) // 30 days in seconds
+        Tables.orders(s, dir)
+          .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("spend_30d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // range (interval) join: orders matched into derived quarter intervals
     // by containment. Bucketed (graft.ops.RangeJoin) so the plan is a
     // BroadcastHashJoin on the bucket key with the range predicate as a
