@@ -224,6 +224,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Build a persisted IVF index: assign every candidate to its nearest
+    * centroid and write parquet PARTITIONED BY the list id. Probing then
+    * touches only the probed lists' directories (partition pruning at the
+    * scan — see [[probeIvfIndex]]), which is what separates "ANN over a
+    * table" from "ANN over an index" at 100 TB: the build cost is paid
+    * once, and each query reads corpus/nCentroids bytes, not the corpus.
+    */
+  def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, path: String): Unit = {
+    val cents = centroids.select(col("cent_id"), col("cent_v"))
+    val scored = candidates
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
+        (norm(col("v")) * norm(col("cent_v"))), 6))
+    val w = Window.partitionBy("vec_id").orderBy(desc("__cs"), col("cent_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Probe a persisted IVF index for one query vector's top-k: assign the
+    * query to its list, then scan ONLY that list's partition (the cent_id
+    * filter prunes at the directory level — assert `PartitionFilters` in
+    * the plan, no full-index scan).
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryId: Long, queryVec: Seq[Float],
+                    centroids: DataFrame, k: Int): DataFrame = {
+    val qv = typedLit(queryVec)
+    val qCent = centroids
+      .withColumn("__cs", round(dot(qv, col("cent_v")) /
+        (norm(qv) * norm(col("cent_v"))), 6))
+      .orderBy(desc("__cs"), col("cent_id"))
+      .select("cent_id").limit(1)
+      .head().getInt(0)
+    spark.read.parquet(path)
+      .filter(col("cent_id") === qCent && col("vec_id") =!= queryId)
+      .withColumn("cos", round(dot(qv, col("v")) / (norm(qv) * norm(col("v"))), 6))
+      .withColumn("query_id", lit(queryId))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Scale path for embedding near-dup pairs: hyperplane-LSH banded
     * candidate generation + exact-cosine verification — the embedding
     * analog of [[graft.ops.Dedup.simhashPairs]]. The `planes`-bit

@@ -287,6 +287,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 2L) // nearest same-blob vector
   }
 
+  test("persisted IVF index: probe prunes to one partition, matches in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cents, dir)
+    val probe = Similarity.probeIvfIndex(spark, dir, queryId = 0L,
+      queryVec = Seq(1.0f, 0.0f, 0.0f), centroids = cents, k = 2)
+    // partition pruning reaches the scan: cent_id is a partition filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"expected cent_id partition pruning:\n$plan")
+    // the probed list contains the identical twin as nearest
+    val rows = probe.collect()
+    assert(rows.head.getAs[Long]("neighbor_id") == 1L &&
+      rows.head.getAs[Double]("cos") == 1.0)
+    // and results agree with the in-memory IVF probe for the same quantizer
+    val mem = Similarity.ivfTopKWith(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 2, cents)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == mem)
+  }
+
   test("lshNearDupPairs plan has no cartesian product (scale shape)") {
     val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
