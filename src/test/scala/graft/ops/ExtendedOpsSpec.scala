@@ -463,6 +463,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_items")
     }
   }
+
+  test("mismatched bucket counts coalesce (8 vs 4) instead of shuffling") {
+    val dir = java.nio.file.Files.createTempDirectory("bkt2").toString
+    val a = (1L to 800L).map(k => (k, k * 2)).toDF("k", "va")
+    val b = (1L to 800L).map(k => (k, k * 3)).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a8", s"$dir/a", Seq("k"), 8)
+    Bucketing.writeBucketed(b, "bkt_b4", s"$dir/b", Seq("k"), 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      val joined = Bucketing.bucketedJoin(spark, "bkt_a8", "bkt_b4", Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"8-bucket side must coalesce to 4, not shuffle:\n$plan")
+      assert(joined.count() == 800)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_a8")
+      spark.sql("DROP TABLE IF EXISTS bkt_b4")
+    }
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
