@@ -224,6 +224,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** The composed scale path: LSH bucketing (on the float vectors) to cut
+    * candidates, int8 quantization to score them — "quantize the bucketed
+    * candidates, not the other way around" (bucketing on quantized vectors
+    * would move bucket boundaries; quantizing bucketed candidates only
+    * perturbs ranks within a bucket).
+    */
+  def lshQuantizedTopK(queries: DataFrame, candidates: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       planes: Int, dims: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id),
+        lshBucket(col(vecCol), planes, dims).as("bucket"),
+        quantizeInt8(col(vecCol)).as(v))
+        .withColumn(n, sqrt(intDot(col(v), col(v)).cast("double")))
+    val q = prep(queries, "query_id", "qv", "qn")
+    val c = prep(candidates, "neighbor_id", "cv", "cn")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(intDot(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Build a persisted IVF index: assign every candidate to its nearest
     * centroid and write parquet PARTITIONED BY the list id. Probing then
     * touches only the probed lists' directories (partition pruning at the

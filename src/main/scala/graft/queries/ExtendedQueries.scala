@@ -61,6 +61,19 @@ object ExtendedQueries {
     s"(${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)})"
   }
 
+  /** DuckDB mirror of Similarity.quantizeInt8: symmetric per-vector int8
+    * with floor(x+0.5) rounding (identical on both engines).
+    */
+  private def qzSql(v: String) =
+    s"""list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(floor(CAST($v[i] AS DOUBLE) /
+       |             list_max(list_transform(range(1, ${Dims + 1}), j -> abs(CAST($v[j] AS DOUBLE))))
+       |             * 127.0 + 0.5) AS INTEGER))""".stripMargin
+
+  /** DuckDB mirror of Similarity.intDot (exact integer dot product). */
+  private def idotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+
   private def bucketSql(v: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>
       s"CASE WHEN ${planeDotSql(v, Similarity.planeWeights(p, dims), dims)} >= 0 THEN '1' ELSE '0' END"
@@ -531,28 +544,49 @@ object ExtendedQueries {
           e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
           .orderBy("query_id", "rank")
       },
-      Some {
-        def qz(v: String) =
-          s"""list_transform(range(1, ${Dims + 1}),
-             |      i -> CAST(floor(CAST($v[i] AS DOUBLE) /
-             |             list_max(list_transform(range(1, ${Dims + 1}), j -> abs(CAST($v[j] AS DOUBLE))))
-             |             * 127.0 + 0.5) AS INTEGER))""".stripMargin
-        def idot(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
-        s"""WITH z AS (SELECT vec_id, ${qz("embedding")} AS qv FROM embeddings),
-           |n AS (SELECT vec_id, qv, sqrt(CAST(${idot("qv", "qv")} AS DOUBLE)) AS nn FROM z),
+      Some(
+        s"""WITH z AS (SELECT vec_id, ${qzSql("embedding")} AS qv FROM embeddings),
+           |n AS (SELECT vec_id, qv, sqrt(CAST(${idotSql("qv", "qv")} AS DOUBLE)) AS nn FROM z),
            |q AS (SELECT vec_id AS query_id, qv AS qqv, nn AS qn FROM n WHERE vec_id < 8),
            |c AS (SELECT vec_id AS neighbor_id, qv AS cv, nn AS cn FROM n),
            |sc AS (SELECT query_id, neighbor_id,
-           |         round(CAST(${idot("qqv", "cv")} AS DOUBLE) / (qn * cn), 6) AS cos
+           |         round(CAST(${idotSql("qqv", "cv")} AS DOUBLE) / (qn * cn), 6) AS cos
            |       FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
            |r AS (SELECT query_id, neighbor_id,
            |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
            |        cos
            |      FROM sc)
            |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin
-      }
+           |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // The composed scale path: LSH buckets (on float vectors) cut the
+    // candidates, int8 quantization scores them — bucket join instead of
+    // cross product AND a 4× smaller scoring payload.
+    QueryDef(
+      "ann_lsh_quantized_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshQuantizedTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, planes = 8, dims = Dims)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, ${bucketSql("embedding", 8, Dims)} AS bucket,
+           |            ${qzSql("embedding")} AS qv FROM embeddings),
+           |n AS (SELECT vec_id, bucket, qv, sqrt(CAST(${idotSql("qv", "qv")} AS DOUBLE)) AS nn FROM e),
+           |q AS (SELECT vec_id AS query_id, bucket, qv AS qqv, nn AS qn FROM n WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS neighbor_id, bucket, qv AS cv, nn AS cn FROM n),
+           |sc AS (SELECT query_id, neighbor_id,
+           |         round(CAST(${idotSql("qqv", "cv")} AS DOUBLE) / (qn * cn), 6) AS cos
+           |       FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           |        cos
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)
     ),
 
     // The composed flagship: exact collapse → LSH candidates → Jaccard
