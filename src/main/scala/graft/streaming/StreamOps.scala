@@ -88,6 +88,25 @@ object StreamOps {
       }
   }
 
+  /** Continuous keyed upsert into a parquet dataset via `foreachBatch` —
+    * the reference's cron-batch upsert cycle (`loading.rb` UPDATE…JOIN +
+    * INSERT) running as a stream: each micro-batch merges by key
+    * (last-writer-wins on `orderCol`), the sink directory swaps
+    * atomically. On a transactional table format the swap becomes a real
+    * MERGE; the operator shape is unchanged.
+    */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 orderCol: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Maintenance.upsertBatch(batch, path, keys, orderCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the test/driver harness shape
     * (`Trigger.AvailableNow` ≈ the reference's cron-batch cycle O12).

@@ -128,6 +128,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> "DE", 2L -> "FR"))
   }
 
+  test("upsertSink merges micro-batches by key; compaction preserves data") {
+    val src  = java.nio.file.Files.createTempDirectory("up_src")
+    val sink = java.nio.file.Files.createTempDirectory("up_sink").toString + "/ds"
+    val ckpt = java.nio.file.Files.createTempDirectory("up_ckpt").toString
+    val now = System.currentTimeMillis()
+    def writeOne(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("up_tmp").toString
+      rows.toDF("k", "v", "seq").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+      assert(src.resolve(name).toFile.setLastModified(mtime))
+    }
+    writeOne("b1.parquet", now - 120000,
+      Seq((1L, "one", 1L), (2L, "two", 1L), (2L, "two-later", 2L))) // in-batch dup: seq wins
+    writeOne("b2.parquet", now - 60000,
+      Seq((2L, "two-v2", 3L), (3L, "three", 1L)))                   // cross-batch update
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    StreamOps.upsertSink(stream, sink, Seq("k"), orderCol = "seq", checkpointDir = ckpt)
+    def state = spark.read.parquet(sink).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "one", 2L -> "two-v2", 3L -> "three"))
+    // compaction rewrites to one file without changing the data
+    graft.ops.Maintenance.compact(spark, sink, numFiles = 1)
+    assert(state == Map(1L -> "one", 2L -> "two-v2", 3L -> "three"))
+    assert(new java.io.File(sink).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
