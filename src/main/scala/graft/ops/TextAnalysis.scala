@@ -116,6 +116,24 @@ object TextAnalysis {
   /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
     * deterministic across engines, so rounding canonicalizes identically).
     */
+  /** Redaction patterns shared verbatim with the SQL oracle generator —
+    * written in the regex subset Java (Spark) and RE2 (DuckDB) interpret
+    * identically: character classes, bounded/unbounded repetition,
+    * alternation; no backreferences or lookaround (RE2 has neither).
+    */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    """[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
+    """https?://[^\s]+"""                                  -> "<URL>",
+    """[0-9][0-9 \-]{6,}[0-9]"""                           -> "<NUM>")
+
+  /** Scrub identifier-like spans (emails, URLs, long digit runs) before a
+    * corpus is trained on — applied in rule order so earlier placeholders
+    * are not re-matched by later rules. A narrow codegen'd projection:
+    * chained `regexp_replace`, no shuffle, linear scan cost.
+    */
+  def redact(text: Column, rules: Seq[(String, String)] = RedactionRules): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
   /** Per-document TF-IDF top terms: tf = raw in-doc term count, idf =
     * ln((N+1)/(df+1)) with add-one smoothing (never zero, never divides by
     * zero), score rounded to 9 dp so libm `log` ulps can't flip a rank

@@ -204,6 +204,30 @@ object ExtendedQueries {
               |FROM b ORDER BY doc_id""".stripMargin)
     ),
 
+    // Redaction: scrub emails/URLs/long digit runs before training. The
+    // patterns are one shared constant rendered into both plans — written
+    // in the Java∩RE2 regex subset so both engines match identical spans.
+    QueryDef(
+      "text_redact",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.redact(col("text")).as("clean_text"),
+          (length(col("text")) - length(TextAnalysis.redact(col("text"))))
+            .cast("long").as("chars_removed"))
+        .orderBy("doc_id"),
+      Some {
+        // DuckDB single-quoted literals keep backslashes verbatim — only
+        // quotes need escaping for the pattern to reach RE2 unchanged.
+        val applied = TextAnalysis.RedactionRules.foldLeft("text") {
+          case (expr, (pat, repl)) =>
+            s"regexp_replace($expr, '${pat.replace("'", "''")}', '$repl', 'g')"
+        }
+        s"""SELECT doc_id, $applied AS clean_text,
+           |  CAST(length(text) - length($applied) AS BIGINT) AS chars_removed
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // TF-IDF top terms per document: the distinctive-vocabulary op (two
     // hash-aggs over exploded tokens + a per-doc rank window). Smoothed
     // idf = ln((N+1)/(df+1)); scores rounded to 9 dp, term breaks ties.

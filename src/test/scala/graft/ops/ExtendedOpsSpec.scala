@@ -35,6 +35,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df(0).getString(0) == df(1).getString(0))
   }
 
+  test("redact scrubs emails, urls, and long digit runs; leaves prose alone") {
+    val out = Seq(
+      "mail me at jo.doe+x@site-a.co.uk today",
+      "see https://ex.com/a?b=1 and http://y.io",
+      "card 4111 1111-1111 1111 ok",
+      "plain text with 12345 short digits").toDF("text")
+      .select(TextAnalysis.redact(col("text")).as("t")).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2) == "card <NUM> ok")
+    assert(out(3) == "plain text with 12345 short digits") // 5 digits: kept
+  }
+
   test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
     val df = Seq(
       (1L, "common alpha alpha"),
