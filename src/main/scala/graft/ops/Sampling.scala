@@ -109,6 +109,25 @@ object Sampling {
   def weightedKey(id: Column, weight: Column): Column =
     round(log(uniformFromId(id)) / weight.cast("double"), 9)
 
+  /** Epoch-shuffle key: md5("<epoch>|<id>") — a different but fully
+    * deterministic corpus order per training epoch, reproducible on any
+    * engine at any parallelism (`rand()` with a seed is neither stable
+    * across partitionings nor portable across engines).
+    */
+  def epochShuffleKey(id: Column, epoch: Int): Column =
+    md5(concat(lit(s"$epoch|"), id.cast("string")))
+
+  /** Total-order epoch shuffle: range-repartition + in-partition sort on
+    * the epoch key — a scalable total sort (no global single-partition
+    * window), so writing the result yields the epoch's corpus order.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    val keyed = df.withColumn("__ek", epochShuffleKey(col(idCol), epoch))
+    keyed.repartitionByRange(col("__ek"))
+      .sortWithinPartitions("__ek")
+      .drop("__ek")
+  }
+
   /** Top-k weighted sample: (id, w, skey) rows with the k largest keys.
     * Global top-k is TakeOrdered — per-partition heads then a driver merge
     * of k·partitions rows, never a full sort — so this scales to any

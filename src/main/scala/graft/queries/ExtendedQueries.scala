@@ -491,6 +491,22 @@ object ExtendedQueries {
               |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin)
     ),
 
+    // Deterministic per-epoch shuffle keys: each epoch is a different but
+    // reproducible total order (md5("<epoch>|<id>")); writing sorted by
+    // the key gives the epoch's corpus order at any parallelism.
+    QueryDef(
+      "sample_epoch_shuffle",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.epochShuffleKey(col("doc_id"), 1).as("ek1"),
+          Sampling.epochShuffleKey(col("doc_id"), 2).as("ek2"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5('1|' || CAST(doc_id AS VARCHAR)) AS ek1,
+             |  md5('2|' || CAST(doc_id AS VARCHAR)) AS ek2
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // ─────────────────────── similarity search ───────────────────────────
     QueryDef(
       "ann_cosine_topk",

@@ -402,6 +402,15 @@ class SamplingSpec extends SparkSpec {
     assert(k.forall(r => r.getDouble(1) > r.getDouble(0)))
   }
 
+  test("epochShuffle: total order differs across epochs, stable within one") {
+    val a1 = Sampling.epochShuffle(ids, "id", epoch = 1).collect().map(_.getLong(0)).toSeq
+    val a2 = Sampling.epochShuffle(ids.repartition(9), "id", epoch = 1)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.epochShuffle(ids, "id", epoch = 2).collect().map(_.getLong(0)).toSeq
+    assert(a1 == a2)                      // same epoch → same order at any parallelism
+    assert(a1 != b && a1.sorted == b.sorted) // different epoch → different permutation
+  }
+
   test("weightedSample: heavy weights dominate, membership repartition-invariant") {
     val df = ids.withColumn("w", when(col("id") < 100, 1000.0).otherwise(1.0))
     val top = Sampling.weightedSample(df, "id", col("w"), k = 50)
