@@ -17,6 +17,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Queries whose BroadcastNestedLoopJoin is the DESIGNED shape, not a
+    // defect: brute-force ANN baselines broadcast the (tiny) query side —
+    // their LSH/IVF siblings are the scale path; centroid assignment
+    // broadcasts k rows; scalar subqueries broadcast one row.
+    val intentionalBnlj = Set(
+      "ann_cosine_topk", "ann_topk_agg", "ann_quantized_topk", // brute-force baselines
+      "ann_ivf_topk",                                          // k-centroid broadcast assign
+      "dedup_embedding",                                       // small-N verifier (lsh variant scales)
+      "sq_scalar", "text_tfidf")                               // 1-row scalar broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers
@@ -27,8 +36,10 @@ object Explain {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         val smells = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          // BNLJ is expected only for the intentionally-quadratic ops
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
+            !intentionalBnlj.contains(name)),
+          "BNLJ(intentional)" -> (plan.contains("BroadcastNestedLoopJoin") &&
+            intentionalBnlj.contains(name)),
           "no-codegen" -> !(plan.contains("WholeStageCodegen") || plan.contains("*("))
         ).collect { case (s, true) => s }
         println(s"\n===== $name ${if (smells.nonEmpty) "SMELLS: " + smells.mkString(",") else ""}")
