@@ -370,6 +370,28 @@ object SqlSurfaceQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // nested types: struct construction + field access, map construction +
+    // key lookup (DuckDB map extraction yields a list — [1] unwraps it)
+    QueryDef(
+      "fn_nested",
+      (s, dir) => Tables.customer(s, dir).select(
+        col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal"))
+          .getField("name").as("s_name"),
+        element_at(
+          map(lit("seg"), col("c_mktsegment"),
+            lit("nat"), col("c_nationkey").cast("string")), "seg").as("m_seg"),
+        element_at(
+          map(lit("seg"), col("c_mktsegment"),
+            lit("nat"), col("c_nationkey").cast("string")), "missing").as("m_absent"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  struct_pack(name := c_name, bal := c_acctbal).name AS s_name,
+             |  (map(['seg','nat'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)])['seg'])[1] AS m_seg,
+             |  (map(['seg','nat'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)])['missing'])[1] AS m_absent
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+
     // analytic-window family: distribution functions + value accessors
     QueryDef(
       "w3_window_analytics",
