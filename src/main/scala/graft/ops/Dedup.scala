@@ -260,6 +260,21 @@ object Dedup {
     agged.select(col(idCol), concat(bitsCols: _*).as("simhash"))
   }
 
+  /** Incremental ingestion dedup: rows of `incoming` whose normalized-text
+    * fingerprint does not already exist in `corpus` — the content-level
+    * analog of the reference's keyed CDC anti join
+    * (`lib/etl/loading.rb:254-270`, J1). One anti join on the 16-byte
+    * fingerprint; at 100 TB the corpus side reduces to its distinct
+    * fingerprint set (and a pre-built fingerprint index or bloom filter
+    * drops the corpus scan entirely — see [[graft.ops.BloomJoin]]).
+    */
+  def newDocuments(incoming: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    incoming.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+  }
+
   /** Connected components over an undirected pair graph ((id1, id2) rows,
     * e.g. [[simhashPairs]]/[[lshCandidatePairs]] output) by hash-min label
     * propagation: every node repeatedly adopts the minimum label in its

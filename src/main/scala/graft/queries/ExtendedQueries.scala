@@ -297,6 +297,27 @@ object ExtendedQueries {
               |WHERE hamming <= 2 ORDER BY id1, id2""".stripMargin)
     ),
 
+    // Incremental ingestion dedup: which incoming docs are content-new vs
+    // the existing corpus — one fingerprint anti join (split the corpus by
+    // doc_id parity to simulate old/new batches).
+    QueryDef(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.newDocuments(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .select("doc_id", "fp")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fps AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp FROM documents),
+              |new AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+              |old AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0)
+              |SELECT doc_id, fp FROM new
+              |WHERE fp NOT IN (SELECT fp FROM old)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Pairs → clusters → keep-one: connected components over the simhash
     // near-dup graph (Spark: hash-min label propagation; oracle: recursive
     // transitive closure + min). The corpus-shrinking step the pair ops

@@ -163,6 +163,17 @@ class DedupSpec extends SparkSpec {
     assert(s(1L).length == 16 && s(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("newDocuments: content-new only, whitespace-normalized matches excluded") {
+    val corpus   = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha  beta"),   // normalized dup of corpus doc 1 → excluded
+      (11L, "brand new doc")  // genuinely new
+    ).toDF("doc_id", "text")
+    val out = Dedup.newDocuments(incoming, corpus, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out == Seq(11L))
+  }
+
   test("connectedComponents: min-label per component, transitive chains close") {
     // 1-2-3 is a chain (no direct 1-3 pair), 10-11 separate, 7-8-9 a triangle.
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (7L, 8L), (8L, 9L), (7L, 9L))
