@@ -88,6 +88,25 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream inner join: both sides buffer rows in state
+    * until the watermark proves no more matches can arrive, so an
+    * unbounded×unbounded join runs with bounded state — the time-bound
+    * predicate (`|leftTs - rightTs| <= joinWindow`) is what lets the
+    * engine evict. Key equality + time bound is the canonical
+    * click-to-impression shape.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       watermarkDelay: String, joinWindow: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $joinWindow"))
+      .drop(r(key))
+  }
+
   /** Continuous keyed upsert into a parquet dataset via `foreachBatch` —
     * the reference's cron-batch upsert cycle (`loading.rb` UPDATE…JOIN +
     * INSERT) running as a stream: each micro-batch merges by key

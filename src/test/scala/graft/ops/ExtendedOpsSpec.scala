@@ -311,6 +311,15 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 2L) // nearest same-blob vector
   }
 
+  test("lshQuantizedTopK: twin recall survives the quantized scorer, no cartesian") {
+    val out = Similarity.lshQuantizedTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 1, planes = 4, dims = 3)
+    assert(out.collect().head.getAs[Long]("neighbor_id") == 1L) // identical twin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("persisted IVF index: probe prunes to one partition, matches in-memory IVF") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
     val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)

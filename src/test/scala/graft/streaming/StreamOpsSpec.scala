@@ -128,6 +128,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> "DE", 2L -> "FR"))
   }
 
+  test("stream-stream join matches within the time bound only") {
+    val lDir = java.nio.file.Files.createTempDirectory("ss_l")
+    val rDir = java.nio.file.Files.createTempDirectory("ss_r")
+    Seq((1L, sqlTs("2026-01-01 10:00:00")), (2L, sqlTs("2026-01-01 11:00:00")))
+      .toDF("k", "lts").write.mode("overwrite").parquet(lDir.toString)
+    Seq((1L, sqlTs("2026-01-01 10:05:00")),  // within 10 min of left k=1
+        (1L, sqlTs("2026-01-01 10:30:00")),  // same key, outside window
+        (2L, sqlTs("2026-01-01 10:59:00")),  // BEFORE left k=2: no match
+        (3L, sqlTs("2026-01-01 10:00:00")))  // no left key
+      .toDF("k", "rts").write.mode("overwrite").parquet(rDir.toString)
+    def stream(dir: java.nio.file.Path) = {
+      val sch = spark.read.parquet(dir.toString).schema
+      spark.readStream.schema(sch).parquet(dir.toString)
+    }
+    val joined = StreamOps.streamStreamJoin(
+      stream(lDir), stream(rDir), "k", "lts", "rts",
+      watermarkDelay = "1 hour", joinWindow = "10 MINUTE")
+    StreamOps.runToMemory(joined.select(col("k"), col("rts")), "ss_out")
+    val rows = spark.table("ss_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(rows == Set((1L, sqlTs("2026-01-01 10:05:00"))))
+  }
+
   test("upsertSink merges micro-batches by key; compaction preserves data") {
     val src  = java.nio.file.Files.createTempDirectory("up_src")
     val sink = java.nio.file.Files.createTempDirectory("up_sink").toString + "/ds"
