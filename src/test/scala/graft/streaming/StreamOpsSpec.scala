@@ -181,6 +181,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(new java.io.File(sink).listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("upsertBatch is idempotent: replaying a micro-batch changes nothing") {
+    // foreachBatch re-delivers a batch after a failure — the merge must
+    // tolerate replays for the sink to stay effectively exactly-once.
+    val path = java.nio.file.Files.createTempDirectory("idem").toString + "/ds"
+    val batch = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq")
+    graft.ops.Maintenance.upsertBatch(batch, path, Seq("k"), "seq")
+    val once = spark.read.parquet(path).orderBy("k").collect().map(_.toSeq).toSeq
+    graft.ops.Maintenance.upsertBatch(batch, path, Seq("k"), "seq") // replay
+    val twice = spark.read.parquet(path).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(once == twice && once.length == 2)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
