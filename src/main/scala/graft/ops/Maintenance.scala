@@ -1,31 +1,55 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset maintenance: the operational chores a parquet-backed warehouse
   * needs that the reference delegated to its RDBMS (in-place UPDATE,
   * VACUUM-ish upkeep) — rewritten as whole-dataset transforms with an
-  * atomic directory swap. A production deployment on a transactional table
-  * format (Delta/Iceberg) gets the swap for free; the operator shapes are
-  * identical.
+  * atomic directory swap. All path manipulation goes through the Hadoop
+  * `FileSystem` API resolved from the path's own scheme, so the same code
+  * runs on the local FS in tests and on HDFS/S3A in production. A
+  * deployment on a transactional table format (Delta/Iceberg) gets the
+  * swap for free; the operator shapes are identical.
   */
 object Maintenance {
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Swap `tmp` into `target`'s place via renames only: retire the current
+    * dir, rename tmp in, drop the retired copy. Rename is the one mutation
+    * that is atomic per-directory on HDFS (and a bounded metadata op on
+    * object stores), so the window where `target` is absent is a single
+    * rename — not the full delete-then-copy of the old `java.nio` version.
+    * On failure the retired copy is renamed back, so the dataset is never
+    * lost.
+    */
+  private def swapDirs(fs: FileSystem, tmp: Path, target: Path): Unit = {
+    val retired = new Path(target.getParent, target.getName + ".retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, retired))
+      throw new java.io.IOException(s"could not retire $target")
+    if (!fs.rename(tmp, target)) {
+      if (hadTarget) fs.rename(retired, target) // restore — dataset intact
+      throw new java.io.IOException(s"could not move $tmp into place at $target")
+    }
+    if (hadTarget) fs.delete(retired, true)
+  }
 
   /** Write `df` to `path` atomically: materialize to `path.tmp`, then swap
     * directories. Safe when `df` reads from `path` itself (the read
     * finishes into the tmp write before the swap).
     */
   def swapWrite(df: DataFrame, path: String): Unit = {
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    val (fs, target) = fsFor(df.sparkSession, path)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    swapDirs(fs, tmp, target)
   }
 
   /** Compact a small-files dataset to `numFiles` output files. Streaming
@@ -37,26 +61,85 @@ object Maintenance {
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit =
     swapWrite(spark.read.parquet(path).coalesce(numFiles), path)
 
+  /** Hive-style partition directory escaping (subset of Hive's
+    * `FileUtils.escapePathName`: the characters that actually occur in
+    * partition values get percent-encoded the same way Spark's writer
+    * encodes them, so the directories we swap are the directories the
+    * writer produced).
+    */
+  private def escapePathName(s: String): String =
+    s.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Keyed upsert of `batch` into the parquet dataset at `path`:
     * last-writer-wins within the batch by `orderCol`, key matches replace
     * existing rows (anti join), everything else passes through — the
     * reference's `UPDATE … JOIN` + `INSERT INTO … SELECT` cycle
     * (`lib/etl/loading.rb:175-178,93-96`) as one dataflow.
+    *
+    * When `partitionCols` is given the dataset is hive-partitioned and the
+    * upsert is PARTITION-SCOPED: only the partitions present in the batch
+    * are read (partition-pruned scan), merged, and swapped; every other
+    * partition's files are untouched bytes. A 100 TB date-partitioned
+    * table absorbs a one-day batch at the cost of that day, not the table.
+    * The set of touched partitions is collected to the driver — bounded
+    * metadata (one row per partition in the batch), not data.
     */
   def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
-                  orderCol: String): Unit = {
+                  orderCol: String, partitionCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(desc(orderCol))
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        spark.read.parquet(path)
-          .join(latest.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(latest)
-      else latest
-    swapWrite(merged, path)
+    val (fs, target) = fsFor(spark, path)
+
+    if (!fs.exists(target)) {
+      val writer = latest.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(path)
+    } else if (partitionCols.isEmpty) {
+      val merged = spark.read.parquet(path)
+        .join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(latest)
+      swapWrite(merged, path)
+    } else {
+      // Partition-scoped path: bounded driver-side list of touched partitions.
+      val touched = latest.select(partitionCols.map(col): _*).distinct().collect()
+      val touchedPred = touched.map { row =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          if (row.isNullAt(i)) col(c).isNull else col(c) === lit(row.get(i))
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      // The filter is on partition columns only → PartitionFilters on the
+      // scan; untouched partitions are never read, let alone rewritten.
+      val existingTouched = spark.read.parquet(path).filter(touchedPred)
+      val merged = existingTouched
+        .join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(latest)
+      val tmp = new Path(target.getParent, target.getName + ".upsert.tmp")
+      merged.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
+      for (row <- touched) {
+        val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+          val v =
+            if (row.isNullAt(i)) HiveDefaultPartition
+            else escapePathName(row.get(i).toString)
+          s"${escapePathName(c)}=$v"
+        }.mkString("/")
+        val src = new Path(tmp, rel)
+        if (fs.exists(src)) {
+          val dst = new Path(target, rel)
+          if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+          swapDirs(fs, src, dst)
+        }
+      }
+      fs.delete(tmp, true)
+    }
   }
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Maintenance ops over the Hadoop `FileSystem` API. The swap must never
+  * leave the dataset in a half-state (the reference's RDBMS gave it
+  * transactional DDL for free; `lib/etl/loading.rb:272-274` drops and
+  * recreates inside the server), and a partitioned upsert must cost the
+  * touched partitions, not the table.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesUnder(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(dir.getAbsolutePath) ->
+        (f.length(), f.lastModified())).toMap
+  }
+
+  test("swapWrite replaces a dataset in place and survives self-reads") {
+    val path = java.nio.file.Files.createTempDirectory("swap").toString + "/ds"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(path)
+    // df reads from the very path it will replace — the tmp write must
+    // finish before any rename touches the target
+    val doubled = spark.read.parquet(path).withColumn("v", upper(col("v")))
+    Maintenance.swapWrite(doubled, path)
+    assert(spark.read.parquet(path).orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("A", "B"))
+    // no tmp/retired litter left behind
+    val parent = new java.io.File(path).getParentFile.listFiles().map(_.getName).toSet
+    assert(parent == Set("ds"), s"unexpected siblings: $parent")
+  }
+
+  test("partition-scoped upsert rewrites only the touched partition") {
+    val path = java.nio.file.Files.createTempDirectory("pups").toString + "/ds"
+    val initial = Seq(
+      (1L, "jan-a", 1L, "2026-01-01"),
+      (2L, "jan-b", 1L, "2026-01-01"),
+      (3L, "feb-a", 1L, "2026-02-01"),
+      (4L, "mar-a", 1L, "2026-03-01")
+    ).toDF("k", "v", "seq", "dt")
+    Maintenance.upsertBatch(initial, path, Seq("k"), "seq", partitionCols = Seq("dt"))
+
+    val root = new java.io.File(path)
+    assert(root.listFiles().map(_.getName).count(_.startsWith("dt=")) == 3)
+    val before = filesUnder(root)
+
+    // batch touches ONLY the January partition: one update, one insert
+    val batch = Seq(
+      (2L, "jan-b-v2", 2L, "2026-01-01"),
+      (5L, "jan-c", 2L, "2026-01-01")
+    ).toDF("k", "v", "seq", "dt")
+    Maintenance.upsertBatch(batch, path, Seq("k"), "seq", partitionCols = Seq("dt"))
+
+    val after = filesUnder(root)
+    val untouchedBefore = before.filter(!_._1.contains("dt=2026-01-01"))
+    val untouchedAfter = after.filter(!_._1.contains("dt=2026-01-01"))
+    // feb/mar partitions: identical file names, lengths, AND mtimes —
+    // they were never read, rewritten, or moved
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions changed:\n$untouchedBefore\nvs\n$untouchedAfter")
+    assert(before.keys.exists(_.contains("dt=2026-01-01")))
+    assert(after.filter(_._1.contains("dt=2026-01-01")) !=
+      before.filter(_._1.contains("dt=2026-01-01")))
+
+    val state = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(state == Seq(1L -> "jan-a", 2L -> "jan-b-v2", 3L -> "feb-a",
+      4L -> "mar-a", 5L -> "jan-c"))
+  }
+
+  test("partition-scoped upsert creates brand-new partitions") {
+    val path = java.nio.file.Files.createTempDirectory("pups2").toString + "/ds"
+    Maintenance.upsertBatch(Seq((1L, "a", 1L, "2026-01-01")).toDF("k", "v", "seq", "dt"),
+      path, Seq("k"), "seq", partitionCols = Seq("dt"))
+    val before = filesUnder(new java.io.File(path))
+    Maintenance.upsertBatch(Seq((9L, "apr", 1L, "2026-04-01")).toDF("k", "v", "seq", "dt"),
+      path, Seq("k"), "seq", partitionCols = Seq("dt"))
+    val after = filesUnder(new java.io.File(path))
+    assert(after.filter(_._1.contains("dt=2026-01-01")) == before) // untouched
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("partition-scoped upsert prunes the existing-side scan to touched partitions") {
+    val path = java.nio.file.Files.createTempDirectory("pups3").toString + "/ds"
+    Seq((1L, "a", 1L, "2026-01-01"), (2L, "b", 1L, "2026-02-01"))
+      .toDF("k", "v", "seq", "dt")
+      .write.partitionBy("dt").parquet(path)
+    // the merge plan's scan must carry a PartitionFilters entry on dt —
+    // that's the difference between reading one day and reading 100 TB
+    val pruned = spark.read.parquet(path).filter(col("dt") === lit("2026-01-01"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2026-01-01"),
+      s"expected partition filter in:\n$scan")
+    assert(pruned.count() == 1)
+  }
+}
