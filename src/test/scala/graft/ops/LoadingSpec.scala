@@ -89,6 +89,23 @@ class LoadingSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("created_by")))
   }
 
+  test("F2 incremental filter becomes partition pruning on partitioned staging") {
+    // docs/SCALE.md claims the watermark condition prunes at the directory
+    // level on date-partitioned storage — assert it executable: the filter
+    // must land in PartitionFilters (directories skipped), not Filter
+    // (rows read then discarded). At 100 TB that is the whole ballgame.
+    val dir = java.nio.file.Files.createTempDirectory("staging_part").toString + "/staging"
+    Seq((1L, "2026-01-01"), (2L, "2026-01-15"), (3L, "2026-02-01"))
+      .toDF("id", "date_created")
+      .write.partitionBy("date_created").parquet(dir)
+    val inc = Loading.incrementalFilter(
+      spark.read.parquet(dir), "date_created", lit("2026-01-10"))
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("date_created"),
+      s"watermark filter not pushed to partition pruning:\n$plan")
+    assert(inc.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("setLoadedFlag stamps etl_loaded_date (loading.rb:198-201)") {
     val out = Loading.setLoadedFlag(staging, expr("timestamp'2026-01-01 00:00:00'"))
     assert(out.select("etl_loaded_date").head().getTimestamp(0) == sqlTs("2026-01-01 00:00:00"))
