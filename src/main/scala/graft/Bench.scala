@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Streaming queries pay a fixed micro-batch startup cost (readStream →
+    * AvailableNow → sink) that is invariant in data size; reporting them
+    * inside one opaque total would hide batch-plan regressions behind
+    * ~20 s of constant overhead. The bench reports both splits.
+    */
+  private def isStreaming(name: String): Boolean = name.contains("stream")
+
+  private def jsonSafe(s: String): String =
+    s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,15 +29,32 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Either[String, Double])] = ordered.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          // a crashed query must fail LOUDLY (err field + nonzero exit),
+          // never silently shrink the total the driver grades
+          case e: Throwable => Left(jsonSafe(s"${e.getClass.getName}: ${e.getMessage}"))
+        }
+        name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (n, Right(s)) => n -> s }
+    val errs = results.collect { case (n, Left(e)) => n -> e }
+    val total = ok.map(_._2).sum
+    val streamingTotal = ok.collect { case (n, s) if isStreaming(n) => s }.sum
+    val batchTotal = total - streamingTotal
+    // The driver tail-clips long log lines from the front; a compact
+    // summary line first means the headline numbers survive even if the
+    // per-query line below gets clipped.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_total":$batchTotal,"streaming_total":$streamingTotal,"n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_total":$batchTotal,"streaming_total":$streamingTotal,"sf":"$sfDir","errors":$es,"queries":$qs}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

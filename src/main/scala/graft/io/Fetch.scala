@@ -61,7 +61,15 @@ object Fetch {
             .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofFile(out.toPath))
-          FetchResult(url, Some(out.getAbsolutePath), resp.statusCode())
+          // non-2xx: the handler wrote the error body — that's not a
+          // download (reference keeps only successful fetches,
+          // `download_manager.rb:287-321`); report the status, drop the file
+          if (resp.statusCode() / 100 == 2)
+            FetchResult(url, Some(out.getAbsolutePath), resp.statusCode())
+          else {
+            out.delete()
+            FetchResult(url, None, resp.statusCode())
+          }
         case other =>
           FetchResult(url, None, 400)
       }
