@@ -29,8 +29,11 @@ object Maintenance {
     * lost.
     */
   private def swapDirs(fs: FileSystem, tmp: Path, target: Path): Unit = {
-    val retired = new Path(target.getParent, target.getName + ".retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
+    // Unique suffix per swap: a pre-existing `.retired` dir (unrelated data,
+    // or the leftover of a crashed prior swap) is never silently destroyed —
+    // it stays on disk to be surfaced, and this swap cannot collide with it.
+    val retired = new Path(target.getParent,
+      target.getName + ".retired." + java.util.UUID.randomUUID().toString)
     val hadTarget = fs.exists(target)
     if (hadTarget && !fs.rename(target, retired))
       throw new java.io.IOException(s"could not retire $target")
@@ -61,19 +64,24 @@ object Maintenance {
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit =
     swapWrite(spark.read.parquet(path).coalesce(numFiles), path)
 
-  /** Hive-style partition directory escaping (subset of Hive's
-    * `FileUtils.escapePathName`: the characters that actually occur in
-    * partition values get percent-encoded the same way Spark's writer
-    * encodes them, so the directories we swap are the directories the
-    * writer produced).
+  /** Relative `col=value[/col=value…]` partition directories that the
+    * writer ACTUALLY produced under `root`, to `depth` levels. Listing the
+    * written dirs (instead of reconstructing names from partition values)
+    * sidesteps every escaping/formatting divergence between this code and
+    * Spark's writer — spaces, '+', ',', non-string date/timestamp
+    * rendering, `__HIVE_DEFAULT_PARTITION__` for nulls — any of which
+    * would otherwise make a reconstructed name miss the real directory.
     */
-  private def escapePathName(s: String): String =
-    s.flatMap {
-      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' => c.toString
-      case c => f"%%${c.toInt}%02X"
-    }
-
-  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  private def writtenPartitionDirs(fs: FileSystem, root: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          if (d <= 1) Seq(st.getPath.getName)
+          else walk(st.getPath, d - 1).map(st.getPath.getName + "/" + _)
+        }
+    walk(root, depth)
+  }
 
   /** Keyed upsert of `batch` into the parquet dataset at `path`:
     * last-writer-wins within the batch by `orderCol`, key matches replace
@@ -88,6 +96,13 @@ object Maintenance {
     * table absorbs a one-day batch at the cost of that day, not the table.
     * The set of touched partitions is collected to the driver — bounded
     * metadata (one row per partition in the batch), not data.
+    *
+    * CONTRACT: a key's `partitionCols` values must be immutable (or the
+    * partition columns part of the key). The upsert only anti-joins within
+    * the touched partitions; if a key moves partitions between batches, the
+    * stale row in its old (untouched) partition is deliberately not read
+    * and survives as a duplicate. Mutable placement needs a global index or
+    * a table format with MERGE (Delta/Iceberg).
     */
   def upsertBatch(batch: DataFrame, path: String, keys: Seq[String],
                   orderCol: String, partitionCols: Seq[String] = Nil): Unit = {
@@ -111,6 +126,7 @@ object Maintenance {
     } else {
       // Partition-scoped path: bounded driver-side list of touched partitions.
       val touched = latest.select(partitionCols.map(col): _*).distinct().collect()
+      if (touched.isEmpty) return // empty batch: nothing to merge or move
       val touchedPred = touched.map { row =>
         partitionCols.zipWithIndex.map { case (c, i) =>
           if (row.isNullAt(i)) col(c).isNull else col(c) === lit(row.get(i))
@@ -125,19 +141,21 @@ object Maintenance {
       val tmp = new Path(target.getParent, target.getName + ".upsert.tmp")
       merged.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(tmp.toString)
-      for (row <- touched) {
-        val rel = partitionCols.zipWithIndex.map { case (c, i) =>
-          val v =
-            if (row.isNullAt(i)) HiveDefaultPartition
-            else escapePathName(row.get(i).toString)
-          s"${escapePathName(c)}=$v"
-        }.mkString("/")
-        val src = new Path(tmp, rel)
-        if (fs.exists(src)) {
-          val dst = new Path(target, rel)
-          if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-          swapDirs(fs, src, dst)
-        }
+      // Swap the directories the writer ACTUALLY produced. merged =
+      // (existing ∩ touched) ∪ latest, so tmp holds exactly one dir per
+      // touched partition; fewer means a write anomaly — refuse to swap
+      // rather than silently drop a partition's merged output.
+      val rels = writtenPartitionDirs(fs, tmp, partitionCols.size)
+      if (rels.size != touched.length) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"partition-scoped upsert wrote ${rels.size} partition dirs for " +
+            s"${touched.length} touched partitions at $tmp; refusing to swap")
+      }
+      for (rel <- rels) {
+        val dst = new Path(target, rel)
+        if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+        swapDirs(fs, new Path(tmp, rel), dst)
       }
       fs.delete(tmp, true)
     }

@@ -84,6 +84,64 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("upsert survives partition values the hive escaper and the writer disagree on") {
+    // Spark's writer leaves space, '+', ',', '(', '&' unescaped — any code
+    // that RECONSTRUCTS partition dir names from values instead of listing
+    // what the writer wrote silently skips these partitions and drops the
+    // merged output. Regression for exactly that bug.
+    val path = java.nio.file.Files.createTempDirectory("pupesc").toString + "/ds"
+    val gnarly = Seq("a b", "c+d", "e,f", "g(h)", "i&j")
+    val initial = gnarly.zipWithIndex.map { case (p, i) => (i.toLong, "v1", 1L, p) }
+      .toDF("k", "v", "seq", "part")
+    Maintenance.upsertBatch(initial, path, Seq("k"), "seq", partitionCols = Seq("part"))
+    val batch = Seq((0L, "v2", 2L, "a b"), (1L, "v2", 2L, "c+d"), (2L, "v2", 2L, "e,f"),
+      (3L, "v2", 2L, "g(h)"), (4L, "v2", 2L, "i&j")).toDF("k", "v", "seq", "part")
+    Maintenance.upsertBatch(batch, path, Seq("k"), "seq", partitionCols = Seq("part"))
+    val state = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("v"))).toSeq
+    assert(state == gnarly.map(_ -> "v2"), s"lost partitions: $state")
+  }
+
+  test("upsert handles date-typed and null partition values") {
+    // date/timestamp partition values render per the writer's own format,
+    // nulls become __HIVE_DEFAULT_PARTITION__ — both covered by listing
+    // written dirs rather than formatting values ourselves
+    val path = java.nio.file.Files.createTempDirectory("pupdt").toString + "/ds"
+    val initial = Seq((1L, "a", 1L, Some(java.sql.Date.valueOf("2026-01-01"))),
+      (2L, "b", 1L, None)).toDF("k", "v", "seq", "d")
+    Maintenance.upsertBatch(initial, path, Seq("k"), "seq", partitionCols = Seq("d"))
+    val batch = Seq((1L, "a2", 2L, Some(java.sql.Date.valueOf("2026-01-01"))),
+      (2L, "b2", 2L, Option.empty[java.sql.Date])).toDF("k", "v", "seq", "d")
+    Maintenance.upsertBatch(batch, path, Seq("k"), "seq", partitionCols = Seq("d"))
+    val state = spark.read.parquet(path).orderBy("k").collect()
+      .map(_.getAs[String]("v")).toSeq
+    assert(state == Seq("a2", "b2"))
+  }
+
+  test("empty batch with partitionCols is a no-op, not a crash") {
+    val path = java.nio.file.Files.createTempDirectory("pupempty").toString + "/ds"
+    Maintenance.upsertBatch(Seq((1L, "a", 1L, "p1")).toDF("k", "v", "seq", "part"),
+      path, Seq("k"), "seq", partitionCols = Seq("part"))
+    val before = filesUnder(new java.io.File(path))
+    val empty = Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "part")
+    Maintenance.upsertBatch(empty, path, Seq("k"), "seq", partitionCols = Seq("part"))
+    assert(filesUnder(new java.io.File(path)) == before)
+  }
+
+  test("a pre-existing .retired directory is preserved, not clobbered") {
+    val dir = java.nio.file.Files.createTempDirectory("retired")
+    val path = dir.toString + "/ds"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(path)
+    // unrelated sibling that happens to carry the old fixed retired name
+    val bystander = new java.io.File(dir.toString, "ds.retired")
+    bystander.mkdirs()
+    java.nio.file.Files.write(bystander.toPath.resolve("keep.txt"), "data".getBytes)
+    Maintenance.swapWrite(spark.read.parquet(path).withColumn("v", upper(col("v"))), path)
+    assert(new java.io.File(bystander, "keep.txt").exists(),
+      "swap destroyed an unrelated .retired directory")
+    assert(spark.read.parquet(path).head().getString(1) == "A")
+  }
+
   test("partition-scoped upsert prunes the existing-side scan to touched partitions") {
     val path = java.nio.file.Files.createTempDirectory("pups3").toString + "/ds"
     Seq((1L, "a", 1L, "2026-01-01"), (2L, "b", 1L, "2026-02-01"))
