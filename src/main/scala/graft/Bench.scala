@@ -47,14 +47,17 @@ object Bench {
     val total = ok.map(_._2).sum
     val streamingTotal = ok.collect { case (n, s) if isStreaming(n) => s }.sum
     val batchTotal = total - streamingTotal
-    // The driver tail-clips long log lines from the front; a compact
-    // summary line first means the headline numbers survive even if the
-    // per-query line below gets clipped.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_total":$batchTotal,"streaming_total":$streamingTotal,"n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver records the TAIL of the log (round-4 lesson: a summary
+    // printed first was clipped away and the long line lost its head). So
+    // the LAST line is the one that must parse: print the full JSON last,
+    // rounded to ms so the whole line fits inside a ~3.5 kB tail window,
+    // with a human-readable summary line above it as backup.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_total":$batchTotal,"streaming_total":$streamingTotal,"sf":"$sfDir","errors":$es,"queries":$qs}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    spark.stop() // stop FIRST so no Spark shutdown logging prints after the JSON
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"sf":"$sfDir","errors":$es,"queries":$qs}""")
     if (errs.nonEmpty) sys.exit(1)
   }
 }
