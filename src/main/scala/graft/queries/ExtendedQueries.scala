@@ -1138,6 +1138,32 @@ object ExtendedQueries {
              |  substring(hx, frame_idx * 128 + 1, 128) AS frame_hex
              |FROM f WHERE frame_idx % 4 = 0
              |ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+
+    // REAL codec work, not plumbing: each document's bytes are rendered
+    // into a 16×16 8-bit grayscale PNG and decoded back through
+    // javax.imageio. PNG grayscale round-trips samples bit-exactly, so
+    // the decoded raster sum is predictable from the source bytes: pixel
+    // i = byte[i mod n]. DuckDB can't index blobs, so the oracle reads
+    // byte values out of the hex string (2 chars/byte, strpos-as-hexval).
+    QueryDef(
+      "mm_decode",
+      (s, dir) => Multimodal.pngRoundtripStats(
+        Tables.documents(s, dir), "doc_id", "text", w = 16, h = 16)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |px AS (
+             |  SELECT doc_id, hx, n, UNNEST(range(0, 256)) AS i FROM b)
+             |SELECT doc_id, 16 AS width, 16 AS height, 1 AS channels,
+             |  CAST(SUM(
+             |    (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 1, 1)) - 1) * 16
+             |  + (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 2, 1)) - 1)
+             |  ) AS BIGINT) AS pixel_sum
+             |FROM px GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

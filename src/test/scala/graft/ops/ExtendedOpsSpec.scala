@@ -687,6 +687,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map((1L, 0) -> 64, (1L, 4) -> 44)) // doc 2 (empty) dropped
   }
 
+  test("real PNG decode: grayscale samples round-trip bit-exactly") {
+    val bytes = Array.tabulate[Byte](5)(i => (i * 50 + 3).toByte) // 3,53,103,153,203
+    val png = Multimodal.encodeGrayPng(bytes, 4, 4)
+    // PNG magic: a real container came out of the encoder
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val st = Multimodal.decodeImageStats(png).get
+    assert(st.width == 4 && st.height == 4 && st.channels == 1)
+    // pixel i = bytes(i % 5): 16 pixels cycling the 5 values
+    val expected = (0 until 16).map(i => bytes(i % 5) & 0xff).sum.toLong
+    assert(st.pixelSum == expected)
+  }
+
+  test("decodeImageStats returns None for non-image payloads") {
+    assert(Multimodal.decodeImageStats("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageStats(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("pngRoundtripStats runs as partition batches and drops empty payloads") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.pngRoundtripStats(df, "doc_id", "text", 16, 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    val abc = "abc".getBytes("UTF-8")
+    val expected = (0 until 256).map(i => abc(i % 3) & 0xff).sum.toLong
+    assert(rows == Map(1L -> ((16, 16, 1, expected))))
+  }
+
   test("resizeBinary truncates to maxBytes and keeps short payloads whole") {
     val out = Seq(("abcdefgh"), ("ab")).toDF("text")
       .select(Multimodal.resizeBinary(encode(col("text"), "UTF-8"), 4).as("b"))
