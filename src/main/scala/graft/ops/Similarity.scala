@@ -295,6 +295,38 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Probe a persisted IVF index for a whole BATCH of query vectors in one
+    * pass: assign every query to its nearest list, collect the distinct
+    * probed list ids (bounded driver-side metadata — at most one per
+    * query, nothing data-sized), and read the index ONCE through a single
+    * `cent_id IN (…)` partition-pruned scan; per-query top-k falls out of
+    * one window. Versus per-query [[probeIvfIndex]] calls this replaces Q
+    * scans + Q driver round-trips with one scan + one join — the second
+    * parallelism axis (across queries, not just across index rows).
+    */
+  def probeIvfIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cent_id"), col("cent_v")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wAssign = Window.partitionBy("query_id").orderBy(desc("__cs"), col("cent_id"))
+    val assigned = q.crossJoin(cents)
+      .withColumn("__cs", round(dot(col("qv"), col("cent_v")) /
+        (norm(col("qv")) * norm(col("cent_v"))), 6))
+      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    // one row per query — bounded metadata, not data
+    val listIds = assigned.select("cent_id").distinct().collect().map(_.get(0))
+    val index = spark.read.parquet(path).filter(col("cent_id").isin(listIds: _*))
+    val scored = index.join(broadcast(assigned), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) /
+        (norm(col("qv")) * norm(col("v"))), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Scale path for embedding near-dup pairs: hyperplane-LSH banded
     * candidate generation + exact-cosine verification — the embedding
     * analog of [[graft.ops.Dedup.simhashPairs]]. The `planes`-bit

@@ -764,6 +764,48 @@ object ExtendedQueries {
       }
     ),
 
+    // Same semantics as ann_ivf_topk but through the PERSISTED index and
+    // the batch probe: build once, then ONE cent_id-IN-pruned scan serves
+    // all 8 queries. The oracle is the same closed-form IVF as above —
+    // the index is an access path, not a semantics change.
+    QueryDef(
+      "ann_ivf_batch_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+        val idx = java.nio.file.Files.createTempDirectory("ivfq").toString + "/idx"
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, idx)
+        Similarity.probeIvfIndexBatch(s, idx, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", cents, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val cosQC = cosSql("qv", "cv", Dims)
+        val cosVC = cosSql("v", "cent_v", Dims)
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |sc AS (SELECT query_id, neighbor_id, round($cosQC, 6) AS cos
+           |       FROM c JOIN q USING (cent_id) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           |        cos
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // Sketch-based distinct count: values differ across engines'
     // HLL implementations, so no SQL oracle — the driver records the
     // weaker rows-only check by design.

@@ -341,6 +341,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == mem)
   }
 
+  test("batch IVF probe: one IN-pruned scan, agrees with per-query probes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString + "/idx"
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cents, dir)
+    val queries = vecs.filter(col("vec_id").isin(0L, 3L))
+    val batch = Similarity.probeIvfIndexBatch(spark, dir, queries,
+      "vec_id", "embedding", cents, k = 2)
+    // ONE scan of the index, partition-pruned to the probed lists (IN filter)
+    val plan = batch.queryExecution.executedPlan.toString
+    val indexScans = plan.linesIterator.count(l => l.contains("Scan parquet") && l.contains("idx"))
+    assert(indexScans == 1, s"expected one index scan, got $indexScans:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("cent_id"),
+      s"expected cent_id IN partition pruning:\n$plan")
+    // results agree with sequential per-query probes
+    val got = batch.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    val want = Seq(0L, 3L).flatMap { qid =>
+      val qv = vecs.filter(col("vec_id") === qid).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      Similarity.probeIvfIndex(spark, dir, qid, qv, cents, k = 2)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, i + 1) -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))
+        }
+    }.toMap
+    assert(got == want, s"batch $got vs per-query $want")
+  }
+
   test("lshNearDupPairs plan has no cartesian product (scale shape)") {
     val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
