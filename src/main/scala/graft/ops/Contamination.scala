@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: find training-corpus documents that
+  * share word n-grams with an evaluation/benchmark set — the standard
+  * train/test leakage check run before every large training run (the same
+  * n-gram-overlap methodology used for public LM training corpora).
+  *
+  * Scale shape: both sides explode to distinct (id, gram) rows and meet in
+  * a hash equi-join on the md5 of the gram — a fixed 32-hex-char join key
+  * instead of raw text, so the shuffle carries narrow rows no matter how
+  * long the n-grams are. The benchmark side is small by nature (eval sets
+  * are thousands of docs, the corpus is billions), so its per-doc gram
+  * counts ride a broadcast. Never all-pairs: a corpus doc sharing nothing
+  * with the benchmark contributes zero join output.
+  */
+object Contamination {
+
+  /** Distinct (id, gram-hash) rows for `n`-word shingles. Reuses
+    * [[Dedup.shingles]] (distinct-collapsed), then md5s each gram so the
+    * downstream join key is fixed-width.
+    */
+  def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), md5(col("gram")).as("gh"))
+
+  /** Pair-level overlap: one row per (corpus doc, benchmark doc) sharing at
+    * least one n-gram, with the shared-gram count, the benchmark doc's
+    * total distinct grams, and the benchmark-coverage fraction (how much of
+    * THAT benchmark doc appears in the corpus doc — the direction that
+    * measures eval leakage).
+    */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val cg = ngramHashes(corpus, idCol, textCol, n)
+      .select(col(idCol).as("doc_id"), col("gh"))
+    val bg = ngramHashes(bench, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("gh"))
+    val bsz = bg.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
+    cg.join(bg, Seq("gh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      // exact integer division in double — identical bits on any engine,
+      // so no rounding (NOTES.md: never round values derived from the
+      // same integers)
+      .withColumn("bench_frac",
+        col("n_shared").cast("double") / col("bench_grams").cast("double"))
+      .select("doc_id", "bench_id", "n_shared", "bench_grams", "bench_frac")
+  }
+
+  /** Doc-level verdict: corpus docs sharing at least `minShared` n-grams
+    * with at least one benchmark doc, with how many benchmark docs they
+    * hit and the worst (max) benchmark-coverage fraction. Rows here are
+    * what a pipeline quarantines before training.
+    */
+  def contaminatedDocs(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, n: Int, minShared: Long): DataFrame =
+    ngramOverlap(corpus, bench, idCol, textCol, n)
+      .filter(col("n_shared") >= minShared)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        sum("n_shared").as("total_shared"),
+        max("bench_frac").as("max_bench_frac"))
+}

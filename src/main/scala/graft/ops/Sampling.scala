@@ -128,6 +128,27 @@ object Sampling {
       .drop("__ek")
   }
 
+  /** Deterministic shard assignment for training-data export: shard =
+    * hashBucket(id) mod nShards. When nShards divides 4096 the shards are
+    * exactly bucket-uniform; assignment is engine-portable and
+    * rerun/repartition-invariant like every Sampling op, so a training
+    * loader can address shard subsets stably across pipeline reruns.
+    */
+  def shardColumn(id: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    (hashBucket(id) % nShards).cast("int")
+  }
+
+  /** Hash-sharded export layout: `shard=<k>/` parquet directories with rows
+    * co-located by shard (ONE shuffle on the shard id, then a partitioned
+    * write). The layout a distributed training job reads: each data-loader
+    * rank lists exactly its own shard directories.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String): Unit =
+    df.withColumn("shard", shardColumn(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Top-k weighted sample: (id, w, skey) rows with the k largest keys.
     * Global top-k is TakeOrdered — per-partition heads then a driver merge
     * of k·partitions rows, never a full sort — so this scales to any

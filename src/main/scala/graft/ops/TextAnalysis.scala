@@ -163,6 +163,42 @@ object TextAnalysis {
         col("rank"), col("score"))
   }
 
+  /** Word n-gram MULTISET (no distinct-collapse — repetition measures need
+    * duplicates preserved; [[Dedup.shingles]] is the set variant). Empty
+    * for docs shorter than n tokens.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style duplicate n-gram fraction: 1 − distinct/total over the
+    * n-gram multiset (0 for docs shorter than n tokens). High values mark
+    * boilerplate and generator loops — a standard pre-training drop rule.
+    * Exact integer-derived doubles, so no rounding (NOTES.md).
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token (the
+    * "top word fraction" repetition signal). Pure column math: count each
+    * distinct token inside the array — O(distinct·n) per doc, no shuffle.
+    */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+    when(size(toks) > 0,
+      array_max(counts).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(

@@ -466,6 +466,109 @@ object CoreQueries {
              |ORDER BY c_custkey""".stripMargin)
     ),
 
+    // ── TPC-H q4 shape: priority count over an EXISTS semi join ───────────
+    // (the corpus has no l_commitdate/l_receiptdate; "late" is adapted to
+    // shipped >60 days after order date — same semi-join + agg shape)
+    QueryDef(
+      "q4_order_priority",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1996-04-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        o.join(li, o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ── TPC-H q6 shape: pure scan-side filter + decimal-exact agg ─────────
+    QueryDef(
+      "q6_filter_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(3,2)")).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)
+    ),
+
+    // ── TPC-H q12 shape: join + conditional two-way counts per group ──────
+    // (no l_shipmode column in the corpus; grouped by l_linestatus)
+    QueryDef(
+      "q12_priority_by_status",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'"))
+        val o = Tables.orders(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    ),
+
+    // ── TPC-H q19 shape: disjunctive brand/size/quantity predicates ───────
+    QueryDef(
+      "q19_disjunctive_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(5, 30)) ||
+            (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(10, 40)))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 30)
+             |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 40)""".stripMargin)
+    ),
+
     // ── distinct aggregates ────────────────────────────────────────────────
     QueryDef(
       "agg_distinct",

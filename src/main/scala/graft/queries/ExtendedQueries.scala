@@ -1206,6 +1206,113 @@ object ExtendedQueries {
              |  ) AS BIGINT) AS pixel_sum
              |FROM px GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ─────────────── benchmark contamination (train/test leakage) ────────
+    // Corpus docs sharing word 3-grams with a benchmark set (stand-in:
+    // every 97th doc). Spark joins md5'd grams (fixed-width shuffle key);
+    // the oracle joins the raw grams — identical pairs, md5 is injective
+    // here. bench_frac = shared / benchmark-doc grams: exact int-derived
+    // doubles, unrounded by the NOTES.md rule.
+    QueryDef(
+      "contam_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.ngramOverlap(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(toks) - 2, 0) + 1),
+              |         i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM d),
+              |w AS (SELECT DISTINCT doc_id, gram FROM sh, UNNEST(sh.grams) AS g(gram)),
+              |c AS (SELECT doc_id, gram FROM w WHERE doc_id % 97 <> 0),
+              |b AS (SELECT doc_id AS bench_id, gram FROM w WHERE doc_id % 97 = 0),
+              |bsz AS (SELECT bench_id, count(*) AS bench_grams FROM b GROUP BY 1),
+              |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+              |       FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2)
+              |SELECT ov.doc_id, ov.bench_id, n_shared, bench_grams,
+              |  CAST(n_shared AS DOUBLE) / bench_grams AS bench_frac
+              |FROM ov JOIN bsz ON ov.bench_id = bsz.bench_id
+              |ORDER BY ov.doc_id, ov.bench_id""".stripMargin)
+    ),
+
+    // Doc-level quarantine list: ≥2 shared 3-grams with any benchmark doc.
+    QueryDef(
+      "contam_docs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.contaminatedDocs(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3, minShared = 2L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(toks) - 2, 0) + 1),
+              |         i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM d),
+              |w AS (SELECT DISTINCT doc_id, gram FROM sh, UNNEST(sh.grams) AS g(gram)),
+              |c AS (SELECT doc_id, gram FROM w WHERE doc_id % 97 <> 0),
+              |b AS (SELECT doc_id AS bench_id, gram FROM w WHERE doc_id % 97 = 0),
+              |bsz AS (SELECT bench_id, count(*) AS bench_grams FROM b GROUP BY 1),
+              |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+              |       FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2)
+              |SELECT doc_id, count(*) AS n_bench_hits,
+              |  CAST(sum(n_shared) AS BIGINT) AS total_shared,
+              |  max(CAST(n_shared AS DOUBLE) / bench_grams) AS max_bench_frac
+              |FROM ov JOIN bsz ON ov.bench_id = bsz.bench_id
+              |WHERE n_shared >= 2
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ─────────── intra-document repetition (Gopher-style drop rules) ─────
+    QueryDef(
+      "text_repetition",
+      (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"),
+        TextAnalysis.topTokenFrac(col("text")).as("top_token_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, toks, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              |    i -> array_to_string(toks[i:i+2], ' ')) AS g3
+              |  FROM d),
+              |tc AS (SELECT doc_id, max(c) AS mc FROM (
+              |    SELECT doc_id, tok, count(*) AS c
+              |    FROM g, UNNEST(g.toks) AS t(tok) GROUP BY 1, 2) GROUP BY 1)
+              |SELECT g.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+              |  CASE WHEN len(g2) > 0
+              |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+              |    ELSE 0.0 END AS dup_2gram_frac,
+              |  CASE WHEN len(g3) > 0
+              |    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+              |    ELSE 0.0 END AS dup_3gram_frac,
+              |  coalesce(CAST(mc AS DOUBLE) / nt, 0.0) AS top_token_frac
+              |FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id
+              |ORDER BY g.doc_id""".stripMargin)
+    ),
+
+    // ───────────────── hash-sharded training export layout ───────────────
+    QueryDef(
+      "export_shards",
+      (s, dir) => Tables.documents(s, dir)
+        .select(Sampling.shardColumn(col("doc_id"), 8).as("shard"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("shard"),
+      Some(s"""WITH b AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+              |k AS (SELECT n_chars, ($hashBucketSql) % 8 AS shard FROM b)
+              |SELECT shard, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+              |FROM k GROUP BY shard ORDER BY shard""".stripMargin)
     )
   )
 }

@@ -376,6 +376,62 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramOverlap finds planted benchmark leakage, no all-pairs join") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 10's text
+      (2L, "completely unrelated words here okay"),
+      (3L, "quick brown fox appears here too")
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")) ->
+      (r.getAs[Long]("n_shared"), r.getAs[Double]("bench_frac"))).toMap
+    // bench doc has 2 distinct 3-grams; doc 1 contains both, doc 3 only one
+    assert(rows((1L, 10L)) == ((2L, 1.0)))
+    assert(rows((3L, 10L)) == ((1L, 0.5)))
+    assert(!rows.contains((2L, 10L))) // zero shared grams → no row at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("contaminatedDocs quarantines by minShared threshold") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Contamination.contaminatedDocs(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2L).collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bench_hits"), r.getAs[Long]("total_shared"))).toMap
+    assert(out == Map(1L -> ((1L, 2L)))) // doc 2 shares only 1 gram → dropped
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupNgramFrac: loops score high, unique text scores zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),      // 3 bigrams, 1 distinct → 2/3 dup
+      (2L, "all words here differ"),    // all bigrams unique → 0
+      (3L, "ab")                        // shorter than n → 0
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.dupNgramFrac(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 - 1.0 / 3.0)
+    assert(out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
+  test("topTokenFrac: dominant token fraction, empty text safe") {
+    val df = Seq((1L, "a a a b"), (2L, "")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.topTokenFrac(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.75 && out(2L) == 0.0)
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -472,6 +528,39 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(
       df.withColumn("w", when(col("id") === 0, 0.0).otherwise(col("w"))), "id", col("w"), 4000)
     assert(!z.collect().map(_.getLong(0)).contains(0L))
+  }
+}
+
+class ShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shardColumn: stable, in range, uniform-ish for dividing shard counts") {
+    val df = spark.range(0, 4096).toDF("id")
+    val shards = df.select(Sampling.shardColumn(col("id"), 8).as("s"))
+      .groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(shards.keySet == (0 until 8).toSet)
+    // md5-uniform over 4096 ids: every shard within ±40% of the mean
+    assert(shards.values.forall(c => c > 300 && c < 720), s"skewed: $shards")
+    // invariant under repartition (pure function of the id)
+    val a = df.select(col("id"), Sampling.shardColumn(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = df.repartition(13).select(col("id"), Sampling.shardColumn(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("writeShards: shard=k dirs on disk, contents reassemble the corpus") {
+    val path = java.nio.file.Files.createTempDirectory("shards").toString + "/ds"
+    val df = spark.range(0, 500).toDF("id").withColumn("v", col("id") * 2)
+    Sampling.writeShards(df, "id", 4, path)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 4).map(k => s"shard=$k"))
+    val back = spark.read.parquet(path)
+    assert(back.count() == 500)
+    assert(back.select(sum(col("v"))).head().getLong(0) == (0L until 500L).map(_ * 2).sum)
+    // each row's directory matches its shardColumn assignment
+    val wrong = back.filter(Sampling.shardColumn(col("id"), 4) =!= col("shard")).count()
+    assert(wrong == 0)
   }
 }
 
