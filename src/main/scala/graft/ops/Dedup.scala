@@ -275,6 +275,58 @@ object Dedup {
       .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
   }
 
+  /** Fixed-width "lines": (id, line_no, line) rows chunking each doc's
+    * tokens into `tokensPerLine`-token spans (the corpus has no newline
+    * structure; real pipelines split on '\n' — the operator shape is
+    * identical). Ragged tails keep their short final line.
+    */
+  def chunkLines(df: DataFrame, idCol: String, textCol: String,
+                 tokensPerLine: Int): DataFrame = {
+    require(tokensPerLine > 0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nLines = ceil(size(toks).cast("double") / tokensPerLine).cast("int")
+    df.select(col(idCol), toks.as("__toks"), nLines.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), explode(sequence(lit(0), col("__n") - 1)).as("line_no"),
+        col("__toks"))
+      .select(col(idCol), col("line_no"),
+        concat_ws(" ", slice(col("__toks"),
+          col("line_no") * tokensPerLine + 1, lit(tokensPerLine))).as("line"))
+  }
+
+  /** C4-style cross-document line dedup: drop every line that occurs in
+    * MORE THAN ONE document (boilerplate headers/footers/navigation in a
+    * web corpus), then reassemble each doc from its surviving lines in
+    * order. Output: (id, n_lines, n_kept, clean_text) — one row per input
+    * doc, clean_text empty when everything was boilerplate.
+    *
+    * Scale: lines shuffle by their md5 (16-byte key, not text) for the
+    * occurrence count; the drop is an anti join on the same key; reassembly
+    * is one hash-agg with an in-group sort of (line_no, line) structs —
+    * no windows, no driver state, three shuffles total independent of
+    * corpus size.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 tokensPerLine: Int): DataFrame = {
+    val lines = chunkLines(df, idCol, textCol, tokensPerLine)
+      .withColumn("lh", md5(col("line")))
+    val dupes = lines.groupBy("lh")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("lh")
+    val kept = lines.join(dupes, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected components over an undirected pair graph ((id1, id2) rows,
     * e.g. [[simhashPairs]]/[[lshCandidatePairs]] output) by hash-min label
     * propagation: every node repeatedly adopts the minimum label in its

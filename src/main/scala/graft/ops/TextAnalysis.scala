@@ -199,6 +199,30 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** C4-style composite quality gate: keep/drop per document with the
+    * FIRST failing rule named (rules check in fixed order, so the reason is
+    * deterministic). One pass of pure column math over the scan — the
+    * pre-training corpus filter applied to billions of docs before any
+    * expensive stage runs.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int, maxDup2Frac: Double,
+                    minMeanTokenLen: Double, maxMeanTokenLen: Double,
+                    minStopwordRatio: Double): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t).cast("long")
+    val dup2 = dupNgramFrac(t, 2)
+    val mtl = tokenChars(t).cast("double") / tokenCount(t)
+    val stopR = stopwordCount(t, DefaultStopwords).cast("double") / tokenCount(t)
+    val reason = when(nTok < minTokens, "too_short")
+      .when(dup2 > maxDup2Frac, "repetitive")
+      .when(mtl < minMeanTokenLen || mtl > maxMeanTokenLen, "token_len")
+      .when(stopR < minStopwordRatio, "no_stopwords")
+      .otherwise("ok")
+    df.select(col(idCol), nTok.as("n_tokens"), reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
+
   def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     df.select(

@@ -1300,6 +1300,60 @@ object ExtendedQueries {
               |ORDER BY g.doc_id""".stripMargin)
     ),
 
+    // ───────────── C4-style cross-document line dedup ────────────────────
+    // Fixed 8-token "lines" (the corpus has no newlines); any line present
+    // in more than one document is boilerplate and dropped everywhere;
+    // docs reassemble from surviving lines in order. Spark shuffles line
+    // md5s, the oracle joins raw lines — identical rows.
+    QueryDef(
+      "dedup_lines",
+      (s, dir) => Dedup.dedupLines(Tables.documents(s, dir), "doc_id", "text",
+        tokensPerLine = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |ln AS (SELECT doc_id, i AS line_no,
+              |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+              |       FROM d, UNNEST(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS r(i)),
+              |dup AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+              |kept AS (SELECT doc_id, line_no, line FROM ln
+              |         WHERE line NOT IN (SELECT line FROM dup)),
+              |agg AS (SELECT doc_id, count(*) AS n_kept,
+              |          string_agg(line, ' ' ORDER BY line_no) AS clean_text
+              |        FROM kept GROUP BY doc_id),
+              |tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+              |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+              |  coalesce(a.clean_text, '') AS clean_text
+              |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+              |ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // ───────────── composite quality gate (keep/drop + reason) ───────────
+    QueryDef(
+      "quality_filter",
+      (s, dir) => TextAnalysis.qualityFilter(Tables.documents(s, dir),
+        "doc_id", "text", minTokens = 30, maxDup2Frac = 0.08,
+        minMeanTokenLen = 3.8, maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |m AS (SELECT doc_id, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_sum(list_transform(toks, t -> length(t))) AS tchars,
+              |  len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS nstop
+              |  FROM d),
+              |r AS (SELECT doc_id, nt,
+              |  CASE WHEN nt < 30 THEN 'too_short'
+              |       WHEN len(g2) > 0 AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.08 THEN 'repetitive'
+              |       WHEN CAST(tchars AS DOUBLE) / nt < 3.8 OR CAST(tchars AS DOUBLE) / nt > 5.2 THEN 'token_len'
+              |       WHEN CAST(nstop AS DOUBLE) / nt < 0.02 THEN 'no_stopwords'
+              |       ELSE 'ok' END AS reason
+              |  FROM m)
+              |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, reason,
+              |  reason = 'ok' AS keep
+              |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
     // ───────────────── hash-sharded training export layout ───────────────
     QueryDef(
       "export_shards",

@@ -65,6 +65,61 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkLines: fixed-width spans with ragged tail, empty doc dropped") {
+    val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.chunkLines(df, "doc_id", "text", tokensPerLine = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out == Map((1L, 0) -> "a b", (1L, 1) -> "c d", (1L, 2) -> "e"))
+  }
+
+  test("dedupLines drops cross-doc boilerplate, keeps in-doc order") {
+    val df = Seq(
+      (1L, "shared header words here unique one content a"),
+      (2L, "shared header words here unique two content b"),
+      (3L, "totally independent document body text")
+    ).toDF("doc_id", "text")
+    // 4-token lines: line 0 ("shared header words here") is identical in
+    // docs 1 and 2 → dropped from both; all other lines survive
+    val out = Dedup.dedupLines(df, "doc_id", "text", tokensPerLine = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 1L, "unique one content a")))
+    assert(out(2L) == ((2L, 1L, "unique two content b")))
+    assert(out(3L) == ((2L, 2L, "totally independent document body text")))
+  }
+
+  test("dedupLines: a doc that is ALL boilerplate survives with empty text") {
+    val df = Seq((1L, "same same"), (2L, "same same")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text", tokensPerLine = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out == Map(1L -> ((0L, "")), 2L -> ((0L, ""))))
+  }
+}
+
+class QualityFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityFilter names the first failing rule in fixed order") {
+    val df = Seq(
+      (1L, "the quick brown fox and a dog ran fast"),          // ok (9 toks min=5)
+      (2L, "too short"),                                        // too_short
+      (3L, "the spam spam spam spam spam spam spam spam spam"), // repetitive
+      (4L, "the aa bb cc dd ee ff gg hh ii")                    // token_len (mean 2.0 < 3)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(df, "doc_id", "text",
+      minTokens = 5, maxDup2Frac = 0.3, minMeanTokenLen = 3.0,
+      maxMeanTokenLen = 8.0, minStopwordRatio = 0.05)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (("ok", true)))
+    assert(out(2L) == (("too_short", false)))
+    assert(out(3L) == (("repetitive", false)))
+    assert(out(4L) == (("token_len", false)))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
