@@ -23,7 +23,7 @@ object Explain {
     // broadcasts k rows; scalar subqueries broadcast one row.
     val intentionalBnlj = Set(
       "ann_cosine_topk", "ann_topk_agg", "ann_quantized_topk", // brute-force baselines
-      "ann_ivf_topk",                                          // k-centroid broadcast assign
+      "ann_ivf_topk", "ann_ivf_batch_topk",                    // k-centroid broadcast assign
       "dedup_embedding",                                       // small-N verifier (lsh variant scales)
       "sq_scalar", "text_tfidf")                               // 1-row scalar broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct (id, gram-hash) rows for `n`-word shingles. Reuses
-    * [[Dedup.shingles]] (distinct-collapsed), then md5s each gram so the
-    * downstream join key is fixed-width.
+  /** Distinct (id, gram-hash) rows for `n`-word shingles, md5'd so the
+    * downstream join key is fixed-width. The token array is materialized
+    * into its own projection FIRST: a shingle lambda over the raw text
+    * expression re-tokenizes the document once per shingle (the lambda's
+    * `slice` inlines the full split+filter) — O(tokens²) per doc, measured
+    * 2.5× slower on the corpus side. Over an attribute it tokenizes once.
     */
-  def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+  def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    toks.select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("gram"))
       .select(col(idCol), md5(col("gram")).as("gh"))
+  }
 
   /** Pair-level overlap: one row per (corpus doc, benchmark doc) sharing at
     * least one n-gram, with the shared-gram count, the benchmark doc's
@@ -39,7 +44,10 @@ object Contamination {
     val bg = ngramHashes(bench, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("gh"))
     val bsz = bg.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
-    cg.join(bg, Seq("gh"))
+    // The benchmark gram set rides a broadcast: the corpus side — the
+    // 100 TB side — is probed map-side behind its scan and never shuffles;
+    // only matched (doc, bench) rows reach the aggregation exchange.
+    cg.join(broadcast(bg), Seq("gh"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(bsz), Seq("bench_id"))

@@ -41,14 +41,22 @@ object Dedup {
     * Empty when the doc has fewer than n tokens. The n-gram Jaccard unit —
     * order-sensitive where unigram sets are not.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), n)
+
+  /** Shingles over an already-computed token-array column. Callers that
+    * explode the result should materialize the tokens as their own
+    * projection first (see [[Contamination.ngramHashes]]): the `slice`
+    * inside the lambda re-evaluates whatever expression `toks` is per
+    * shingle, which is O(tokens²) when it's the full tokenizer and O(1)
+    * when it's a column attribute.
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>")))
-  }
 
   /** Seeded portable token hash: md5("<seed>|<token>"). */
   def seededHash(seed: Int, tok: Column): Column =
