@@ -116,11 +116,15 @@ object Dedup {
       df.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks")),
       minJaccard)
 
-  /** N-gram (shingle) Jaccard — same machinery over [[shingles]] sets. */
+  /** N-gram (shingle) Jaccard — same machinery over [[shingles]] sets.
+    * Tokens materialize as their own projection first so the shingle
+    * lambda reads an attribute (see [[shinglesOfTokens]]).
+    */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int, minJaccard: Double): DataFrame =
     jaccardPairsOnSets(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks")),
+      df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col("id"), shinglesOfTokens(col("__toks"), n).as("toks")),
       minJaccard)
 
   /** Core pair computation over a pre-built (id, toks) set frame. */

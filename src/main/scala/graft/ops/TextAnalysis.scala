@@ -167,13 +167,49 @@ object TextAnalysis {
     * duplicates preserved; [[Dedup.shingles]] is the set variant). Empty
     * for docs shorter than n tokens.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def ngrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  /** N-gram multiset over an already-computed token-array column. The
+    * slice inside the lambda re-evaluates whatever `toks` is per n-gram —
+    * pass a materialized attribute (see [[repetitionFeatures]]) when
+    * scanning a corpus, not the raw tokenizer expression.
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** 1 − distinct/total over a materialized gram-array column. */
+  def dupFracOfGrams(g: Column): Column =
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Top-token fraction over a materialized token-array column. */
+  def topTokenFracOfTokens(toks: Column): Column = {
+    val counts = transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+    when(size(toks) > 0,
+      array_max(counts).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
   }
+
+  /** One-pass repetition profile per document with tokens and gram arrays
+    * each materialized ONCE (the Column-level wrappers re-tokenize per
+    * array reference — fine for a single predicate, quadratic on a corpus
+    * scan). Output: (id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+    * top_token_frac).
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        ngramsOfTokens(col("__toks"), 2).as("__g2"),
+        ngramsOfTokens(col("__toks"), 3).as("__g3"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        dupFracOfGrams(col("__g2")).as("dup_2gram_frac"),
+        dupFracOfGrams(col("__g3")).as("dup_3gram_frac"),
+        topTokenFracOfTokens(col("__toks")).as("top_token_frac"))
 
   /** Gopher-style duplicate n-gram fraction: 1 − distinct/total over the
     * n-gram multiset (0 for docs shorter than n tokens). High values mark
@@ -209,17 +245,24 @@ object TextAnalysis {
                     minTokens: Int, maxDup2Frac: Double,
                     minMeanTokenLen: Double, maxMeanTokenLen: Double,
                     minStopwordRatio: Double): DataFrame = {
-    val t = col(textCol)
-    val nTok = tokenCount(t).cast("long")
-    val dup2 = dupNgramFrac(t, 2)
-    val mtl = tokenChars(t).cast("double") / tokenCount(t)
-    val stopR = stopwordCount(t, DefaultStopwords).cast("double") / tokenCount(t)
+    // tokens and the 2-gram array materialize once per doc; every rule
+    // below reads attributes, so the scan stays linear in corpus size
+    val staged = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), ngramsOfTokens(col("__toks"), 2).as("__g2"))
+    val toks = col("__toks")
+    val nTok = size(toks).cast("long")
+    val dup2 = dupFracOfGrams(col("__g2"))
+    val tchars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val mtl = tchars.cast("double") / size(toks)
+    val stopR = size(filter(toks, t => t.isInCollection(DefaultStopwords)))
+      .cast("double") / size(toks)
     val reason = when(nTok < minTokens, "too_short")
       .when(dup2 > maxDup2Frac, "repetitive")
       .when(mtl < minMeanTokenLen || mtl > maxMeanTokenLen, "token_len")
       .when(stopR < minStopwordRatio, "no_stopwords")
       .otherwise("ok")
-    df.select(col(idCol), nTok.as("n_tokens"), reason.as("reason"),
+    staged.select(col(idCol), nTok.as("n_tokens"), reason.as("reason"),
       (reason === "ok").as("keep"))
   }
 

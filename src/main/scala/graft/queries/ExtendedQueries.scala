@@ -1272,11 +1272,8 @@ object ExtendedQueries {
     // ─────────── intra-document repetition (Gopher-style drop rules) ─────
     QueryDef(
       "text_repetition",
-      (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
-        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"),
-        TextAnalysis.topTokenFrac(col("text")).as("top_token_frac"))
+      (s, dir) => TextAnalysis.repetitionFeatures(
+        Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |g AS (SELECT doc_id, toks, len(toks) AS nt,
