@@ -115,10 +115,14 @@ object StreamOps {
     * MERGE; the operator shape is unchanged.
     */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
-                 orderCol: String, checkpointDir: String): Unit = {
+                 orderCol: String, checkpointDir: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Maintenance.upsertBatch(batch, path, keys, orderCol)
+        // with partitionCols a micro-batch rewrites only the hive
+        // partitions it touches — a day's stream into a date-partitioned
+        // 100 TB table costs that day, not the table
+        graft.ops.Maintenance.upsertBatch(batch, path, keys, orderCol, partitionCols)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -181,6 +181,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(new java.io.File(sink).listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("partitioned upsertSink rewrites only the partitions a batch touches") {
+    val src  = java.nio.file.Files.createTempDirectory("pup_src")
+    val sink = java.nio.file.Files.createTempDirectory("pup_sink").toString + "/ds"
+    val ckpt = java.nio.file.Files.createTempDirectory("pup_ckpt").toString
+    def writeOne(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pup_tmp").toString
+      rows.toDF("k", "v", "seq", "dt").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    // batch 1 seeds two date partitions; batch 2 touches only 01-02
+    writeOne("b1.parquet", Seq((1L, "a", 1L, "2026-01-01"), (2L, "b", 1L, "2026-01-02")))
+    val schema = spark.read.parquet(src.toString).schema
+    StreamOps.upsertSink(spark.readStream.schema(schema).parquet(src.toString),
+      sink, Seq("k"), "seq", ckpt, partitionCols = Seq("dt"))
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = files(sink).filter(_._1.contains("dt=2026-01-01"))
+    writeOne("b2.parquet", Seq((2L, "b2", 2L, "2026-01-02"), (3L, "c", 1L, "2026-01-02")))
+    StreamOps.upsertSink(spark.readStream.schema(schema).parquet(src.toString),
+      sink, Seq("k"), "seq", ckpt, partitionCols = Seq("dt"))
+    // untouched partition is byte-identical (same files, same mtimes)
+    assert(files(sink).filter(_._1.contains("dt=2026-01-01")) == before)
+    val state = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("upsertBatch is idempotent: replaying a micro-batch changes nothing") {
     // foreachBatch re-delivers a batch after a failure — the merge must
     // tolerate replays for the sink to stay effectively exactly-once.
