@@ -306,14 +306,19 @@ object Similarity {
     */
   def probeIvfIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, idCol: String, vecCol: String,
-                         centroids: DataFrame, k: Int): DataFrame = {
+                         centroids: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val cents = broadcast(centroids.select(col("cent_id"), col("cent_v")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wAssign = Window.partitionBy("query_id").orderBy(desc("__cs"), col("cent_id"))
+    // nProbe > 1 is the IVF recall knob: probe each query's nProbe nearest
+    // lists instead of one — candidates near a Voronoi boundary live in a
+    // neighboring list, and k-NN recall rises with probed lists at a cost
+    // of nProbe/nCentroids of the index per query batch.
     val assigned = q.crossJoin(cents)
       .withColumn("__cs", round(dot(col("qv"), col("cent_v")) /
         (norm(col("qv")) * norm(col("cent_v"))), 6))
-      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
+      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id"))
     // one row per query — bounded metadata, not data
     val listIds = assigned.select("cent_id").distinct().collect().map(_.get(0))

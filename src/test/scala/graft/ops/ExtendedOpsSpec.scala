@@ -424,6 +424,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"batch $got vs per-query $want")
   }
 
+  test("batch IVF probe with nProbe = nCentroids recovers exact brute-force top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfnp").toString + "/idx"
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cents, dir)
+    val queries = vecs.filter(col("vec_id").isin(0L, 3L))
+    // probing every list makes IVF exhaustive → must equal brute force
+    val ivf = Similarity.probeIvfIndexBatch(spark, dir, queries,
+      "vec_id", "embedding", cents, k = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val bf = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf == bf, s"ivf $ivf vs brute force $bf")
+  }
+
   test("lshNearDupPairs plan has no cartesian product (scale shape)") {
     val plan = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
