@@ -119,9 +119,12 @@ object Maintenance {
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
     } else if (partitionCols.isEmpty) {
+      // allowMissingColumns = schema evolution: a batch introducing a new
+      // column back-fills null for existing rows (and vice versa), the
+      // parquet-native analog of ALTER TABLE ADD COLUMN + upsert
       val merged = spark.read.parquet(path)
         .join(latest.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(latest)
+        .unionByName(latest, allowMissingColumns = true)
       swapWrite(merged, path)
     } else {
       // Partition-scoped path: bounded driver-side list of touched partitions.
@@ -137,7 +140,7 @@ object Maintenance {
       val existingTouched = spark.read.parquet(path).filter(touchedPred)
       val merged = existingTouched
         .join(latest.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(latest)
+        .unionByName(latest, allowMissingColumns = true)
       val tmp = new Path(target.getParent, target.getName + ".upsert.tmp")
       merged.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(tmp.toString)

@@ -1351,6 +1351,77 @@ object ExtendedQueries {
               |FROM r ORDER BY doc_id""".stripMargin)
     ),
 
+    // ───────────────────────── data profiling ────────────────────────────
+    // One-pass column profile (the pre-ingest audit a pipeline runs before
+    // trusting a new feed). The average goes through an exact decimal sum
+    // (money-sum rule: a 1e9-magnitude double fold is order-dependent).
+    QueryDef(
+      "profile_orders",
+      (s, dir) => Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        sum(col("o_totalprice").isNull.cast("long")).as("null_totalprice"),
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_totalprice")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT o_custkey) AS d_custkey,
+             |  count(DISTINCT o_orderstatus) AS d_status,
+             |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
+             |  min(o_orderdate) AS min_date,
+             |  max(o_orderdate) AS max_date,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_totalprice
+             |FROM orders""".stripMargin)
+    ),
+
+    // Equal-width histogram: a codegen'd bucket projection + one hash-agg —
+    // value-distribution profiling with no sort and no sketch.
+    QueryDef(
+      "hist_totalprice",
+      (s, dir) => Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 50000).cast("int"), lit(9)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket"),
+      Some("""SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bucket,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+
+    // Quality-gate rollup per source: which feeds produce droppable docs,
+    // and why — the triage view over the composite filter.
+    QueryDef(
+      "quality_by_source",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.qualityFilter(docs, "doc_id", "text",
+          minTokens = 30, maxDup2Frac = 0.08,
+          minMeanTokenLen = 3.8, maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source", "reason")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "reason")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |m AS (SELECT doc_id, source, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_sum(list_transform(toks, t -> length(t))) AS tchars,
+              |  len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS nstop
+              |  FROM d),
+              |r AS (SELECT source,
+              |  CASE WHEN nt < 30 THEN 'too_short'
+              |       WHEN len(g2) > 0 AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.08 THEN 'repetitive'
+              |       WHEN CAST(tchars AS DOUBLE) / nt < 3.8 OR CAST(tchars AS DOUBLE) / nt > 5.2 THEN 'token_len'
+              |       WHEN CAST(nstop AS DOUBLE) / nt < 0.02 THEN 'no_stopwords'
+              |       ELSE 'ok' END AS reason
+              |  FROM m)
+              |SELECT source, reason, count(*) AS n_docs
+              |FROM r GROUP BY source, reason
+              |ORDER BY source, reason""".stripMargin)
+    ),
+
     // ───────────────── hash-sharded training export layout ───────────────
     QueryDef(
       "export_shards",

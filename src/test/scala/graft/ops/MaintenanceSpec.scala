@@ -128,6 +128,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(filesUnder(new java.io.File(path)) == before)
   }
 
+  test("upsert evolves schema: a batch with a new column back-fills nulls") {
+    val path = java.nio.file.Files.createTempDirectory("evolve").toString + "/ds"
+    Maintenance.upsertBatch(Seq((1L, "a", 1L)).toDF("k", "v", "seq"),
+      path, Seq("k"), "seq")
+    val batch = Seq((2L, "b", 1L, "extra")).toDF("k", "v", "seq", "w")
+    Maintenance.upsertBatch(batch, path, Seq("k"), "seq")
+    val rows = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[String]("w"))).toSeq
+    assert(rows == Seq((1L, "a", null), (2L, "b", "extra")))
+  }
+
   test("a pre-existing .retired directory is preserved, not clobbered") {
     val dir = java.nio.file.Files.createTempDirectory("retired")
     val path = dir.toString + "/ds"
