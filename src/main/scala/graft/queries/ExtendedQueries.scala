@@ -1351,6 +1351,82 @@ object ExtendedQueries {
               |FROM r ORDER BY doc_id""".stripMargin)
     ),
 
+    // ─────────── flagship composition: corpus prep end-to-end ───────────
+    // quality gate → line dedup → exact dedup on cleaned text →
+    // contamination quarantine → shard assignment. One disposition per
+    // corpus doc. The oracle replays every stage from the verified pieces
+    // above (quality CASE, line-dedup CTEs, md5-of-clean-text groups,
+    // contamination join, md5 shard buckets).
+    QueryDef(
+      "prep_pipeline",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        Prep.prepPipeline(
+          all.filter(col("doc_id") % 97 =!= 0),
+          all.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text",
+          minTokens = 30, maxDup2Frac = 0.08,
+          minMeanTokenLen = 3.8, maxMeanTokenLen = 5.2, minStopwordRatio = 0.02,
+          tokensPerLine = 8, contamN = 3, minShared = 2L, nShards = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks FROM documents
+              |          WHERE doc_id % 97 <> 0),
+              |m AS (SELECT doc_id, toks, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_sum(list_transform(toks, t -> length(t))) AS tchars,
+              |  len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS nstop
+              |  FROM d),
+              |q AS (SELECT doc_id, toks,
+              |  CASE WHEN nt < 30 THEN 'too_short'
+              |       WHEN len(g2) > 0 AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.08 THEN 'repetitive'
+              |       WHEN CAST(tchars AS DOUBLE) / nt < 3.8 OR CAST(tchars AS DOUBLE) / nt > 5.2 THEN 'token_len'
+              |       WHEN CAST(nstop AS DOUBLE) / nt < 0.02 THEN 'no_stopwords'
+              |       ELSE 'ok' END AS reason
+              |  FROM m),
+              |p AS (SELECT doc_id, toks FROM q WHERE reason = 'ok'),
+              |ln AS (SELECT doc_id, i AS line_no,
+              |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+              |       FROM p, UNNEST(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS r(i)),
+              |ldup AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+              |lkept AS (SELECT doc_id, line_no, line FROM ln
+              |          WHERE line NOT IN (SELECT line FROM ldup)),
+              |agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS clean_text
+              |        FROM lkept GROUP BY doc_id),
+              |fp AS (SELECT p.doc_id, md5(coalesce(a.clean_text, '')) AS fp
+              |       FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id),
+              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp),
+              |bsh AS (SELECT doc_id, list_distinct(list_transform(
+              |          range(1, greatest(len(toks) - 2, 0) + 1),
+              |          i -> array_to_string(toks[i:i+2], ' '))) AS grams
+              |        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+              |              WHERE doc_id % 97 = 0)),
+              |bw AS (SELECT DISTINCT doc_id AS bench_id, gram
+              |       FROM bsh, UNNEST(bsh.grams) AS g(gram)),
+              |csh AS (SELECT p.doc_id, list_distinct(list_transform(
+              |          range(1, greatest(len(p.toks) - 2, 0) + 1),
+              |          i -> array_to_string(p.toks[i:i+2], ' '))) AS grams FROM p),
+              |cw AS (SELECT DISTINCT doc_id, gram FROM csh, UNNEST(csh.grams) AS g(gram)),
+              |ov AS (SELECT cw.doc_id, bw.bench_id, count(*) AS n_shared
+              |       FROM cw JOIN bw ON cw.gram = bw.gram GROUP BY 1, 2),
+              |contam AS (SELECT DISTINCT doc_id FROM ov WHERE n_shared >= 2),
+              |st AS (SELECT q.doc_id,
+              |  CASE WHEN q.reason <> 'ok' THEN q.reason
+              |       WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
+              |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+              |       ELSE 'kept' END AS status,
+              |  md5(CAST(q.doc_id AS VARCHAR)) AS hh
+              |  FROM q
+              |  LEFT JOIN fp f ON q.doc_id = f.doc_id
+              |  LEFT JOIN keep k ON f.fp = k.fp
+              |  LEFT JOIN contam c ON q.doc_id = c.doc_id)
+              |SELECT doc_id, status,
+              |  CASE WHEN status = 'kept' THEN ($hashBucketSql) % 8
+              |       ELSE NULL END AS shard
+              |FROM st ORDER BY doc_id""".stripMargin)
+    ),
+
     // ───────────────────────── data profiling ────────────────────────────
     // One-pass column profile (the pre-ingest audit a pipeline runs before
     // trusting a new feed). The average goes through an exact decimal sum

@@ -120,6 +120,30 @@ class QualityFilterSpec extends SparkSpec {
   }
 }
 
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepPipeline assigns one disposition per doc with fixed precedence") {
+    val corpus = Seq(
+      (1L, "the quick brown fox and a dog ran over the hill with energy today"), // kept
+      (2L, "tiny"),                                                               // too_short
+      (3L, "the quick brown fox and a dog ran over the hill with energy today"), // exact dup of 1
+      (4L, "the secret benchmark answer key phrase is here and a dog sat around") // contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "secret benchmark answer key phrase is here")).toDF("doc_id", "text")
+    val out = Prep.prepPipeline(corpus, bench, "doc_id", "text",
+      minTokens = 5, maxDup2Frac = 0.9, minMeanTokenLen = 1.0,
+      maxMeanTokenLen = 10.0, minStopwordRatio = 0.0,
+      tokensPerLine = 50, contamN = 3, minShared = 2L, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)))).toMap
+    assert(out(1L)._1 == "kept" && out(1L)._2.isDefined)
+    assert(out(2L) == (("too_short", None)))
+    assert(out(3L) == (("exact_dup", None))) // doc 1 is the min-id keeper
+    assert(out(4L) == (("contaminated", None)))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
