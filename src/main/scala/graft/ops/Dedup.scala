@@ -287,6 +287,48 @@ object Dedup {
       .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
   }
 
+  /** Build a persisted MinHash-LSH band index for a corpus: one row per
+    * (id, band, band_hash), written PARTITIONED BY the band hash's first
+    * two hex chars (256 directories). This is the near-dup analog of
+    * [[graft.ops.Similarity.buildIvfIndex]]: signature computation over
+    * the 100 TB corpus is paid ONCE at build time; every later crawl
+    * batch probes the index instead of re-sigging the corpus. The prefix
+    * partitioning means a probe reads only the directories its own band
+    * hashes land in — for a small batch that is a fraction of the index,
+    * pruned at the scan (assert `PartitionFilters`, no full-index scan).
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+                    k: Int, rowsPerBand: Int, path: String): Unit =
+    lshBands(minhashSignatures(corpus, idCol, textCol, k), idCol, k, rowsPerBand)
+      .withColumn("bh_px", substring(col("band_hash"), 1, 2))
+      .write.mode("overwrite").partitionBy("bh_px").parquet(path)
+
+  /** Probe a persisted LSH index with an incoming batch: candidate
+    * near-dup pairs (new_id, corpus_id) — incoming docs sharing any band
+    * bucket with an indexed corpus doc. The incoming side's band table is
+    * broadcast (a crawl batch is small next to the corpus), its distinct
+    * hash prefixes — bounded driver-side metadata, at most 256 values —
+    * become an IN partition filter on the index scan, and the join output
+    * carries only id pairs. Verification (exact Jaccard on the candidate
+    * pairs) joins text back by id downstream, so no text ever rides the
+    * index or the probe shuffle.
+    */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    incoming: DataFrame, idCol: String, textCol: String,
+                    k: Int, rowsPerBand: Int): DataFrame = {
+    val inBands = lshBands(minhashSignatures(incoming, idCol, textCol, k),
+        idCol, k, rowsPerBand)
+      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+    val prefixes = inBands.select(substring(col("band_hash"), 1, 2).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
+    spark.read.parquet(path)
+      .filter(col("bh_px").isin(prefixes: _*))
+      .join(broadcast(inBands), Seq("band", "band_hash"))
+      .filter(col("new_id") =!= col(idCol))
+      .select(col("new_id"), col(idCol).as("corpus_id"))
+      .distinct()
+  }
+
   /** Fixed-width "lines": (id, line_no, line) rows chunking each doc's
     * tokens into `tokensPerLine`-token spans (the corpus has no newline
     * structure; real pipelines split on '\n' — the operator shape is

@@ -373,6 +373,40 @@ object ExtendedQueries {
       }
     ),
 
+    // Persisted LSH index + incremental probe: dedupe a NEW crawl batch
+    // against the already-indexed corpus without re-sigging the corpus.
+    // The oracle replays both sides' band computation and the band join.
+    QueryDef(
+      "dedup_lsh_index_probe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus   = docs.filter(col("doc_id") % 50 === 0)
+        val incoming = docs.filter(col("doc_id") % 50 === 25)
+        val idx = java.nio.file.Files.createTempDirectory("lshidx").toString + "/idx"
+        Dedup.buildLshIndex(corpus, "doc_id", "text", k = 8, rowsPerBand = 2, idx)
+        Dedup.probeLshIndex(s, idx, incoming, "doc_id", "text", k = 8, rowsPerBand = 2)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+        def bands(src: String) = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM $src"
+        ).mkString(" UNION ALL ")
+        def sig(m: Int) =
+          s"""SELECT doc_id, $mins FROM (
+             |  SELECT DISTINCT doc_id, tok
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = $m) d,
+             |       UNNEST(d.toks) AS t(tok)) w GROUP BY doc_id""".stripMargin
+        s"""WITH sc AS (${sig(0)}),
+           |si AS (${sig(25)}),
+           |cb AS (${bands("sc")}),
+           |ib AS (${bands("si")})
+           |SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+           |FROM ib i JOIN cb c ON i.band = c.band AND i.bh = c.bh
+           |ORDER BY new_id, corpus_id""".stripMargin
+      }
+    ),
+
     QueryDef(
       "dedup_jaccard",
       (s, dir) => Dedup.jaccardPairs(
@@ -1332,6 +1366,46 @@ object ExtendedQueries {
         "doc_id", "text", minTokens = 30, maxDup2Frac = 0.08,
         minMeanTokenLen = 3.8, maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
         .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |m AS (SELECT doc_id, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_sum(list_transform(toks, t -> length(t))) AS tchars,
+              |  len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS nstop
+              |  FROM d),
+              |r AS (SELECT doc_id, nt,
+              |  CASE WHEN nt < 30 THEN 'too_short'
+              |       WHEN len(g2) > 0 AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.08 THEN 'repetitive'
+              |       WHEN CAST(tchars AS DOUBLE) / nt < 3.8 OR CAST(tchars AS DOUBLE) / nt > 5.2 THEN 'token_len'
+              |       WHEN CAST(nstop AS DOUBLE) / nt < 0.02 THEN 'no_stopwords'
+              |       ELSE 'ok' END AS reason
+              |  FROM m)
+              |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, reason,
+              |  reason = 'ok' AS keep
+              |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Streaming corpus prep: the quality gate applied to a document
+    // FIREHOSE — stateless column math runs unchanged under readStream
+    // (append mode, no state store), so in-flight filtering costs the
+    // same as the batch scan and the batch oracle verifies it verbatim.
+    QueryDef(
+      "doc_quality_stream",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        // FileStreamSource needs a directory: symlink the single-file table
+        val streamDir = java.nio.file.Files.createTempDirectory("docstream")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val gated = TextAnalysis.qualityFilter(stream, "doc_id", "text",
+          minTokens = 30, maxDup2Frac = 0.08,
+          minMeanTokenLen = 3.8, maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
+        val name = s"doc_quality_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(gated, name, outputMode = "append")
+        s.table(name).orderBy("doc_id")
+      },
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |m AS (SELECT doc_id, len(toks) AS nt,
               |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),

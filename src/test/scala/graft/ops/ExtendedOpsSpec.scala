@@ -179,6 +179,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("persisted LSH index: probe prunes by hash prefix, agrees with in-memory bands") {
+    val idx = java.nio.file.Files.createTempDirectory("lshix").toString + "/idx"
+    val corpus   = docs.filter(col("doc_id") =!= 3L)
+    val incoming = docs.filter(col("doc_id") === 3L)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", k = 8, rowsPerBand = 2, idx)
+    val probe = Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text",
+      k = 8, rowsPerBand = 2)
+    // prefix pruning reaches the scan: bh_px is a partition filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bh_px"),
+      s"expected bh_px partition pruning:\n$plan")
+    // candidates == the in-memory band self-join restricted to cross pairs
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a == 3L) != (b == 3L) }
+      .map { case (a, b) => if (a == 3L) (a, b) else (b, a) }.toSet
+    assert(got == full, s"probe $got != in-memory cross pairs $full")
+    assert(got.contains((3L, 1L))) // near-dup of doc 1 is found via the index
+  }
+
   test("shingles: word 2-grams, order-sensitive, short docs empty") {
     val out = Seq(("a b c d"), ("d c b a"), ("solo")).toDF("text")
       .select(Dedup.shingles(col("text"), 2).as("sh")).collect()
