@@ -569,6 +569,246 @@ object CoreQueries {
              |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 40)""".stripMargin)
     ),
 
+    // ── TPC-H q7 shape: bidirectional nation-pair trade volume ────────────
+    // Both dimension chains (supplier→nation, customer→nation) are
+    // prefiltered to the two nations BEFORE the fact joins, so the big
+    // lineitem⋈orders shuffle carries only pair-relevant rows; nation is
+    // broadcast into both sides.
+    QueryDef(
+      "q7_volume_shipping",
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        val o = Tables.orders(s, dir)
+        val suN = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .filter(col("supp_nation").isin(pair: _*))
+        val cN = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("c_nk"))
+          .filter(col("cust_nation").isin(pair: _*))
+        val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)")
+        li.join(broadcast(suN), li("l_suppkey") === suN("s_suppkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(cN, o("o_custkey") === cN("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |    l_extendedprice, l_discount
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    ),
+
+    // ── TPC-H q8 shape: market share of one nation within a region ────────
+    QueryDef(
+      "q8_market_share",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        val cR = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val suN = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "supp_nation")
+        val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(cR, o("o_custkey") === cR("c_custkey"))
+          .join(broadcast(suN), li("l_suppkey") === suN("s_suppkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("vol", rev)
+          .groupBy("o_year")
+          .agg((sum(when(col("supp_nation") === "NATION_3", col("vol"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(col("vol")).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT o_year,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             |    / CAST(sum(vol) AS DOUBLE) AS mkt_share
+             |FROM (
+             |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS vol,
+             |    n1.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  JOIN region ON n2.n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    ),
+
+    // ── TPC-H q9 shape: product profit by supplier nation and year ────────
+    // (the corpus has no partsupp/ps_supplycost; profit is adapted to
+    // discounted revenue — same join tree and aggregation shape)
+    QueryDef(
+      "q9_product_profit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+        val suN = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select("s_suppkey", "nation")
+        val rev = (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(suN), li("l_suppkey") === suN("s_suppkey"))
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy("nation", "o_year")
+          .agg(sum(rev).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2 DESC""".stripMargin)
+    ),
+
+    // ── TPC-H q13 shape: customer order-count distribution ────────────────
+    // Left outer join with a join-side predicate (not a WHERE — customers
+    // with zero qualifying orders must survive with c_count = 0), then a
+    // second aggregation over the first's result.
+    QueryDef(
+      "q13_order_distribution",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    ),
+
+    // ── TPC-H q15 shape: top supplier vs a scalar-subquery max ────────────
+    QueryDef(
+      "q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("timestamp'1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(4,2)"))
+            .cast("decimal(18,4)")).cast("double").as("total_revenue"))
+        val mx = rev.agg(max("total_revenue").as("mx"))
+        rev.join(broadcast(mx)).filter(col("total_revenue") === col("mx"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("supplier_no") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)
+    ),
+
+    // ── TPC-H q22 shape: above-average idle customers per segment ─────────
+    // (the corpus has no c_phone; the country-code substring group is
+    // adapted to c_mktsegment, and "no orders" to "no 1-URGENT orders" —
+    // every sf0.01 customer has SOME order — keeping the same
+    // scalar-subquery threshold + NOT EXISTS anti join + aggregate
+    // shape). The threshold is derived as exact-decimal sum / count so
+    // both engines compute the identical double.
+    QueryDef(
+      "q22_idle_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val thr = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("thr"))
+        c.join(broadcast(thr)).filter(col("c_acctbal") > col("thr"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             |    FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     // ── distinct aggregates ────────────────────────────────────────────────
     QueryDef(
       "agg_distinct",
