@@ -25,7 +25,8 @@ object Explain {
       "ann_cosine_topk", "ann_topk_agg", "ann_quantized_topk", // brute-force baselines
       "ann_ivf_topk", "ann_ivf_batch_topk",                    // k-centroid broadcast assign
       "dedup_embedding",                                       // small-N verifier (lsh variant scales)
-      "sq_scalar", "text_tfidf")                               // 1-row scalar broadcasts
+      "sq_scalar", "text_tfidf",                               // 1-row scalar broadcasts
+      "q15_top_supplier", "q22_idle_customers")                // 1-row max/avg threshold broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers

@@ -43,14 +43,22 @@ object Contamination {
       .select(col(idCol).as("doc_id"), col("gh"))
     val bg = ngramHashes(bench, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("gh"))
+    // Each benchmark gram row carries its doc's total gram count, so the
+    // overlap needs ONE aggregation with no post-agg join — bench_grams is
+    // functionally dependent on bench_id, making it a free grouping key.
+    // This also keeps the whole operator legal under Structured Streaming
+    // with a streaming `corpus` side (stream-static joins after a
+    // streaming aggregation are unsupported, joins and aggregations
+    // before one are fine) — the in-flight contamination check costs the
+    // same plan as the batch one.
     val bsz = bg.groupBy("bench_id").agg(count(lit(1)).as("bench_grams"))
+    val bgz = bg.join(bsz, Seq("bench_id"))
     // The benchmark gram set rides a broadcast: the corpus side — the
     // 100 TB side — is probed map-side behind its scan and never shuffles;
     // only matched (doc, bench) rows reach the aggregation exchange.
-    cg.join(broadcast(bg), Seq("gh"))
-      .groupBy("doc_id", "bench_id")
+    cg.join(broadcast(bgz), Seq("gh"))
+      .groupBy("doc_id", "bench_id", "bench_grams")
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(bsz), Seq("bench_id"))
       // exact integer division in double — identical bits on any engine,
       // so no rounding (NOTES.md: never round values derived from the
       // same integers)

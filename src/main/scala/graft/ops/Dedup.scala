@@ -299,9 +299,25 @@ object Dedup {
     */
   def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
                     k: Int, rowsPerBand: Int, path: String): Unit =
-    lshBands(minhashSignatures(corpus, idCol, textCol, k), idCol, k, rowsPerBand)
+    writeLshIndex(corpus, idCol, textCol, k, rowsPerBand, path, "overwrite")
+
+  /** Index maintenance: append a new batch's band rows to an existing LSH
+    * index — the accepted docs of each crawl batch join the index without
+    * a rebuild (the signature cost is the batch's, not the corpus's).
+    * Parameters k/rowsPerBand must match the build; band hashes land in
+    * the same prefix directories, so later probes see old and new docs
+    * through the identical pruned scan.
+    */
+  def appendLshIndex(batch: DataFrame, idCol: String, textCol: String,
+                     k: Int, rowsPerBand: Int, path: String): Unit =
+    writeLshIndex(batch, idCol, textCol, k, rowsPerBand, path, "append")
+
+  private def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, rowsPerBand: Int, path: String,
+                            mode: String): Unit =
+    lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
       .withColumn("bh_px", substring(col("band_hash"), 1, 2))
-      .write.mode("overwrite").partitionBy("bh_px").parquet(path)
+      .write.mode(mode).partitionBy("bh_px").parquet(path)
 
   /** Probe a persisted LSH index with an incoming batch: candidate
     * near-dup pairs (new_id, corpus_id) — incoming docs sharing any band

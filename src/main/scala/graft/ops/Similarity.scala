@@ -258,7 +258,22 @@ object Similarity {
     * once, and each query reads corpus/nCentroids bytes, not the corpus.
     */
   def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, path: String): Unit = {
+                    centroids: DataFrame, path: String): Unit =
+    writeIvfIndex(candidates, idCol, vecCol, centroids, path, "overwrite")
+
+  /** Index maintenance: assign a NEW vector batch to the existing
+    * centroids and append into the index's list partitions — no rebuild,
+    * no touch of existing files; probes immediately see old and new
+    * vectors through the same pruned scan. The quantizer (centroids) must
+    * be the build's: re-training centroids requires a rebuild, appending
+    * with drifted centroids silently degrades recall.
+    */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, path: String): Unit =
+    writeIvfIndex(batch, idCol, vecCol, centroids, path, "append")
+
+  private def writeIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, path: String, mode: String): Unit = {
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     val scored = candidates
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
@@ -268,7 +283,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(desc("__cs"), col("cent_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+      .write.mode(mode).partitionBy("cent_id").parquet(path)
   }
 
   /** Probe a persisted IVF index for one query vector's top-k: assign the

@@ -1303,6 +1303,44 @@ object ExtendedQueries {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // In-flight contamination: the corpus side is a document STREAM; the
+    // benchmark gram set (static, broadcast, carrying per-doc totals) is
+    // joined BEFORE the single streaming aggregation, so the whole check
+    // is legal structured streaming (no post-agg stream-static join) and
+    // the batch oracle verifies it verbatim.
+    QueryDef(
+      "contam_stream",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val streamDir = java.nio.file.Files.createTempDirectory("contamstream")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        val stream = s.readStream.schema(docs.schema).parquet(streamDir.toString)
+        val out = Contamination.ngramOverlap(
+          stream.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        val name = s"contam_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(out, name, outputMode = "complete")
+        s.table(name).orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(toks) - 2, 0) + 1),
+              |         i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM d),
+              |w AS (SELECT DISTINCT doc_id, gram FROM sh, UNNEST(sh.grams) AS g(gram)),
+              |c AS (SELECT doc_id, gram FROM w WHERE doc_id % 97 <> 0),
+              |b AS (SELECT doc_id AS bench_id, gram FROM w WHERE doc_id % 97 = 0),
+              |bsz AS (SELECT bench_id, count(*) AS bench_grams FROM b GROUP BY 1),
+              |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+              |       FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2)
+              |SELECT ov.doc_id, ov.bench_id, n_shared, bench_grams,
+              |  CAST(n_shared AS DOUBLE) / bench_grams AS bench_frac
+              |FROM ov JOIN bsz ON ov.bench_id = bsz.bench_id
+              |ORDER BY ov.doc_id, ov.bench_id""".stripMargin)
+    ),
+
     // ─────────── intra-document repetition (Gopher-style drop rules) ─────
     QueryDef(
       "text_repetition",
