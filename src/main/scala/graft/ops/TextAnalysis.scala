@@ -163,6 +163,39 @@ object TextAnalysis {
         col("rank"), col("score"))
   }
 
+  /** Unigram language-model quality score: each document's mean corpus
+    * frequency of its tokens, reported as ln(Σ count(tok) / (n_tokens ·
+    * total_tokens)) — the cheap stand-in for perplexity-based filtering
+    * when no trained LM is available: docs of rare/garbled vocabulary
+    * score low, docs of common well-formed text score high.
+    *
+    * Determinism: everything aggregated is an INTEGER count (associative
+    * — any shuffle order gives identical sums); the single ln runs once
+    * per doc on identical doubles and is rounded to 9 dp so libm ulp
+    * differences can't diverge engines (same convention as
+    * [[tfidfTopTerms]]). A per-token Σ ln p(tok) would be a
+    * floating-point sum in shuffle order — NOT reproducible — which is
+    * why the score is the log of the mean, not the mean of the logs.
+    *
+    * Scale: one hash-agg for the frequency table, one (tok)-keyed join
+    * of the exploded corpus against it (map-side combine collapses each
+    * partition's token multiset first), one per-doc integer agg, one
+    * 1-row broadcast. Nothing quadratic, no double summed across rows.
+    */
+  def unigramLogFreq(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val freq  = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(sum("cnt").as("sum_cnt"), count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("n_tokens"),
+        round(log(col("sum_cnt").cast("double") /
+          (col("n_tokens").cast("double") * col("total").cast("double"))), 9)
+          .as("mean_logfreq"))
+  }
+
   /** Word n-gram MULTISET (no distinct-collapse — repetition measures need
     * duplicates preserved; [[Dedup.shingles]] is the set variant). Empty
     * for docs shorter than n tokens.

@@ -256,6 +256,30 @@ object ExtendedQueries {
               |ORDER BY doc_id, rank""".stripMargin)
     ),
 
+    // Unigram-LM quality score: ln of each doc's mean token corpus
+    // frequency — the perplexity-filter stand-in. Integer sums only
+    // (shuffle-order-proof); one ln per doc rounded to 9 dp.
+    QueryDef(
+      "text_unigram_score",
+      (s, dir) => TextAnalysis.unigramLogFreq(
+        Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id AS id, tok
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d,
+              |       UNNEST(d.toks) AS x(tok)),
+              |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+              |tot AS (SELECT count(*) AS total FROM t),
+              |s AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+              |        count(*) AS n_tokens
+              |      FROM t JOIN f USING (tok) GROUP BY id)
+              |SELECT id AS doc_id, n_tokens,
+              |  round(ln(CAST(sum_cnt AS DOUBLE) /
+              |    (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE))), 9) AS mean_logfreq
+              |FROM s CROSS JOIN tot ORDER BY doc_id""".stripMargin)
+    ),
+
     // ───────────────────────── dedup family ──────────────────────────────
     QueryDef(
       "dedup_exact",

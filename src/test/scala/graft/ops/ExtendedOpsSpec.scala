@@ -29,6 +29,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getString(1) == "und")
   }
 
+  test("unigramLogFreq scores docs by mean corpus token frequency") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogFreq(df, "doc_id", "text")
+      .orderBy("id").collect()
+    // corpus counts: a=2 b=2 c=1, total=5
+    // doc1: (2+2+2)/(3*5)=0.4   doc2: (2+1)/(2*5)=0.3
+    assert(out(0).getAs[Long]("n_tokens") == 3)
+    assert(out(0).getAs[Double]("mean_logfreq") == math.rint(math.log(0.4) * 1e9) / 1e9)
+    assert(out(1).getAs[Double]("mean_logfreq") == math.rint(math.log(0.3) * 1e9) / 1e9)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val df = Seq(("a  b\tc"), ("A B C")).toDF("text")
       .select(TextAnalysis.fingerprint(col("text"))).collect()
@@ -198,6 +209,22 @@ class DedupSpec extends SparkSpec {
       .map { case (a, b) => if (a == 3L) (a, b) else (b, a) }.toSet
     assert(got == full, s"probe $got != in-memory cross pairs $full")
     assert(got.contains((3L, 1L))) // near-dup of doc 1 is found via the index
+  }
+
+  test("LSH index append: probe sees appended docs identically to a full rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("lshap").toString
+    val (inc, rebuilt) = (base + "/inc", base + "/full")
+    val partA = docs.filter(col("doc_id") <= 2L)
+    val partB = docs.filter(col("doc_id") === 4L)
+    val incoming = docs.filter(col("doc_id") === 3L)
+    Dedup.buildLshIndex(partA, "doc_id", "text", k = 8, rowsPerBand = 2, inc)
+    Dedup.appendLshIndex(partB, "doc_id", "text", k = 8, rowsPerBand = 2, inc)
+    Dedup.buildLshIndex(docs.filter(col("doc_id") =!= 3L), "doc_id", "text",
+      k = 8, rowsPerBand = 2, rebuilt)
+    def pairs(path: String) =
+      Dedup.probeLshIndex(spark, path, incoming, "doc_id", "text", k = 8, rowsPerBand = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(inc) == pairs(rebuilt))
   }
 
   test("shingles: word 2-grams, order-sensitive, short docs empty") {
@@ -439,6 +466,20 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 2, cents)
       .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == mem)
+  }
+
+  test("IVF index append: probes see appended vectors identically to a full rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("ivfap").toString
+    val (inc, rebuilt) = (base + "/inc", base + "/full")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    Similarity.buildIvfIndex(vecs.filter(col("vec_id") <= 1L), "vec_id", "embedding", cents, inc)
+    Similarity.appendIvfIndex(vecs.filter(col("vec_id") > 1L), "vec_id", "embedding", cents, inc)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cents, rebuilt)
+    def top(path: String) =
+      Similarity.probeIvfIndex(spark, path, queryId = 0L,
+        queryVec = Seq(1.0f, 0.0f, 0.0f), centroids = cents, k = 3)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+    assert(top(inc) == top(rebuilt) && top(inc).nonEmpty)
   }
 
   test("batch IVF probe: one IN-pruned scan, agrees with per-query probes") {
