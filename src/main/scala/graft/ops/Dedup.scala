@@ -180,6 +180,32 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Edit-distance verification of candidate pairs: attach both texts by
+    * id and keep pairs with `levenshtein ≤ maxDist` (whitespace-normalized
+    * first, so reformatting noise doesn't inflate the distance). The
+    * complement of set-based verifiers: Jaccard is order-blind,
+    * edit distance is exactly order-sensitive — "a b c" vs "c b a" is
+    * jaccard 1.0 but distance 4.
+    *
+    * Scale: levenshtein is O(len²) per pair, which is why it only ever
+    * runs on CANDIDATE pairs (LSH/SimHash output), never the corpus —
+    * the same verify-after-candidates contract as [[verifyPairsJaccard]].
+    * Two narrow id-keyed joins re-attach text; the quadratic cost is
+    * bounded by candidate count × document length.
+    */
+  def verifyPairsEditDistance(docs: DataFrame, pairs: DataFrame,
+                              idCol: String, textCol: String,
+                              maxDist: Int): DataFrame = {
+    val norm = concat_ws(" ", TextAnalysis.tokens(col(textCol)))
+    val t = docs.select(col(idCol).as("__id"), norm.as("__t"))
+    pairs
+      .join(t.select(col("__id").as("id1"), col("__t").as("__t1")), Seq("id1"))
+      .join(t.select(col("__id").as("id2"), col("__t").as("__t2")), Seq("id2"))
+      .withColumn("edit_dist", levenshtein(col("__t1"), col("__t2")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id1", "id2", "edit_dist")
+  }
+
   /** The full training-data dedup pipeline, composed for scale:
     *
     *  1. exact collapse — normalized fingerprint, min-id survivor per group

@@ -431,6 +431,37 @@ object ExtendedQueries {
       }
     ),
 
+    // LSH candidates verified by EDIT DISTANCE (order-sensitive, the
+    // complement of Jaccard): levenshtein over whitespace-normalized
+    // text, computed only on candidate pairs.
+    QueryDef(
+      "dedup_fuzzy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+        Dedup.verifyPairsEditDistance(docs,
+          Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, rowsPerBand = 2),
+          "doc_id", "text", maxDist = 200)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM s"
+        ).mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0),
+           |w AS (SELECT DISTINCT doc_id, tok FROM d, UNNEST(d.toks) AS t(tok)),
+           |s AS (SELECT doc_id, $mins FROM w GROUP BY doc_id),
+           |bands AS ($bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+           |         FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id),
+           |txt AS (SELECT doc_id, array_to_string(toks, ' ') AS t FROM d)
+           |SELECT id1, id2, CAST(levenshtein(t1.t, t2.t) AS INTEGER) AS edit_dist
+           |FROM cand JOIN txt t1 ON id1 = t1.doc_id JOIN txt t2 ON id2 = t2.doc_id
+           |WHERE levenshtein(t1.t, t2.t) <= 200
+           |ORDER BY id1, id2""".stripMargin
+      }
+    ),
+
     QueryDef(
       "dedup_jaccard",
       (s, dir) => Dedup.jaccardPairs(

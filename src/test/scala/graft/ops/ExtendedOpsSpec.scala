@@ -211,6 +211,14 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 1L))) // near-dup of doc 1 is found via the index
   }
 
+  test("verifyPairsEditDistance: normalized levenshtein on candidate pairs only") {
+    val d = Seq((1L, "a  b c"), (2L, "a b d"), (3L, "c b a")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val out = Dedup.verifyPairsEditDistance(d, pairs, "doc_id", "text", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("edit_dist")).toMap
+    assert(out == Map((1L, 2L) -> 1)) // whitespace normalized; (1,3) dist 2 filtered
+  }
+
   test("LSH index append: probe sees appended docs identically to a full rebuild") {
     val base = java.nio.file.Files.createTempDirectory("lshap").toString
     val (inc, rebuilt) = (base + "/inc", base + "/full")
