@@ -1619,6 +1619,28 @@ object ExtendedQueries {
              |FROM orders""".stripMargin)
     ),
 
+    // Generic multi-column profile: every column's metrics in ONE agg
+    // pass, unpivoted AFTER aggregation (stack multiplies #cols rows,
+    // never the table).
+    QueryDef(
+      "profile_columns",
+      (s, dir) => Profile.profileNumeric(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+             |  CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_v
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }
+    ),
+
     // Equal-width histogram: a codegen'd bucket projection + one hash-agg —
     // value-distribution profiling with no sort and no sketch.
     QueryDef(

@@ -541,6 +541,26 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileNumeric: one row per column, nulls and distincts counted") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0))
+      .toDF("a", "b")
+    val out = Profile.profileNumeric(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getAs[Long]("n") == 3 &&
+      a.getAs[Long]("n_null") == 0 && a.getAs[Long]("n_distinct") == 2 &&
+      a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 2.0 &&
+      a.getAs[Double]("mean_v") == 5.0 / 3)
+    val b = out(1)
+    assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2 &&
+      b.getAs[Double]("mean_v") == 20.0)
+  }
+}
+
 class ContaminationSpec extends SparkSpec {
   import spark.implicits._
 
