@@ -161,4 +161,36 @@ object Sampling {
       .select(col(idCol), col("w"), weightedKey(col(idCol), col("w")).as("skey"))
       .orderBy(desc("skey"), col(idCol))
       .limit(k)
+
+  /** Sequence packing for pretraining: documents are concatenated in id
+    * order within each shard and cut into fixed `chunkTokens` training
+    * sequences; each doc reports the byte-range analog in token space —
+    * its start offset, the first and last chunk it lands in, and how many
+    * chunk boundaries cross it. This is the "concatenate and chunk"
+    * step of every LM data loader, computed as metadata so the writer
+    * can materialize sequences later.
+    *
+    * Scale: the running total is a window SUM over BIGINTs — exact in
+    * any order — partitioned BY SHARD, so parallelism is the shard
+    * count and no global single-partition window exists (the same
+    * reason [[epochShuffle]] range-repartitions). Each training rank
+    * packs its own shard independently, which is exactly how a
+    * distributed loader consumes it.
+    */
+  def packChunks(df: DataFrame, idCol: String, nTokensCol: String,
+                 nShards: Int, chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"),
+        shardColumn(col(idCol), nShards).as("shard"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("chunk_first", (col("start_tok") / chunkTokens).cast("long"))
+      .withColumn("chunk_last",
+        (greatest(col("start_tok") + col("n_tokens") - 1, col("start_tok")) /
+          chunkTokens).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("start_tok"),
+        col("chunk_first"), col("chunk_last"))
+  }
 }

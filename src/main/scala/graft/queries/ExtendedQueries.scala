@@ -1700,6 +1700,31 @@ object ExtendedQueries {
               |SELECT shard, count(*) AS n_docs,
               |  CAST(sum(n_chars) AS BIGINT) AS total_chars
               |FROM k GROUP BY shard ORDER BY shard""".stripMargin)
+    ),
+
+    // Sequence packing: concatenate docs in id order WITHIN each shard,
+    // cut into 256-token training sequences — per-doc offset and chunk
+    // span as metadata. The running total is a per-shard window sum of
+    // BIGINTs (exact in any order, parallelism = shard count).
+    QueryDef(
+      "sample_pack_chunks",
+      (s, dir) => Sampling.packChunks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+        "doc_id", "n_toks", nShards = 8, chunkTokens = 256L)
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |         md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+              |k AS (SELECT doc_id, n_tokens, CAST(($hashBucketSql) % 8 AS INTEGER) AS shard FROM b),
+              |o AS (SELECT doc_id, shard, n_tokens,
+              |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+              |  FROM k)
+              |SELECT doc_id, shard, n_tokens, start_tok,
+              |  CAST(floor(start_tok / 256.0) AS BIGINT) AS chunk_first,
+              |  CAST(floor(greatest(start_tok + n_tokens - 1, start_tok) / 256.0) AS BIGINT) AS chunk_last
+              |FROM o ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -622,6 +622,26 @@ class SamplingSpec extends SparkSpec {
 
   private def ids = spark.range(0, 4000).toDF("id")
 
+  test("packChunks: in-shard id-ordered cumsum, chunk spans cover doc token ranges") {
+    // single shard → deterministic sequential packing over id order
+    val df = Seq((1L, 100L), (2L, 200L), (3L, 30L), (4L, 300L))
+      .toDF("doc_id", "n_toks")
+    val out = Sampling.packChunks(df, "doc_id", "n_toks",
+        nShards = 1, chunkTokens = 256L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L),     // [0,100)    → chunk 0
+      (2L, 100L, 0L, 1L),   // [100,300)  → straddles 0→1
+      (3L, 300L, 1L, 1L),   // [300,330)  → chunk 1
+      (4L, 330L, 1L, 2L)))  // [330,630)  → 1→2
+    // zero-token doc occupies no range but maps to its boundary chunk
+    val z = Sampling.packChunks(Seq((9L, 0L)).toDF("doc_id", "n_toks"),
+      "doc_id", "n_toks", nShards = 1, chunkTokens = 256L).head()
+    assert(z.getAs[Long]("chunk_first") == 0L && z.getAs[Long]("chunk_last") == 0L)
+  }
+
   test("hashBucket in [0, 4096) and invariant under repartition") {
     val b1 = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
