@@ -343,6 +343,12 @@ object Dedup {
                             mode: String): Unit =
     lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
       .withColumn("bh_px", substring(col("band_hash"), 1, 2))
+      // organize-on-write: co-locate each prefix before the partitioned
+      // write, so every bh_px=… directory holds ~1 file per writer task
+      // that owns the prefix instead of one file per task per prefix —
+      // 256 dirs × T tasks of tiny files is a listing/open cost at every
+      // later probe
+      .repartition(col("bh_px"))
       .write.mode(mode).partitionBy("bh_px").parquet(path)
 
   /** Probe a persisted LSH index with an incoming batch: candidate

@@ -283,6 +283,10 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(desc("__cs"), col("cent_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id"))
+      // organize-on-write: co-locate each inverted list before the
+      // partitioned write (one file per list per writer that owns it,
+      // not per task) — a probe opens O(1) files per probed list
+      .repartition(col("cent_id"))
       .write.mode(mode).partitionBy("cent_id").parquet(path)
   }
 
