@@ -809,6 +809,208 @@ object CoreQueries {
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),
 
+    // ── TPC-H q2 shape: min-cost supplier per part in a region ────────────
+    // No partsupp table in the corpus; lineitem stands in as the
+    // part–supplier supply relation with supply_cost = min line price per
+    // (part, supplier) — decimal-exact, so min() is engine-portable. The
+    // correlated min-cost subquery becomes a re-aggregation + equi-join;
+    // the region-filtered supplier dimension and the part filter are
+    // broadcast (both bounded dims), so the only big shuffles are the
+    // supply aggregation and the per-part min — each on a single key.
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        val supply = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("cost"))
+        val dims = Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+        val eligible = supply.join(broadcast(dims), col("suppkey") === col("s_suppkey"))
+        val minCost = eligible.groupBy("partkey").agg(min("cost").as("mincost"))
+        eligible.join(minCost, Seq("partkey"))
+          .filter(col("cost") === col("mincost"))
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_size") <= 10 && col("p_type") === "LARGE")),
+            col("partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+            col("p_brand"), col("cost").cast("double").as("supply_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH supply AS (
+             |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+             |  FROM lineitem GROUP BY 1,2),
+             |eligible AS (
+             |  SELECT su.partkey, su.cost, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+             |  FROM supply su JOIN supplier s ON su.suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE')
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             |       CAST(cost AS DOUBLE) AS supply_cost
+             |FROM eligible e JOIN part p ON e.partkey = p.p_partkey
+             |WHERE p_size <= 10 AND p_type = 'LARGE'
+             |  AND cost = (SELECT min(cost) FROM eligible e2 WHERE e2.partkey = e.partkey)
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+    ),
+
+    // ── TPC-H q11 shape: important stock value per part vs global share ───
+    // Inventory value adapted to lineitem (price × qty, decimal-exact).
+    // The scalar-subquery total is the decimal re-sum of the per-part
+    // group sums (associative, exact) — one shuffle total, not a second
+    // scan; the threshold comparison happens in double on both engines.
+    QueryDef(
+      "q11_important_stock",
+      (s, dir) => {
+        val suppN = Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val joined = Tables.lineitem(s, dir)
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        val value = joined
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_quantity").cast("decimal(12,2)")).as("dval"))
+        val total = value.agg(sum("dval").cast("double").as("total"))
+        value.join(broadcast(total))
+          .filter(col("dval").cast("double") > col("total") * 0.0003)
+          .select(col("partkey"), col("dval").cast("double").as("val"))
+          .orderBy(col("val").desc, col("partkey"))
+      },
+      Some("""WITH value AS (
+             |  SELECT l_partkey AS partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS dval
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_3' GROUP BY 1)
+             |SELECT partkey, CAST(dval AS DOUBLE) AS val FROM value
+             |WHERE CAST(dval AS DOUBLE) > (SELECT CAST(sum(dval) AS DOUBLE) * 0.0003 FROM value)
+             |ORDER BY val DESC, partkey""".stripMargin)
+    ),
+
+    // ── TPC-H q16 shape: supplier counts by part attribute, NOT IN dim ────
+    // The part–supplier relation is the distinct (l_partkey, l_suppkey)
+    // projection; the NOT IN over negative-balance suppliers is a
+    // broadcast anti join (s_suppkey is non-null, so anti ≡ NOT IN).
+    QueryDef(
+      "q16_parts_supplier_counts",
+      (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .distinct()
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        ps.join(broadcast(badSupp), col("suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_brand") =!= "Brand#5" &&
+                !col("p_type").startsWith("PROMO") &&
+                col("p_size").isin(1, 4, 7))),
+            col("partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem) ps
+             |JOIN part ON partkey = p_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1,4,7)
+             |  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    ),
+
+    // ── TPC-H q20 shape: suppliers with excess stock of selected parts ────
+    // availqty adapted to total quantity supplied per (part, supplier);
+    // the 1996 shipped quantity comes from a conditional sum in the SAME
+    // aggregation (null when no 1996 rows ≡ the oracle's inner join), so
+    // one lineitem scan and one shuffle cover both subqueries. Quantities
+    // are integral doubles — sums are exact in any order on both engines.
+    QueryDef(
+      "q20_excess_stock_suppliers",
+      (s, dir) => {
+        val in96 = col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'")
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(sum("l_quantity").cast("double").as("avail_qty"),
+            sum(when(in96, col("l_quantity"))).cast("double").as("ship_qty"))
+          .filter(col("ship_qty").isNotNull &&
+            col("avail_qty") > lit(0.5) * col("ship_qty"))
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_name").startsWith("red")).select("p_partkey")),
+            col("pk") === col("p_partkey"), "left_semi")
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(ps.select("sk").distinct(), col("s_suppkey") === col("sk"), "left_semi")
+          .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+          .orderBy("s_name")
+      },
+      Some("""WITH avail AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    CAST(sum(l_quantity) AS DOUBLE) AS avail_qty
+             |  FROM lineitem GROUP BY 1,2),
+             |shipped AS (
+             |  SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    CAST(sum(l_quantity) AS DOUBLE) AS ship_qty
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1,2)
+             |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_1' AND s_suppkey IN (
+             |  SELECT a.sk FROM avail a JOIN shipped sh ON a.pk = sh.pk AND a.sk = sh.sk
+             |  WHERE a.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             |    AND a.avail_qty > 0.5 * sh.ship_qty)
+             |ORDER BY s_name""".stripMargin)
+    ),
+
+    // ── TPC-H q21 shape: sole late supplier per multi-supplier order ──────
+    // No receipt/commit dates in the corpus; "late" is adapted to shipping
+    // more than 60 days after the order date (same per-order reference
+    // point for the outer row and the NOT EXISTS probe). EXISTS/NOT
+    // EXISTS become semi/anti joins keyed on the order — the non-equi
+    // supplier-differs predicate rides along as a join residual, so both
+    // probes shuffle on l_orderkey only.
+    QueryDef(
+      "q21_sole_late_supplier",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val lateOthers = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        late
+          .join(others, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    ),
+
     // ── distinct aggregates ────────────────────────────────────────────────
     QueryDef(
       "agg_distinct",
