@@ -23,10 +23,15 @@ object Explain {
     // broadcasts k rows; scalar subqueries broadcast one row.
     val intentionalBnlj = Set(
       "ann_cosine_topk", "ann_topk_agg", "ann_quantized_topk", // brute-force baselines
+      "ann_pq_topk",                                           // 8-query broadcast probe side
       "ann_ivf_topk", "ann_ivf_batch_topk",                    // k-centroid broadcast assign
       "dedup_embedding",                                       // small-N verifier (lsh variant scales)
       "sq_scalar", "text_tfidf",                               // 1-row scalar broadcasts
-      "q15_top_supplier", "q22_idle_customers")                // 1-row max/avg threshold broadcasts
+      "q15_top_supplier", "q22_idle_customers",                // 1-row max/avg threshold broadcasts
+      "q11_important_stock",                                   // 1-row total-value broadcast
+      "ev_resample_gapfill",                                   // 1-row min/max grid-bounds broadcast
+      "profile_drift_psi",                                     // 1-row cohort-totals broadcast
+      "dedup_semantic")                                        // k-centroid broadcast assign
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers

@@ -73,4 +73,37 @@ object Events {
       .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"))
       .withColumn("duration_sec",
         round((unix_millis(col("end_ts")) - unix_millis(col("start_ts"))) / lit(1000.0), 3))
+
+  /** Time-series resample onto a dense per-key bucket grid with forward
+    * fill: aggregate to `unit` buckets (date_trunc), materialize EVERY
+    * bucket between the global min and max for every series key — empty
+    * buckets get n_events=0, sum_value=null — then carry the last non-null
+    * sum forward per key (`filled_value`).
+    *
+    * Scale shape: the grid is keys × buckets — the OUTPUT size, built from
+    * a 1-row min/max broadcast and the (bounded) key dimension, never by
+    * scanning events twice; the real aggregation shuffles once on
+    * (key, bucket) with map-side combine, and the forward fill is one
+    * window shuffle on the series key. Per-key window state is bounded by
+    * the grid length, not event volume.
+    */
+  def resampleGapFill(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, unit: String = "hour"): DataFrame = {
+    val mm = df.agg(date_trunc(unit, min(col(tsCol))).as("mn"),
+      date_trunc(unit, max(col(tsCol))).as("mx"))
+    val step = expr(s"INTERVAL 1 $unit")
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(mm))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), step)).as("bucket_ts"))
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq(keyCol, "bucket_ts"), "left_outer")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+  }
 }

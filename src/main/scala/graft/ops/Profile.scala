@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Generic column profiling — the `describe`-style data-quality sweep a
@@ -40,5 +40,34 @@ object Profile {
         "(col_name, n, n_null, n_distinct, min_v, max_v, sum_v)")
       .withColumn("mean_v", col("sum_v") / (col("n") - col("n_null")).cast("double"))
       .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v", "mean_v")
+  }
+
+  /** Population-stability index between two cohorts of the same table
+    * (e.g. last month's orders vs this month's) over fixed-width value
+    * buckets: per-bucket shares p (cohort A) and q (cohort B) and the PSI
+    * contribution (p−q)·ln(p/q). Σ psi_term > 0.2 is the conventional
+    * "distribution shifted" alarm for a drift monitor.
+    *
+    * One aggregation pass computes BOTH cohorts' bucket counts
+    * (conditional counts collapse map-side); totals divide out of the
+    * bounded post-agg frame via a 1-row broadcast. Fixed bucket edges keep
+    * the result engine-portable (data-derived quantile edges would make
+    * the buckets themselves float-fragile). Buckets missing from either
+    * cohort are excluded — the ε-free PSI needs both supports.
+    */
+  def driftPsi(df: DataFrame, valueCol: Column, condA: Column, condB: Column,
+               bucketWidth: Double, maxBucket: Int): DataFrame = {
+    val bucket = least(floor(valueCol / bucketWidth).cast("int"), lit(maxBucket))
+    val b = df.groupBy(bucket.as("bucket"))
+      .agg(count(when(condA, 1)).cast("double").as("na"),
+        count(when(condB, 1)).cast("double").as("nb"))
+    val tot = b.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    b.crossJoin(broadcast(tot))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("bucket"),
+        round(col("na") / col("ta"), 6).as("p"),
+        round(col("nb") / col("tb"), 6).as("q"),
+        round((col("na") / col("ta") - col("nb") / col("tb")) *
+          log((col("na") / col("ta")) / (col("nb") / col("tb"))), 6).as("psi_term"))
   }
 }

@@ -149,6 +149,40 @@ object Sampling {
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Per-source keep fractions that rebalance observed counts toward
+    * `targetShares` WITHOUT upsampling: the binding source (smallest
+    * count/share ratio) is kept whole and every other source is
+    * downsampled to match its implied total. Pure arithmetic over the
+    * bounded (source → count) map so the SQL oracle can replay it
+    * term-for-term: scale = min(count/share), rate = min(1, scale·share/count).
+    */
+  def rebalanceRates(counts: Map[String, Long],
+                     targetShares: Seq[(String, Double)]): Seq[(String, Double)] = {
+    require(targetShares.forall(_._2 > 0.0), s"shares must be positive: $targetShares")
+    val scale = targetShares.map { case (s, w) =>
+      counts.getOrElse(s, 0L).toDouble / w
+    }.min
+    targetShares.map { case (s, w) =>
+      val c = counts.getOrElse(s, 0L).toDouble
+      s -> (if (c == 0.0) 0.0 else math.min(1.0, scale * w / c))
+    }
+  }
+
+  /** Rebalance a corpus toward target source-mix shares (the domain-mixing
+    * step of LM data curation: cap over-represented crawl sources, keep
+    * curated sources whole). Counts are one aggregate row per source —
+    * bounded metadata collected to the driver — and membership is the same
+    * deterministic md5-bucket filter as every Sampling op: a codegen'd
+    * scan-side predicate, no shuffle, rerun-invariant.
+    */
+  def rebalanceToShares(df: DataFrame, idCol: String, sourceCol: String,
+                        targetShares: Seq[(String, Double)]): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSampleByHash(df, idCol, sourceCol,
+      rebalanceRates(counts, targetShares), defaultFraction = 0.0)
+  }
+
   /** Top-k weighted sample: (id, w, skey) rows with the k largest keys.
     * Global top-k is TakeOrdered — per-partition heads then a driver merge
     * of k·partitions rows, never a full sort — so this scales to any

@@ -449,4 +449,120 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
+
+  /** SemDeDup-style semantic dedup: broadcast-assign every vector to its
+    * nearest centroid, find near-dup pairs (cosine ≥ threshold) WITHIN each
+    * cluster only — the pair join is an equi-join on cent_id, so the
+    * quadratic term is bounded by the largest cluster instead of the
+    * corpus — then connected components over the pair graph pick one
+    * representative (min id) per duplicate group. Returns
+    * (id, cluster_id, kept): `kept=false` rows are the semantic duplicates
+    * to drop.
+    *
+    * At 100 TB: assignment is a scan with a k-row broadcast; the
+    * within-cluster self-join shuffles on cent_id (salt or split oversized
+    * clusters by re-clustering them — centroid count is the knob);
+    * component labeling is the same checkpointed label propagation the
+    * text dedup path uses.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("cent_v"),
+      norm(col("cent_v")).as("cent_n"))
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
+        (col("n") * col("cent_n")), 6))
+    val w = Window.partitionBy("id").orderBy(desc("__cs"), col("cent_id"))
+    val assigned = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col("cent_id"), col("id"), col("v"), col("n"))
+    val a = assigned.select(col("cent_id"), col("id").as("id1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val b = assigned.select(col("cent_id"), col("id").as("id2"),
+      col("v").as("v2"), col("n").as("n2"))
+    val pairs = a.join(b, Seq("cent_id")).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2")
+    Dedup.clusterAssign(df.select(col(idCol).as("id")), "id", pairs)
+  }
+
+  // ───────────────────────── product quantization ─────────────────────────
+
+  /** PQ codebook from the id-prefix of the corpus: subspace s's code c is
+    * the s-th slice of the vector with id c (ids 0..nCodes-1, the same
+    * deterministic "first k by id" sampler [[ivfTopK]] uses — swap in a
+    * per-subspace k-means when codebook quality matters; the probe below
+    * is agnostic to where the codes came from). The collect is bounded
+    * index metadata: m·nCodes·(dims/m) doubles, NOT data.
+    */
+  def pqCodebookFromPrefix(candidates: DataFrame, idCol: String, vecCol: String,
+                           m: Int, nCodes: Int): Seq[(Int, Int, Seq[Double])] = {
+    val rows = candidates.filter(col(idCol) < nCodes)
+      .select(col(idCol).cast("int").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+    val dims = rows.head.getSeq[Double](1).length
+    val sub = dims / m
+    for { r <- rows.toSeq.sortBy(_.getInt(0)); s <- 0 until m }
+      yield (s, r.getInt(0), r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+  }
+
+  /** Product-quantization top-k: candidates are encoded to m code ids
+    * (argmin squared-L2 per subspace, rounded to 6, ties → lowest code),
+    * then scored by asymmetric distance — and because the inner product is
+    * linear, summing per-subspace ⟨query-slice, code-vector⟩ IS
+    * ⟨query, reconstruction⟩, so the score is one 64-element dot against
+    * the concatenated code vectors.
+    *
+    * The codebook is inlined into the plan as a nested array literal
+    * (bounded index metadata), so encode + reconstruct are ONE narrow
+    * codegen'd projection on the candidate side — no explode, no join, no
+    * shuffle; the classic ADC table lookup becomes an element_at into the
+    * literal. At 100 TB the encode runs once per corpus write (store
+    * `rv`/codes alongside the vectors), and the probe never moves anything
+    * wider than the final per-query rank.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int,
+             codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val nCodes = codebook.map(_._2).max + 1
+    val subDim = codebook.head._3.length
+    val byKey = codebook.map(t => (t._1, t._2) -> t._3).toMap
+    val bookLit = array((0 until m).map { s =>
+      array((0 until nCodes).map { c =>
+        array(byKey(s -> c).map(lit): _*)
+      }: _*)
+    }: _*)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // subs materialized as its own projection so the per-code lambda walks
+    // an attribute, not a re-inlined slice (NOTES: HOF inputs re-evaluate
+    // per outer element)
+    def reconFromSubs(subs: Column): Column =
+      flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+        val bookS = element_at(bookLit, s + 1)
+        val subv  = element_at(subs, s + 1)
+        val scored = transform(sequence(lit(0), lit(nCodes - 1)),
+          j => struct(round(l2(subv, element_at(bookS, j + 1)), 6).as("d"),
+            j.as("c")))
+        element_at(bookS, element_at(array_sort(scored), 1).getField("c") + 1)
+      }))
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vecCol), s * subDim + 1, lit(subDim))).as("subs"))
+      .select(col("neighbor_id"), reconFromSubs(col("subs")).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dot(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
 }

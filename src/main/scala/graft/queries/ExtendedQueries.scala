@@ -139,6 +139,11 @@ object ExtendedQueries {
 
   private val Dims = 64
 
+  // Target source-mix for the rebalancing query: src3 is the binding
+  // source (kept whole), src0/1/2 are downsampled toward the shares.
+  private val RebalanceShares =
+    Seq("src0" -> 0.3, "src1" -> 0.1, "src2" -> 0.1, "src3" -> 0.5)
+
   def all: Seq[QueryDef] = Seq(
 
     // ───────────────────────── text analysis ─────────────────────────────
@@ -544,6 +549,55 @@ object ExtendedQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // SemDeDup-style semantic dedup: nearest-centroid assignment bounds
+    // the pair search to within-cluster, connected components pick one
+    // representative per duplicate group. Centroids are the same
+    // deterministic id-prefix sampler the IVF queries use; the oracle
+    // replays assignment, within-cluster cosine pairs, and the recursive
+    // closure.
+    QueryDef(
+      "dedup_semantic",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+        Similarity.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.35)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some {
+        val cosVC = cosSql("e.embedding", "c.cent_v", Dims)
+        val cosP  = cosSql("e1.embedding", "e2.embedding", Dims)
+        s"""WITH RECURSIVE
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           |p AS (
+           |  SELECT a1.vec_id AS id1, a2.vec_id AS id2, round($cosP, 6) AS cos
+           |  FROM assign a1 JOIN assign a2
+           |    ON a1.cent_id = a2.cent_id AND a1.vec_id < a2.vec_id
+           |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+           |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id),
+           |hp AS (SELECT id1, id2 FROM p WHERE cos >= 0.35),
+           |edges AS (SELECT id1 AS src, id2 AS dst FROM hp
+           |          UNION SELECT id2, id1 FROM hp),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT em.vec_id,
+           |  coalesce(cc.cluster_id, em.vec_id) AS cluster_id,
+           |  em.vec_id = coalesce(cc.cluster_id, em.vec_id) AS kept
+           |FROM embeddings em LEFT JOIN cc ON cc.id = em.vec_id
+           |ORDER BY em.vec_id""".stripMargin
+      }
+    ),
+
     // ─────────────── deterministic sampling / dataset splits ─────────────
     QueryDef(
       "sample_hash",
@@ -615,6 +669,33 @@ object ExtendedQueries {
              |  md5('1|' || CAST(doc_id AS VARCHAR)) AS ek1,
              |  md5('2|' || CAST(doc_id AS VARCHAR)) AS ek2
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Source-mix rebalancing (domain mixing): per-source keep fractions
+    // computed from observed counts vs target shares (binding source kept
+    // whole, everything else downsampled), applied as the deterministic
+    // md5-bucket filter. The oracle replays the rate arithmetic
+    // term-for-term over the same counts.
+    QueryDef(
+      "sample_rebalance",
+      (s, dir) => Sampling.rebalanceToShares(Tables.documents(s, dir),
+          "doc_id", "source", RebalanceShares)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some {
+        val values = RebalanceShares
+          .map { case (k, w) => s"('$k', $w)" }.mkString(", ")
+        s"""WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS c
+           |               FROM documents GROUP BY 1),
+           |t(source, share) AS (VALUES $values),
+           |sc AS (SELECT min(c / share) AS sc FROM counts JOIN t USING (source)),
+           |thr AS (SELECT t.source,
+           |          CAST(floor(least(1.0, (SELECT sc FROM sc) * share / c) * ${Sampling.Buckets} + 0.5) AS INT) AS thr
+           |        FROM counts JOIN t USING (source)),
+           |b AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+           |k AS (SELECT doc_id, source, $hashBucketSql AS bucket FROM b)
+           |SELECT doc_id, source FROM k JOIN thr USING (source)
+           |WHERE bucket < thr ORDER BY doc_id""".stripMargin
+      }
     ),
 
     // ─────────────────────── similarity search ───────────────────────────
@@ -895,6 +976,65 @@ object ExtendedQueries {
       }
     ),
 
+    // Product-quantization ANN: encode → argmin-L2 codes per subspace,
+    // score = one dot against the concatenated code vectors (ADC for
+    // inner product). The oracle replays codebook derivation, encoding,
+    // and reconstruction in SQL over the same table; the Spark side
+    // inlines the codebook as a plan literal so encode+score never join.
+    QueryDef(
+      "ann_pq_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val book = Similarity.pqCodebookFromPrefix(e, "vec_id", "embedding",
+          m = 4, nCodes = 16)
+        Similarity.pqTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, m = 4, codebook = book)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val sub = Dims / 4 // 16-dim subvectors
+        val l2 = s"list_sum(list_transform(range(1, ${sub + 1}), " +
+          "i -> (CAST(e.embedding[b.sub_id*16+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))" +
+          " * (CAST(e.embedding[b.sub_id*16+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))))"
+        s"""WITH book AS (
+           |  SELECT s, vec_id AS code_id, embedding[s*$sub+1 : s*$sub+$sub] AS code_v
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s)
+           |  WHERE vec_id < 16),
+           |enc AS (
+           |  SELECT vec_id, sub_id, code_id FROM (
+           |    SELECT e.vec_id, b.s AS sub_id, b.code_id,
+           |      row_number() OVER (PARTITION BY e.vec_id, b.s
+           |        ORDER BY round(${l2.replace("b.sub_id", "b.s")}, 6), b.code_id) AS rn
+           |    FROM embeddings e CROSS JOIN book b) WHERE rn = 1),
+           |ew AS (
+           |  SELECT vec_id,
+           |    max(CASE WHEN sub_id=0 THEN code_id END) AS c0,
+           |    max(CASE WHEN sub_id=1 THEN code_id END) AS c1,
+           |    max(CASE WHEN sub_id=2 THEN code_id END) AS c2,
+           |    max(CASE WHEN sub_id=3 THEN code_id END) AS c3
+           |  FROM enc GROUP BY vec_id),
+           |recon AS (
+           |  SELECT ew.vec_id, b0.code_v || b1.code_v || b2.code_v || b3.code_v AS rv
+           |  FROM ew
+           |  JOIN book b0 ON b0.s = 0 AND b0.code_id = ew.c0
+           |  JOIN book b1 ON b1.s = 1 AND b1.code_id = ew.c1
+           |  JOIN book b2 ON b2.s = 2 AND b2.code_id = ew.c2
+           |  JOIN book b3 ON b3.s = 3 AND b3.code_id = ew.c3),
+           |sc AS (
+           |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+           |    round(${dotSql("q.embedding", "r.rv", Dims)}, 6) AS score
+           |  FROM recon r CROSS JOIN
+           |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+           |  WHERE q.vec_id <> r.vec_id),
+           |rk AS (SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank, score
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, rank, score FROM rk WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // Sketch-based distinct count: values differ across engines'
     // HLL implementations, so no SQL oracle — the driver records the
     // weaker rows-only check by design.
@@ -980,6 +1120,37 @@ object ExtendedQueries {
              |u AS (SELECT unnest([s1, s2]) AS window_start, event_type FROM w)
              |SELECT window_start, event_type, count(*) AS n_events
              |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Dense resample + gap fill: every (event_type, hour) bucket between
+    // the global bounds exists in the output — empty hours carry
+    // n_events=0 and the last non-null hourly sum forward. The grid is
+    // built from a 1-row min/max broadcast × the type dimension (output
+    // size, not a second scan); fill is one window per series.
+    QueryDef(
+      "ev_resample_gapfill",
+      (s, dir) => Events.resampleGapFill(Tables.events(s, dir),
+          "event_type", "ts", "value")
+        .orderBy("event_type", "bucket_ts"),
+      Some(s"""WITH b AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             |    CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+             |  FROM $evSql GROUP BY 1, 2),
+             |bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
+             |                  date_trunc('hour', max(ts)) AS mx FROM $evSql),
+             |g AS (SELECT t.event_type, gs.bucket_ts
+             |      FROM (SELECT DISTINCT event_type FROM $evSql) t
+             |      CROSS JOIN (SELECT unnest(generate_series((SELECT mn FROM bounds),
+             |        (SELECT mx FROM bounds), INTERVAL 1 HOUR)) AS bucket_ts) gs),
+             |j AS (SELECT g.event_type, g.bucket_ts,
+             |        coalesce(b.n_events, 0) AS n_events, b.sum_value
+             |      FROM g LEFT JOIN b
+             |        ON g.event_type = b.event_type AND g.bucket_ts = b.bucket_ts)
+             |SELECT event_type, bucket_ts, n_events, sum_value,
+             |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type
+             |    ORDER BY bucket_ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+             |FROM j ORDER BY event_type, bucket_ts""".stripMargin)
     ),
 
     QueryDef(
@@ -1617,6 +1788,32 @@ object ExtendedQueries {
              |  max(o_orderdate) AS max_date,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_totalprice
              |FROM orders""".stripMargin)
+    ),
+
+    // Distribution-drift monitor: PSI between pre-1998 and 1998+ orders
+    // over fixed totalprice buckets. Fixed edges (not data-derived
+    // quantiles) keep the buckets engine-portable; the psi_term sum is
+    // the drift alarm.
+    QueryDef(
+      "profile_drift_psi",
+      (s, dir) => Profile.driftPsi(Tables.orders(s, dir),
+          col("o_totalprice"),
+          col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"),
+          col("o_orderdate") >= expr("timestamp'1998-01-01 00:00:00'"),
+          bucketWidth = 50000.0, maxBucket = 9)
+        .orderBy("bucket"),
+      Some("""WITH b AS (
+             |  SELECT least(CAST(floor(o_totalprice / 50000.0) AS INT), 9) AS bucket,
+             |    CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01') AS DOUBLE) AS na,
+             |    CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS DOUBLE) AS nb
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM b)
+             |SELECT bucket,
+             |  round(na / (SELECT ta FROM tot), 6) AS p,
+             |  round(nb / (SELECT tb FROM tot), 6) AS q,
+             |  round((na / (SELECT ta FROM tot) - nb / (SELECT tb FROM tot)) *
+             |    ln((na / (SELECT ta FROM tot)) / (nb / (SELECT tb FROM tot))), 6) AS psi_term
+             |FROM b WHERE na > 0 AND nb > 0 ORDER BY bucket""".stripMargin)
     ),
 
     // Generic multi-column profile: every column's metrics in ONE agg

@@ -539,6 +539,81 @@ class SimilaritySpec extends SparkSpec {
       planes = 8, nBands = 4, dims = 3).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("semanticDedup: within-cluster duplicates collapse, min id kept") {
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", cents, 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept")))
+    // 0 and 1 are identical → same centroid, cos=1 ≥ 0.9 → one component,
+    // 0 kept; 2 and 3 have no ≥0.9 partner in their cluster → kept
+    assert(out.toSeq == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("semanticDedup pair search never crosses clusters (scale shape)") {
+    // orthogonal centroids: the identical twins 0/1 land in cluster 0,
+    // vector 2 in its own — a cross-cluster pair (0,2) must NOT be scored
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding", cents, -1.0)
+    // threshold -1 admits every scored pair; 2's cluster is a singleton so
+    // it still survives — proof the quadratic term was cluster-bounded
+    val got = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got(2L), s"vector 2 must stay kept: $got")
+  }
+
+  // ── product quantization ──────────────────────────────────────────────
+
+  private val pvecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+    (2L, Array(0.5f, 0.5f, 1.0f, 0.0f)),
+    (3L, Array(0.9f, 0.1f, 0.2f, 0.7f)),
+    (4L, Array(0.88f, 0.12f, 0.15f, 0.72f)) // near 3, outside the codebook
+  ).toDF("vec_id", "embedding")
+
+  test("pqTopK with a perfect codebook reproduces exact dot scores") {
+    // every candidate subvector IS a code → argmin L2 = 0 at itself →
+    // reconstruction is the identity → PQ score == exact inner product
+    val inBook = pvecs.filter(col("vec_id") < 4)
+    val book = Similarity.pqCodebookFromPrefix(inBook, "vec_id", "embedding",
+      m = 2, nCodes = 4)
+    val got = Similarity.pqTopK(inBook.filter(col("vec_id") === 0), inBook,
+      "vec_id", "embedding", k = 3, m = 2, codebook = book)
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("score"))
+    // exact dots of q0=(1,0,0,0) against 3,2,1
+    assert(got.toSeq == Seq(3L -> 0.9, 2L -> 0.5, 1L -> 0.0), got.toSeq.toString)
+  }
+
+  test("pqTopK maps an out-of-book vector to its nearest codes") {
+    val book = Similarity.pqCodebookFromPrefix(pvecs, "vec_id", "embedding",
+      m = 2, nCodes = 4)
+    val got = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
+      "vec_id", "embedding", k = 4, m = 2, codebook = book)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("score")).toMap
+    // vec 4 encodes to vec 3's codes in both subspaces → identical
+    // reconstruction → identical PQ score, ranked after 3 by id tie-break
+    assert(got(4L) == got(3L), s"expected 4 to share 3's reconstruction: $got")
+    val ranks = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
+      "vec_id", "embedding", k = 4, m = 2, codebook = book)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ranks.indexOf(3L) < ranks.indexOf(4L))
+  }
+
+  test("pqTopK candidate side is join-free before the probe (scale shape)") {
+    val book = Similarity.pqCodebookFromPrefix(pvecs, "vec_id", "embedding",
+      m = 2, nCodes = 4)
+    val out = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
+      "vec_id", "embedding", k = 2, m = 2, codebook = book)
+    val plan = out.queryExecution.executedPlan.toString
+    // the codebook is a plan literal: no join or explode on the encode path —
+    // the only joins are the single broadcast of the (tiny) query side
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Generate"), s"unexpected explode in encode:\n$plan")
+  }
 }
 
 class ProfileSpec extends SparkSpec {
@@ -558,6 +633,22 @@ class ProfileSpec extends SparkSpec {
     val b = out(1)
     assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2 &&
       b.getAs[Double]("mean_v") == 20.0)
+  }
+
+  test("driftPsi: per-bucket shares and contributions, one-sided buckets dropped") {
+    val df = Seq(
+      (5.0, "a"), (15.0, "a"), (25.0, "a"), (25.0, "a"), // cohort a: buckets 0,1,2,2
+      (5.0, "b"), (25.0, "b")                            // cohort b: buckets 0,2
+    ).toDF("v", "coh")
+    val out = Profile.driftPsi(df, col("v"),
+        col("coh") === "a", col("coh") === "b",
+        bucketWidth = 10.0, maxBucket = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // bucket 1 has no cohort-b support → excluded
+    assert(out.toSeq == Seq(
+      (0, 0.25, 0.5, 0.173287), // (0.25-0.5)*ln(0.5)
+      (2, 0.5, 0.5, 0.0)))
   }
 }
 
@@ -640,6 +731,32 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.packChunks(Seq((9L, 0L)).toDF("doc_id", "n_toks"),
       "doc_id", "n_toks", nShards = 1, chunkTokens = 256L).head()
     assert(z.getAs[Long]("chunk_first") == 0L && z.getAs[Long]("chunk_last") == 0L)
+  }
+
+  test("rebalanceRates: binding source kept whole, others scaled to shares") {
+    val rates = Sampling.rebalanceRates(
+      Map("a" -> 100L, "b" -> 100L),
+      Seq("a" -> 0.25, "b" -> 0.75)).toMap
+    // b binds: scale = min(100/0.25, 100/0.75) = 133.3..; a keeps a third
+    assert(rates("b") == 1.0)
+    assert(math.abs(rates("a") - (100.0 / 0.75) * 0.25 / 100.0) < 1e-12)
+    // a source absent from targets contributes nothing; absent counts → 0
+    assert(Sampling.rebalanceRates(Map("a" -> 10L), Seq("a" -> 0.5, "c" -> 0.5))
+      .toMap.apply("c") == 0.0)
+  }
+
+  test("rebalanceToShares: membership is exactly the stratified md5 filter") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val shares = Seq("a" -> 0.2, "b" -> 0.8)
+    val got = Sampling.rebalanceToShares(df, "id", "src", shares)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rates = Sampling.rebalanceRates(Map("a" -> 500L, "b" -> 500L), shares)
+    val want = Sampling.stratifiedSampleByHash(df, "id", "src", rates, 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // b binds (500/0.8 < 500/0.2): every b row survives
+    assert((0 until 1000 by 1).filter(_ % 2 == 1).map(_.toLong).toSet.subsetOf(got))
   }
 
   test("hashBucket in [0, 4096) and invariant under repartition") {
@@ -965,6 +1082,21 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("p_id") == 101L)
     assert(out(2).getAs[Long]("p_id") == 102L)
     assert(out(3).isNullAt(out(3).fieldIndex("p_id"))) // other user
+  }
+
+  test("resampleGapFill: dense grid, zero-filled counts, forward-filled sums") {
+    val out = Events.resampleGapFill(ev, "event_type", "ts", "value")
+      .orderBy("event_type", "bucket_ts").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("bucket_ts").toString,
+        r.getAs[Long]("n_events"), Option(r.getAs[java.lang.Double]("sum_value")),
+        Option(r.getAs[java.lang.Double]("filled_value"))))
+    // grid = 2 types × 2 hours; click@10 is a gap (null sum, nothing to
+    // carry yet), view@11 is a gap that carries view@10's sum forward
+    assert(out.toSeq == Seq(
+      ("click", "2026-01-01 10:00:00.0", 0L, None, None),
+      ("click", "2026-01-01 11:00:00.0", 1L, Some(3.0), Some(3.0)),
+      ("view", "2026-01-01 10:00:00.0", 3L, Some(7.0), Some(7.0)),
+      ("view", "2026-01-01 11:00:00.0", 0L, None, Some(7.0))))
   }
 
   test("durations per key") {
