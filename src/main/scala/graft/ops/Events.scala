@@ -74,6 +74,80 @@ object Events {
       .withColumn("duration_sec",
         round((unix_millis(col("end_ts")) - unix_millis(col("start_ts"))) / lit(1000.0), 3))
 
+  /** Per-group z-score outliers: group mean/std from ONE aggregation pass
+    * whose sums are decimal-exact (values are fixed-point in the corpus, so
+    * Σv and Σv² are exact integers-in-decimal; the double arithmetic on
+    * top is a fixed expression tree any engine reproduces bit-for-bit),
+    * then a broadcast join of the (tiny, one row per group) stats back
+    * onto the stream and a codegen'd filter on |z| ≥ threshold. The
+    * anomaly-detection primitive: no window, no second scan of the data
+    * per group, shuffles once for the stats and never for the scoring.
+    */
+  def outliers(df: DataFrame, typeCol: String, valCol: String, idCol: String,
+               zThreshold: Double): DataFrame = {
+    val dec = col(valCol).cast("decimal(12,4)")
+    val stats = df.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum((dec * dec).cast("decimal(28,8)")).cast("double").as("ss"))
+      // a single-row group has no sample variance: ANSI mode throws on ÷0
+      // (even double ÷ 0.0), so guard with when() — null std → null z →
+      // dropped by the filter
+      .withColumn("mean", col("s") / col("n").cast("double"))
+      .withColumn("std", when(col("n") > 1,
+        sqrt((col("ss") - col("s") * col("s") / col("n").cast("double")) /
+          (col("n") - 1).cast("double"))))
+      .select(col(typeCol), col("mean"), col("std"))
+    df.join(broadcast(stats), Seq(typeCol))
+      .withColumn("z", round((col(valCol) - col("mean")) / col("std"), 4))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col(idCol), col(typeCol), col(valCol), col("z"))
+  }
+
+  /** Ordered funnel with a per-stage conversion window: stage i+1 counts
+    * only if it happens AFTER the user's stage-i time and within `maxGap`
+    * of it. One left join + conditional min per stage, all keyed on the
+    * user — after the first shuffle every later join reuses the same
+    * hash partitioning, so an n-stage funnel is one real shuffle plus
+    * n−1 co-partitioned joins. Output: per-user stage times t1..tn and
+    * `reached` (how deep the user got).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String], maxGap: String): DataFrame = {
+    require(stages.size >= 2, "funnel needs at least two stages")
+    var cur = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val prev = s"t${i + 1}"
+      val nxt  = s"t${i + 2}"
+      val stageEv = df.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      val keep = (1 to i + 1).map(j => s"t$j")
+      cur = cur.join(stageEv, Seq(userCol), "left_outer")
+        .groupBy(col(userCol) +: keep.map(col): _*)
+        .agg(min(when(col("__ts") > col(prev) &&
+          col("__ts") <= col(prev) + expr(s"INTERVAL $maxGap"), col("__ts"))).as(nxt))
+    }
+    val reached = stages.indices
+      .map(i => col(s"t${i + 1}").isNotNull.cast("int")).reduce(_ + _)
+    cur.withColumn("reached", reached)
+  }
+
+  /** Retention cohorts: users grouped by first-active day; n_users counts
+    * how many of each cohort were active k days later. The (user, day)
+    * de-dup means each user contributes at most one row per (cohort, k),
+    * so the final count is a plain count — no count-distinct expand. Two
+    * shuffles (user-day distinct, cohort-k agg) at any scale.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val cohort = days.groupBy(col(userCol)).agg(min("day").as("cohort_day"))
+    days.join(cohort, Seq(userCol))
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Time-series resample onto a dense per-key bucket grid with forward
     * fill: aggregate to `unit` buckets (date_trunc), materialize EVERY
     * bucket between the global min and max for every series key — empty

@@ -1122,6 +1122,63 @@ object ExtendedQueries {
              |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Per-type z-score outliers: decimal-exact Σv/Σv² per type, broadcast
+    // stats join, |z| ≥ 2.5 filter. The anomaly-detection primitive.
+    QueryDef(
+      "ev_outliers",
+      (s, dir) => Events.outliers(Tables.events(s, dir),
+          "event_type", "value", "event_id", zThreshold = 2.5)
+        .orderBy("event_id"),
+      Some(s"""WITH st AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)) AS DECIMAL(28,8))) AS DOUBLE) AS ss
+             |  FROM $evSql GROUP BY 1),
+             |m AS (SELECT event_type, s/n AS mean, sqrt((ss - s*s/n)/(n-1)) AS std FROM st)
+             |SELECT event_id, event_type, value, round((value - mean)/std, 4) AS z
+             |FROM $evSql JOIN m USING (event_type)
+             |WHERE abs(round((value - mean)/std, 4)) >= 2.5
+             |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Ordered conversion funnel view→click→purchase with a 24h per-stage
+    // window: stage times via one co-partitioned left join + conditional
+    // min per stage; `reached` is how deep each user got.
+    QueryDef(
+      "ev_funnel",
+      (s, dir) => Events.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), maxGap = "24 HOURS")
+        .orderBy("user_id"),
+      Some(s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM $evSql
+             |            WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT s1.user_id, t1,
+             |         min(CASE WHEN ev.ts > t1 AND ev.ts <= t1 + INTERVAL 24 HOUR THEN ev.ts END) AS t2
+             |       FROM s1 LEFT JOIN $evSql
+             |         ON ev.user_id = s1.user_id AND ev.event_type = 'click'
+             |       GROUP BY 1, 2),
+             |s3 AS (SELECT s2.user_id, t1, t2,
+             |         min(CASE WHEN ev.ts > t2 AND ev.ts <= t2 + INTERVAL 24 HOUR THEN ev.ts END) AS t3
+             |       FROM s2 LEFT JOIN $evSql
+             |         ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
+             |       GROUP BY 1, 2, 3)
+             |SELECT user_id, t1, t2, t3,
+             |  CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS INT) AS reached
+             |FROM s3 ORDER BY user_id""".stripMargin)
+    ),
+
+    // Retention cohorts: first-active day → share active k days later.
+    QueryDef(
+      "ev_retention",
+      (s, dir) => Events.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "k"),
+      Some(s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM $evSql),
+             |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+             |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS k,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM days JOIN cohort USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Dense resample + gap fill: every (event_type, hour) bucket between
     // the global bounds exists in the output — empty hours carry
     // n_events=0 and the last non-null hourly sum forward. The grid is

@@ -1084,6 +1084,46 @@ class EventsSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("p_id"))) // other user
   }
 
+  test("outliers: z-scores from exact sums, degenerate single-row group dropped") {
+    // view values 1,2,4: mean 7/3, var (21 - 49/3)/2 → z(4) = 1.0911
+    val out = Events.outliers(ev, "event_type", "value", "event_id", zThreshold = 1.0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    assert(out.keySet == Set(4L), out.toString)
+    assert(out(4L) == 1.0911)
+    // the single click event's std is 0/0 → NaN z → never passes the filter
+    assert(!Events.outliers(ev, "event_type", "value", "event_id", 0.0)
+      .collect().map(_.getAs[String]("event_type")).contains("click"))
+  }
+
+  test("funnel: stage must follow previous stage within the gap window") {
+    val out = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxGap = "24 HOURS")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.sql.Timestamp]("t2")), r.getAs[Int]("reached"))).toMap
+    assert(out(10L)._1.map(_.toString) == Some("2026-01-01 11:00:00.0") && out(10L)._2 == 2)
+    assert(out(20L)._1.isEmpty && out(20L)._2 == 1)
+    // a 30-minute window excludes user 10's click at +1h
+    val tight = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxGap = "30 MINUTES")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("reached")).toMap
+    assert(tight(10L) == 1)
+  }
+
+  test("retentionCohorts: users counted once per (cohort, k)") {
+    val e2 = Seq(
+      (10L, "2026-01-01 10:00:00"), (10L, "2026-01-01 12:00:00"), // same day, one row
+      (10L, "2026-01-03 09:00:00"),                               // k=2
+      (20L, "2026-01-02 09:00:00"), (20L, "2026-01-03 09:00:00")  // cohort 2nd, k=0,1
+    ).toDF("user_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Events.retentionCohorts(e2, "user_id", "ts")
+      .orderBy("cohort_day", "k").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("k"), r.getAs[Long]("n_users")))
+    assert(out.toSeq == Seq(
+      ("2026-01-01", 0, 1L), ("2026-01-01", 2, 1L),
+      ("2026-01-02", 0, 1L), ("2026-01-02", 1, 1L)))
+  }
+
   test("resampleGapFill: dense grid, zero-filled counts, forward-filled sums") {
     val out = Events.resampleGapFill(ev, "event_type", "ts", "value")
       .orderBy("event_type", "bucket_ts").collect()
