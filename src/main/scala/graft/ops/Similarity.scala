@@ -236,7 +236,9 @@ object Similarity {
     def prep(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id),
         lshBucket(col(vecCol), planes, dims).as("bucket"),
-        quantizeInt8(col(vecCol)).as(v))
+        col(vecCol).as("__v"), vecMaxAbs(col(vecCol)).as("__mx"))
+        .select(col(id), col("bucket"),
+          quantizeInt8With(col("__v"), col("__mx")).as(v))
         .withColumn(n, sqrt(intDot(col(v), col(v)).cast("double")))
     val q = prep(queries, "query_id", "qv", "qn")
     val c = prep(candidates, "neighbor_id", "cv", "cn")
@@ -399,13 +401,25 @@ object Similarity {
     * instead of `round` so both engines use identical rounding (Spark
     * rounds half-up via BigDecimal, DuckDB half-even).
     */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, y => abs(y.cast("double"))))
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8With(vec, vecMaxAbs(vec))
+
+  /** Max |element| of a vector — the int8 scale denominator. */
+  def vecMaxAbs(vec: Column): Column =
+    array_max(transform(vec, y => abs(y.cast("double"))))
+
+  /** [[quantizeInt8]] against a PRE-PROJECTED max-magnitude column. The
+    * one-arg form inlines the array_max expression into the per-element
+    * lambda, which re-evaluates it per element — O(dims²) per row (NOTES
+    * perf lesson). Hot paths project [[vecMaxAbs]] as its own column
+    * first (referenced twice in the lambda, so CollapseProject keeps the
+    * alias) and quantize in O(dims).
+    */
+  def quantizeInt8With(vec: Column, mx: Column): Column =
     transform(vec, x =>
       when(mx === 0.0, lit(0))
         .otherwise(floor(x.cast("double") / mx * 127.0 + 0.5))
         .cast("int"))
-  }
 
   /** Exact integer dot product of two quantized vectors — order-independent
     * (integer addition is associative), so no fold-order parity concerns.
@@ -422,7 +436,9 @@ object Similarity {
   def quantizedTopK(queries: DataFrame, candidates: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
     def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), quantizeInt8(col(vecCol)).as(v))
+      df.select(col(idCol).as(id),
+        col(vecCol).as("__v"), vecMaxAbs(col(vecCol)).as("__mx"))
+        .select(col(id), quantizeInt8With(col("__v"), col("__mx")).as(v))
         .withColumn(n, sqrt(intDot(col(v), col(v)).cast("double")))
     val q = prep(queries, "query_id", "qv", "qn")
     val c = prep(candidates, "neighbor_id", "cv", "cn")
