@@ -42,4 +42,34 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Bucketed interval-OVERLAP join: every (left, right) pair whose CLOSED
+    * timestamp intervals [lStart, lEnd] and [rStart, rEnd] intersect
+    * (closed ends so zero-length intervals — e.g. single-event sessions —
+    * still participate). Both sides explode onto a shared `cellSeconds`
+    * grid and equi-join on the cell, so the pair cost is per-cell density,
+    * not |L|·|R|; the exact overlap predicate rides as a residual. Each
+    * pair is emitted exactly ONCE — in the first cell the two intervals
+    * share (the later of the two start cells) — so no post-join distinct
+    * and its re-shuffle. Shuffled hash/SMJ on the cell handles two big
+    * sides; pick `cellSeconds` near the typical interval length so each
+    * interval lands in ~2 cells.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  cellSeconds: Long): DataFrame = {
+    require(cellSeconds > 0, s"cellSeconds must be positive: $cellSeconds")
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / cellSeconds)
+    def cells(s: String, e: String) =
+      explode(sequence(cellOf(col(s)), cellOf(col(e))))
+    val lC = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__cell", cells(lStart, lEnd))
+    val rC = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__cell", cells(rStart, rEnd))
+    lC.join(rC, Seq("__cell"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__cell") === greatest(cellOf(col(lStart)), cellOf(col(rStart))))
+      .drop("__cell")
+  }
 }

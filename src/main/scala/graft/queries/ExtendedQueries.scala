@@ -144,6 +144,25 @@ object ExtendedQueries {
   private val RebalanceShares =
     Seq("src0" -> 0.3, "src1" -> 0.1, "src2" -> 0.1, "src3" -> 0.5)
 
+  /** One oracle, two implementations: ev_funnel (batch joins) and
+    * ev_funnel_stream (stateful fold) must both reproduce it. */
+  private lazy val funnelOracleSql: String =
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM $evSql
+       |            WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT s1.user_id, t1,
+       |         min(CASE WHEN ev.ts > t1 AND ev.ts <= t1 + INTERVAL 24 HOUR THEN ev.ts END) AS t2
+       |       FROM s1 LEFT JOIN $evSql
+       |         ON ev.user_id = s1.user_id AND ev.event_type = 'click'
+       |       GROUP BY 1, 2),
+       |s3 AS (SELECT s2.user_id, t1, t2,
+       |         min(CASE WHEN ev.ts > t2 AND ev.ts <= t2 + INTERVAL 24 HOUR THEN ev.ts END) AS t3
+       |       FROM s2 LEFT JOIN $evSql
+       |         ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
+       |       GROUP BY 1, 2, 3)
+       |SELECT user_id, t1, t2, t3,
+       |  CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS INT) AS reached
+       |FROM s3 ORDER BY user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
 
     // ───────────────────────── text analysis ─────────────────────────────
@@ -1149,21 +1168,39 @@ object ExtendedQueries {
       (s, dir) => Events.funnel(Tables.events(s, dir), "user_id", "ts",
           "event_type", Seq("view", "click", "purchase"), maxGap = "24 HOURS")
         .orderBy("user_id"),
-      Some(s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM $evSql
-             |            WHERE event_type = 'view' GROUP BY 1),
-             |s2 AS (SELECT s1.user_id, t1,
-             |         min(CASE WHEN ev.ts > t1 AND ev.ts <= t1 + INTERVAL 24 HOUR THEN ev.ts END) AS t2
-             |       FROM s1 LEFT JOIN $evSql
-             |         ON ev.user_id = s1.user_id AND ev.event_type = 'click'
-             |       GROUP BY 1, 2),
-             |s3 AS (SELECT s2.user_id, t1, t2,
-             |         min(CASE WHEN ev.ts > t2 AND ev.ts <= t2 + INTERVAL 24 HOUR THEN ev.ts END) AS t3
-             |       FROM s2 LEFT JOIN $evSql
-             |         ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
-             |       GROUP BY 1, 2, 3)
-             |SELECT user_id, t1, t2, t3,
-             |  CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS INT) AS reached
-             |FROM s3 ORDER BY user_id""".stripMargin)
+      Some(funnelOracleSql)
+    ),
+
+    // The SAME funnel as a per-user state machine over a stream
+    // (mapGroupsWithState folding time-ordered events, O(#stages) state
+    // per user) — verified against the identical batch oracle: the
+    // incremental fold and the three-join batch plan must agree bit-wise.
+    QueryDef(
+      "ev_funnel_stream",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_funnel")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("a.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val funnel = graft.streaming.StreamOps.funnelStream(
+          withTs.select("event_id", "user_id", "event_type", "value", "ts")
+            .as[graft.streaming.StreamOps.Event],
+          Seq("view", "click", "purchase"), java.time.Duration.ofHours(24))
+        val name = s"ev_funnel_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(funnel.toDF(), name,
+          outputMode = "update")
+        // users with no stage-1 event have no row in the batch shape
+        s.table(name).filter(col("reached") >= 1).orderBy("user_id")
+      },
+      Some(funnelOracleSql)
     ),
 
     // Retention cohorts: first-active day → share active k days later.
@@ -1230,6 +1267,52 @@ object ExtendedQueries {
              |  min(ts) AS session_start, max(ts) AS session_end,
              |  round(sum(value), 2) AS sum_value
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Interval-overlap join over session windows: concurrent sessions
+    // across two user populations via the bucketed overlap join (equi-join
+    // on a shared hour grid, pair emitted once in the later start cell).
+    // The oracle is the direct quadratic overlap predicate.
+    QueryDef(
+      "ev_session_overlap",
+      (s, dir) => {
+        val sess = Events.sessionStats(
+          Tables.events(s, dir).filter(col("user_id") < 40),
+          "user_id", "ts", gapMinutes = 30, tieCol = "event_id")
+        val l = sess.filter(col("user_id") < 20)
+          .select(col("user_id").as("u1"), col("session_id").as("sid1"),
+            col("session_start").as("ls"), col("session_end").as("le"))
+        val r = sess.filter(col("user_id") >= 20)
+          .select(col("user_id").as("u2"), col("session_id").as("sid2"),
+            col("session_start").as("rs"), col("session_end").as("re"))
+        RangeJoin.overlapJoin(l, r, "ls", "le", "rs", "re", cellSeconds = 3600)
+          .select(col("u1"), col("sid1"), col("u2"), col("sid2"),
+            greatest(col("ls"), col("rs")).as("ov_start"),
+            least(col("le"), col("re")).as("ov_end"))
+          .orderBy("u1", "sid1", "u2", "sid2")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM $evSql WHERE user_id < 40
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, session_id,
+             |           min(ts) AS s_start, max(ts) AS s_end FROM s GROUP BY 1, 2),
+             |l AS (SELECT user_id AS u1, session_id AS sid1, s_start AS ls, s_end AS le
+             |      FROM sess WHERE user_id < 20),
+             |r AS (SELECT user_id AS u2, session_id AS sid2, s_start AS rs, s_end AS re
+             |      FROM sess WHERE user_id >= 20)
+             |SELECT u1, sid1, u2, sid2,
+             |  greatest(ls, rs) AS ov_start, least(le, re) AS ov_end
+             |FROM l JOIN r ON ls <= re AND rs <= le
+             |ORDER BY u1, sid1, u2, sid2""".stripMargin)
     ),
 
     // as-of join: each event matched to the user's most recent purchase

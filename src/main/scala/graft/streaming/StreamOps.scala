@@ -88,6 +88,51 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(timesMicros: Seq[Long])
+  final case class FunnelUpdate(user_id: Long, t1: java.sql.Timestamp,
+                                t2: java.sql.Timestamp, t3: java.sql.Timestamp,
+                                reached: Int)
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Stateful streaming funnel — the batch [[graft.ops.Events.funnel]]
+    * semantics (greedy min per stage, each stage within `maxGap` of the
+    * previous) as a per-user state machine: `mapGroupsWithState` folds each
+    * user's events in time order and emits ONE row per user per batch with
+    * the stage times reached so far. State is the achieved stage times —
+    * O(#stages) longs per user, the smallest state a funnel can carry.
+    * Times fold in microseconds (the corpus' real precision), so window
+    * boundaries and emitted timestamps are bit-identical to the batch op.
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+                   maxGap: java.time.Duration): Dataset[FunnelUpdate] = {
+    require(stages.size == 3, "streaming funnel emits a fixed 3-stage row")
+    import events.sparkSession.implicits._
+    val gapUs = maxGap.toNanos / 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.timesMicros).getOrElse(Nil)
+          for (e <- rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))) {
+            val i = times.size
+            if (i < stages.size && e.event_type == stages(i)) {
+              val t = tsMicros(e.ts)
+              if (i == 0) times = Seq(t)
+              else if (t > times.last && t <= times.last + gapUs) times = times :+ t
+            }
+          }
+          state.update(FunnelState(times))
+          def at(i: Int) = if (times.size > i) microsTs(times(i)) else null
+          FunnelUpdate(userId, at(0), at(1), at(2), times.size)
+      }
+  }
+
   /** Watermarked stream-stream inner join: both sides buffer rows in state
     * until the watermark proves no more matches can arrive, so an
     * unbounded×unbounded join runs with bounded state — the time-bound

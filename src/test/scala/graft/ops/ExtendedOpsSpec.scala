@@ -1002,6 +1002,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  private def iv(rows: Seq[(String, String, String)]) =
+    rows.toDF("name", "s_s", "e_s")
+      .withColumn("s", to_timestamp(col("s_s")))
+      .withColumn("e", to_timestamp(col("e_s"))).drop("s_s", "e_s")
+
+  test("overlapJoin == naive overlap; multi-cell pairs emitted once; zero-length joins") {
+    val l = iv(Seq(
+      ("a", "2026-01-01 00:30:00", "2026-01-01 05:00:00"), // spans 6 hour-cells
+      ("b", "2026-01-01 10:00:00", "2026-01-01 10:00:00"), // zero-length
+      ("c", "2026-01-02 00:00:00", "2026-01-02 01:00:00")))
+    val r = iv(Seq(
+      ("x", "2026-01-01 04:00:00", "2026-01-01 12:00:00"), // overlaps a (4-5h) and b
+      ("y", "2026-01-01 06:00:00", "2026-01-01 07:00:00"), // overlaps nothing in l
+      ("z", "2026-01-02 01:00:00", "2026-01-02 02:00:00"))) // touches c at the closed end
+      .withColumnRenamed("name", "rname")
+      .withColumnRenamed("s", "rs").withColumnRenamed("e", "re")
+    val naive = l.crossJoin(r)
+      .filter(col("s") <= col("re") && col("rs") <= col("e"))
+      .select("name", "rname").collect().map(r => (r.getString(0), r.getString(1)))
+    val out = RangeJoin.overlapJoin(l, r, "s", "e", "rs", "re", cellSeconds = 3600)
+      .select("name", "rname").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == naive.toSet)
+    assert(out.length == naive.length, "each overlapping pair exactly once")
+    assert(out.toSet == Set(("a", "x"), ("b", "x"), ("c", "z")))
+    val plan = RangeJoin.overlapJoin(l, r, "s", "e", "rs", "re", 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
 
 class SketchSpec extends SparkSpec {

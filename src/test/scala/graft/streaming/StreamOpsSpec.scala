@@ -226,6 +226,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(once == twice && once.length == 2)
   }
 
+  test("streaming funnel: state carries stage progress across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("fun_src")
+    val now = System.currentTimeMillis()
+    def writeOne(name: String, mtime: Long,
+                 rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("fun_tmp").toString
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+      assert(dir.resolve(name).toFile.setLastModified(mtime))
+    }
+    writeOne("b1.parquet", now - 120000, Seq(
+      (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00"))))
+    // batch 2: the click continues batch 1's state; the purchase is
+    // outside the 24h window after the click and must NOT count
+    writeOne("b2.parquet", now - 60000, Seq(
+      (2L, 1L, "click", 1.0, sqlTs("2026-01-01 11:00:00")),
+      (3L, 1L, "purchase", 1.0, sqlTs("2026-01-03 12:00:00"))))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val funnel = StreamOps.funnelStream(
+      stream.as[StreamOps.Event], Seq("view", "click", "purchase"),
+      java.time.Duration.ofHours(24))
+    StreamOps.runToMemory(funnel.toDF(), "fun_out", outputMode = "update")
+    val last = spark.table("fun_out").orderBy(desc("reached")).head()
+    assert(last.getAs[Int]("reached") == 2)
+    assert(last.getAs[java.sql.Timestamp]("t2").toString == "2026-01-01 11:00:00.0")
+    assert(last.getAs[java.sql.Timestamp]("t3") == null)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
