@@ -42,6 +42,37 @@ object Profile {
       .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v", "mean_v")
   }
 
+  /** Pairwise Pearson correlations for every column pair in ONE
+    * aggregation pass: Σx, Σx², Σxy accumulate as exact decimals (the
+    * corpus' numerics are fixed-point), the r formula runs in doubles on
+    * the bounded post-agg row, and the pair unpivot multiplies #pairs
+    * rows, never the table — the same shape as [[profileNumeric]].
+    * `built-in corr()` would be float-summed and engine-specific; this is
+    * bit-portable.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    val dec = (c: String) => col(c).cast("decimal(15,4)")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = cols.flatMap { c =>
+      Seq(sum(dec(c)).cast("double").as(s"s__$c"),
+        sum((dec(c) * dec(c)).cast("decimal(31,8)")).cast("double").as(s"ss__$c"))
+    } ++ pairs.map { case (a, b) =>
+      sum((dec(a) * dec(b)).cast("decimal(31,8)")).cast("double").as(s"sp__${a}__$b")
+    } :+ count(lit(1)).cast("double").as("n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', `n`, `s__$a`, `s__$b`, `ss__$a`, `ss__$b`, `sp__${a}__$b`"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(col_x, col_y, n, sx, sy, sxx, syy, sxy)")
+      .withColumn("r", round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select("col_x", "col_y", "r")
+  }
+
   /** Population-stability index between two cohorts of the same table
     * (e.g. last month's orders vs this month's) over fixed-width value
     * buckets: per-bucket shares p (cohort A) and q (cohort B) and the PSI

@@ -313,4 +313,30 @@ object TextAnalysis {
       round(size(tokenSet(t)).cast("double") / tokenCount(t), 4).as("distinct_ratio")
     )
   }
+
+  /** Weights for [[qualityScore]]: natural-language markers up (stopword
+    * density, vocabulary diversity), run-on tokens down. Stand-ins for a
+    * trained text-quality classifier's coefficients — the OPERATOR is the
+    * deliverable: a model-free, engine-portable scoring pass.
+    */
+  val DefaultQualityWeights: Seq[(String, Double)] = Seq(
+    "stopword_ratio" -> 4.0,
+    "distinct_ratio" -> 2.0,
+    "mean_token_len" -> -0.3)
+
+  /** Fixed-weight logistic quality score over [[qualityFeatures]] output:
+    * q_score = σ(bias + Σ wᵢ·fᵢ), folded left in declaration order so the
+    * double expression tree is identical on any engine; the inputs are the
+    * ROUNDED ratio features (already engine-stable) and the final round(6)
+    * absorbs libm exp() ulp differences. One narrow projection — scoring a
+    * 100 TB corpus is a scan.
+    */
+  def qualityScore(features: DataFrame,
+                   weights: Seq[(String, Double)] = DefaultQualityWeights,
+                   bias: Double = -1.0): DataFrame = {
+    val z = weights.foldLeft(lit(bias): Column) {
+      case (acc, (c, w)) => acc + col(c).cast("double") * w
+    }
+    features.withColumn("q_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
 }

@@ -183,6 +183,26 @@ object ExtendedQueries {
               |FROM b ORDER BY doc_id""".stripMargin)
     ),
 
+    // Logistic quality score on the rounded ratio features — the
+    // classifier-scoring pass of a curation pipeline, model-free and
+    // engine-portable (same left-folded z, round(6) absorbs exp ulps).
+    QueryDef(
+      "text_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(
+          TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text", "doc_id"))
+        .select("doc_id", "q_score")
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |f AS (SELECT doc_id,
+              |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS mean_token_len,
+              |  round(CAST(len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+              |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio
+              |FROM b)
+              |SELECT doc_id,
+              |  round(1.0 / (1.0 + exp(-(-1.0 + stopword_ratio * 4.0 + distinct_ratio * 2.0 + mean_token_len * -0.3))), 6) AS q_score
+              |FROM f ORDER BY doc_id""".stripMargin)
+    ),
+
     QueryDef(
       "text_langid",
       (s, dir) => Tables.documents(s, dir)
@@ -1928,6 +1948,42 @@ object ExtendedQueries {
              |  max(o_orderdate) AS max_date,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_totalprice
              |FROM orders""".stripMargin)
+    ),
+
+    // One-pass Pearson correlation matrix from decimal-exact sums.
+    QueryDef(
+      "profile_corr",
+      (s, dir) => Profile.correlations(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_x", "col_y"),
+      Some {
+        // DECIMAL(19,4) operands: DuckDB sizes a product at p1+p2 capped
+        // to 38 — (15,4)² infers an int64 intermediate that overflows;
+        // 19 digits forces the hugeint path. Values are identical to the
+        // Spark side's decimal(15,4)² products (both exact at scale 8).
+        def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+        def sums(c: String) =
+          s"CAST(sum(${d(c)}) AS DOUBLE) AS s_$c, " +
+            s"CAST(sum(CAST(${d(c)} * ${d(c)} AS DECIMAL(38,8))) AS DOUBLE) AS ss_$c"
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+          yield (cols(i), cols(j))
+        val sp = pairs.map { case (a, b) =>
+          s"CAST(sum(CAST(${d(a)} * ${d(b)} AS DECIMAL(38,8))) AS DOUBLE) AS sp_${a}_$b"
+        }.mkString(", ")
+        val arms = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y,
+             |  round((n * sp_${a}_$b - s_$a * s_$b) /
+             |    (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 6) AS r
+             |FROM agg""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH agg AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    ${cols.map(sums).mkString(", ")}, $sp
+           |  FROM lineitem)
+           |$arms
+           |ORDER BY col_x, col_y""".stripMargin
+      }
     ),
 
     // Distribution-drift monitor: PSI between pre-1998 and 1998+ orders

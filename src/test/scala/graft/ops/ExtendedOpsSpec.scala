@@ -12,6 +12,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("the", "quick", "fox"))
   }
 
+  test("qualityScore: hand-computed sigmoid on rounded features") {
+    // "the the fox": ratios = stopword 2/3→0.6667, distinct 2/3→0.6667,
+    // mean_len 9/3→3.0 ⇒ z = -1 + .6667*4 + .6667*2 + 3*(-0.3) = 1.1002
+    val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(
+      TextAnalysis.qualityFeatures(df, "text", "doc_id"))
+      .select("q_score").head().getDouble(0)
+    val z = -1.0 + 0.6667 * 4.0 + 0.6667 * 2.0 + 3.0 * -0.3
+    assert(got == math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6 ||
+      got == math.round(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6.toDouble, got.toString)
+  }
+
   test("quality features on a known doc") {
     val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
     val r  = TextAnalysis.qualityFeatures(df, "text", "doc_id").head()
@@ -633,6 +645,17 @@ class ProfileSpec extends SparkSpec {
     val b = out(1)
     assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2 &&
       b.getAs[Double]("mean_v") == 20.0)
+  }
+
+  test("correlations: perfect positive, perfect negative, r in matrix order") {
+    val df = Seq(
+      (1.0, 2.0, 4.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0), (4.0, 8.0, 1.0)
+    ).toDF("a", "b", "c") // b = 2a (r=1), c = 5-a (r=-1)
+    val out = Profile.correlations(df, Seq("a", "b", "c"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1.0), ("a", "c", -1.0), ("b", "c", -1.0)))
   }
 
   test("driftPsi: per-bucket shares and contributions, one-sided buckets dropped") {
