@@ -342,7 +342,11 @@ object Dedup {
                             k: Int, rowsPerBand: Int, path: String,
                             mode: String): Unit =
     lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
-      .withColumn("bh_px", substring(col("band_hash"), 1, 2))
+      // 'p' sentinel: an all-digit hex prefix (e.g. "60") would make
+      // Spark's hive-partition type inference read bh_px back as a
+      // NUMBER, and a later string probe ('6b') dies in an ANSI cast;
+      // a leading letter pins the inferred type to string forever
+      .withColumn("bh_px", concat(lit("p"), substring(col("band_hash"), 1, 2)))
       // organize-on-write: co-locate each prefix before the partitioned
       // write, so every bh_px=… directory holds ~1 file per writer task
       // that owns the prefix instead of one file per task per prefix —
@@ -367,7 +371,8 @@ object Dedup {
     val inBands = lshBands(minhashSignatures(incoming, idCol, textCol, k),
         idCol, k, rowsPerBand)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
-    val prefixes = inBands.select(substring(col("band_hash"), 1, 2).as("p"))
+    val prefixes = inBands
+      .select(concat(lit("p"), substring(col("band_hash"), 1, 2)).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
     spark.read.parquet(path)
       .filter(col("bh_px").isin(prefixes: _*))

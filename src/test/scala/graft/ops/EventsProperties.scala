@@ -24,6 +24,45 @@ object EventsProperties extends Properties("Events") {
   private val timelineGen: Gen[Seq[(Long, Long, Long)]] =
     Gen.listOfN(20, rowGen).map(_.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) })
 
+  // ── streaming funnel fold ≡ batch funnel joins ─────────────────────────
+
+  private val Stages = Seq("view", "click", "purchase")
+
+  private val funnelRowGen = for {
+    user <- Gen.choose(1L, 3L)
+    tMin <- Gen.choose(0L, 4000L) // spans several 24h windows
+    typ <- Gen.oneOf("view", "click", "purchase", "error")
+  } yield (user, tMin, typ)
+
+  private val funnelTimelineGen: Gen[Seq[(Long, Long, Long, String)]] =
+    Gen.listOfN(24, funnelRowGen)
+      .map(_.zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, u, t, ty) })
+
+  /** The incremental per-user state fold and the batch three-join plan are
+    * two implementations of one spec — they must agree on arbitrary
+    * timelines (greedy min per stage, strict progression, 24h windows).
+    */
+  property("funnelStreamMatchesBatchFunnel") = Prop.forAll(funnelTimelineGen) { rows =>
+    import spark.implicits._
+    val df = rows.toDF("event_id", "user_id", "t_min", "event_type")
+      .withColumn("ts", timestamp_seconds(col("t_min") * 60))
+      .withColumn("value", lit(1.0))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.sql.Timestamp]("t1")).map(_.getTime),
+          Option(r.getAs[java.sql.Timestamp]("t2")).map(_.getTime),
+          Option(r.getAs[java.sql.Timestamp]("t3")).map(_.getTime),
+          r.getAs[Int]("reached"))
+    val batch = Events.funnel(df, "user_id", "ts", "event_type", Stages, "24 HOURS")
+      .collect().map(key).toMap
+    val stream = graft.streaming.StreamOps.funnelStream(
+      df.select("event_id", "user_id", "event_type", "value", "ts")
+        .as[graft.streaming.StreamOps.Event],
+      Stages, java.time.Duration.ofHours(24))
+      .toDF().filter(col("reached") >= 1).collect().map(key).toMap
+    batch == stream
+  }
+
   property("matchesNaiveGapFold") = Prop.forAll(timelineGen) { rows =>
     import spark.implicits._
     val df = rows.toDF("event_id", "user_id", "t_min")

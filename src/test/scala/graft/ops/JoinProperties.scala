@@ -54,6 +54,38 @@ object JoinProperties extends Properties("JoinRewrites") {
       naive == bucketed
     }
 
+  // ── RangeJoin.overlapJoin ≡ naive overlap predicate ────────────────────
+
+  private val tsIntervalGen: Gen[(Int, Int)] = for {
+    s <- Gen.choose(0, 100000) // seconds from a fixed origin
+    len <- Gen.choose(0, 20000) // includes zero-length (closed ends)
+  } yield (s, s + len)
+
+  private def tsIntervalsDf(iv: Seq[(Int, Int)], idName: String,
+                            sName: String, eName: String): DataFrame = {
+    import spark.implicits._
+    iv.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF(idName, "so", "eo")
+      .select(col(idName),
+        timestamp_seconds(lit(1767225600) + col("so")).as(sName),
+        timestamp_seconds(lit(1767225600) + col("eo")).as(eName))
+  }
+
+  property("overlapJoinMatchesNaive") =
+    Prop.forAll(Gen.listOfN(12, tsIntervalGen), Gen.listOfN(12, tsIntervalGen),
+      Gen.oneOf(600L, 3600L, 86400L)) { (ls, rs, cell) =>
+      val l = tsIntervalsDf(ls, "lid", "ls", "le")
+      val r = tsIntervalsDf(rs, "rid", "rs", "re")
+      val naive = l.crossJoin(r)
+        .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val bucketed = RangeJoin.overlapJoin(l, r, "ls", "le", "rs", "re", cell)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      naive == bucketed // same pairs AND same multiplicity (exactly once)
+    }
+
   // ── BloomJoin.bloomAntiJoin ≡ plain left_anti ──────────────────────────
 
   private val keysGen: Gen[(Seq[Long], Seq[Long])] = for {
