@@ -47,4 +47,34 @@ object AsOf {
     carried.filter(col("__is_left") === 1)
       .select(left.columns.map(col) ++ outPayload: _*)
   }
+
+  /** Forward as-of: each left row matched to the EARLIEST right row
+    * at-or-after it per key — the mirror of [[asofJoin]] through the same
+    * union-plus-window trick, with the frame flipped to
+    * [current, following) and left rows ordered before right at equal
+    * times so an exactly-simultaneous right row still matches. One
+    * shuffle on the keys, state per task = one partition's timeline.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val r = right
+      .select((keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
+      .withColumn("__payload", struct(payload.map(col): _*))
+      .drop(payload: _*)
+      .withColumn("__is_left", lit(0))
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    // left (1) sorts BEFORE right (0) at equal times → inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = combined.withColumn("__m",
+      first(col("__payload"), ignoreNulls = true).over(w))
+    val outPayload = payload.map(p => col(s"__m.$p").as(p))
+    carried.filter(col("__is_left") === 1)
+      .select(left.columns.map(col) ++ outPayload: _*)
+  }
 }

@@ -1357,6 +1357,61 @@ object ExtendedQueries {
              |ORDER BY e.event_id""".stripMargin)
     ),
 
+    // Forward as-of: the NEXT purchase at-or-after each event (time-to-
+    // conversion shape); DuckDB's ASOF with a flipped inequality is the
+    // oracle.
+    QueryDef(
+      "ev_asof_next_purchase",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event"), col("ts").as("p_ts"))
+        AsOf.asofJoinForward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("p_event", "p_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |p AS (SELECT user_id, event_id AS p_event, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+             |SELECT e.event_id, e.user_id, e.ts, p.p_event, p.p_ts
+             |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.p_ts >= e.ts
+             |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // The built-in session_window aggregation — the engine-native way to
+    // get gap sessions without the manual lag/cumsum plan. Boundary
+    // semantics differ from Events.sessionize by one epsilon: a gap of
+    // EXACTLY the threshold starts a new session (window end exclusive),
+    // so the oracle replays >= on epoch microseconds.
+    QueryDef(
+      "ev_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM $evSql WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS sum_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)
+    ),
+
     QueryDef(
       "ev_duration",
       (s, dir) => Events.durations(Tables.events(s, dir), "user_id", "ts")

@@ -1136,6 +1136,25 @@ class EventsSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("p_id"))) // other user
   }
 
+  test("asofJoinForward: earliest right at-or-after, inclusive, per key") {
+    val purchases = Seq(
+      (101L, 10L, "2026-01-01 10:08:00"),
+      (102L, 10L, "2026-01-01 11:00:00")
+    ).toDF("p_id", "user_id", "ts_s")
+      .withColumn("p_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOf.asofJoinForward(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "p_ts",
+      payload = Seq("p_id", "p_ts"))
+      .orderBy("event_id").collect()
+    // event 1 (10:00) → 101 ahead; event 2 (10:10) → 102;
+    // event 3 (11:00) → 102 inclusive at equal time; user 20 → none
+    assert(out(0).getAs[Long]("p_id") == 101L)
+    assert(out(1).getAs[Long]("p_id") == 102L)
+    assert(out(2).getAs[Long]("p_id") == 102L)
+    assert(out(3).isNullAt(out(3).fieldIndex("p_id")))
+  }
+
   test("outliers: z-scores from exact sums, degenerate single-row group dropped") {
     // view values 1,2,4: mean 7/3, var (21 - 49/3)/2 → z(4) = 1.0911
     val out = Events.outliers(ev, "event_type", "value", "event_id", zThreshold = 1.0)
