@@ -105,13 +105,46 @@ object TextAnalysis {
     * document has fewer than n tokens. Narrow per-row transform; pair with
     * explode + groupBy for corpus-level shingle matching.
     */
-  def ngramHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def ngramHashes(text: Column, n: Int): Column =
+    ngramHashesOfTokens(tokens(text), n)
+
+  /** [[ngramHashes]] over a pre-projected token-array attribute — callers
+    * about to walk the result with another lambda (e.g. winnowing) must
+    * materialize the tokens first or the lambda re-tokenizes per window
+    * (the NOTES O(tokens²) lesson).
+    */
+  def ngramHashesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => polyHash(slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  /** Winnowing (MOSS-style) selection over a gram-hash array: the minimum
+    * hash of every `w`-window of consecutive gram hashes, de-duplicated.
+    * The guarantee: two documents sharing a token run of ≥ w+k−1 tokens
+    * share at least one selected fingerprint, while per-doc fingerprint
+    * count shrinks ~w× vs keeping every gram — the robust middle ground
+    * between full shingle sets and one whole-doc hash. Shorter docs
+    * (fewer than w grams) contribute their single overall minimum.
+    */
+  def winnowOfGramHashes(grams: Column, w: Int): Column =
+    when(size(grams) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+        i => array_min(slice(grams, i, lit(w))))))
+
+  /** Corpus-level winnowing fingerprints: distinct (id, fp) rows — the
+    * join-ready form for plagiarism/near-dup matching (group by fp, pairs
+    * within groups). Tokens and gram hashes materialize as their own
+    * projections so every lambda walks an attribute; the whole selection
+    * is one narrow scan-side pass per document.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), ngramHashesOfTokens(col("__toks"), k).as("__grams"))
+      .select(col(idCol), explode(winnowOfGramHashes(col("__grams"), w)).as("fp"))
+      .distinct()
 
   /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
     * deterministic across engines, so rounding canonicalizes identically).

@@ -248,6 +248,25 @@ object ExtendedQueries {
               |FROM b ORDER BY doc_id""".stripMargin)
     ),
 
+    // Winnowing (MOSS) fingerprints: min gram hash per w-window,
+    // de-duplicated — the robust document-fingerprint middle ground
+    // between full shingle sets and one whole-doc hash; (doc_id, fp)
+    // rows are the join-ready matching form.
+    QueryDef(
+      "text_winnow",
+      (s, dir) => TextAnalysis.winnowFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fp"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              |        i -> ${polyHashSql("toks[i:i+2]")}) AS grams FROM b),
+              |wnw AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+              |  ELSE list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+              |    i -> list_min(grams[i:i+3]))) END AS fps FROM g)
+              |SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnw
+              |ORDER BY doc_id, fp""".stripMargin)
+    ),
+
     // Redaction: scrub emails/URLs/long digit runs before training. The
     // patterns are one shared constant rendered into both plans — written
     // in the Java∩RE2 regex subset so both engines match identical spans.

@@ -24,6 +24,26 @@ class TextAnalysisSpec extends SparkSpec {
       got == math.round(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6.toDouble, got.toString)
   }
 
+  test("winnowing: shared runs share a fingerprint; short docs emit one min") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "xx yy alpha beta gamma delta epsilon zeta eta theta zz"),
+      (3L, "one two") // fewer than k tokens → no grams → no rows
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // the winnowing guarantee: a shared run of ≥ w+k−1 = 6 tokens ⇒ a
+    // shared selected fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert(!fps.contains(3L))
+    // k ≤ tokens < k+w−1: a single window over all grams → exactly 1 fp
+    val short = TextAnalysis.winnowFingerprints(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .collect()
+    assert(short.length == 1)
+  }
+
   test("quality features on a known doc") {
     val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
     val r  = TextAnalysis.qualityFeatures(df, "text", "doc_id").head()
