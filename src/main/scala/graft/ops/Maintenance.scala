@@ -64,6 +64,20 @@ object Maintenance {
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit =
     swapWrite(spark.read.parquet(path).coalesce(numFiles), path)
 
+  /** [[compact]] with the file count derived from the dataset's actual
+    * on-disk bytes and a target file size — the form an operator actually
+    * schedules ("keep files near 128 MB"), robust to dataset growth where
+    * a hard-coded count is not. The size comes from one Hadoop
+    * `getContentSummary` call (namenode metadata, no data read).
+    */
+  def compactToSize(spark: SparkSession, path: String, targetFileBytes: Long): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val (fs, target) = fsFor(spark, path)
+    val bytes = fs.getContentSummary(target).getLength
+    val numFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    compact(spark, path, numFiles)
+  }
+
   /** Relative `col=value[/col=value…]` partition directories that the
     * writer ACTUALLY produced under `root`, to `depth` levels. Listing the
     * written dirs (instead of reconstructing names from partition values)

@@ -119,6 +119,22 @@ object TextAnalysis {
         i => polyHash(slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Near-dup candidate pairs from shared winnowing fingerprints: ids
+    * co-occurring in ≥ `minShared` fingerprint groups. The equi-join on
+    * the fingerprint is the whole pair search — bucket sizes drive cost,
+    * exactly like the MinHash-LSH band join; feed the survivors to an
+    * exact verifier (Jaccard / edit distance) downstream.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int, minShared: Long): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val a = fps.select(col("fp"), col(idCol).as("id1"))
+    val b = fps.select(col("fp"), col(idCol).as("id2"))
+    a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Winnowing (MOSS-style) selection over a gram-hash array: the minimum
     * hash of every `w`-window of consecutive gram hashes, de-duplicated.
     * The guarantee: two documents sharing a token run of ≥ w+k−1 tokens

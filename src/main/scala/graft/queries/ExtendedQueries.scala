@@ -267,6 +267,28 @@ object ExtendedQueries {
               |ORDER BY doc_id, fp""".stripMargin)
     ),
 
+    // Winnow-fingerprint near-dup candidates: ids sharing ≥3 selected
+    // fingerprints — the equi-join-on-fp pair search, same scale shape as
+    // the MinHash band join.
+    QueryDef(
+      "dedup_winnow_pairs",
+      (s, dir) => TextAnalysis.winnowPairs(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4, minShared = 3)
+        .withColumnRenamed("id1", "doc1").withColumnRenamed("id2", "doc2")
+        .orderBy("doc1", "doc2"),
+      Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              |        i -> ${polyHashSql("toks[i:i+2]")}) AS grams FROM b),
+              |wnw AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+              |  ELSE list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+              |    i -> list_min(grams[i:i+3]))) END AS fps FROM g),
+              |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnw)
+              |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+              |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 3
+              |ORDER BY doc1, doc2""".stripMargin)
+    ),
+
     // Redaction: scrub emails/URLs/long digit runs before training. The
     // patterns are one shared constant rendered into both plans — written
     // in the Java∩RE2 regex subset so both engines match identical spans.

@@ -34,6 +34,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(parent == Set("ds"), s"unexpected siblings: $parent")
   }
 
+  test("compactToSize derives the file count from on-disk bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/ds"
+    spark.range(0, 5000).toDF("id").repartition(16).write.parquet(dir)
+    val bytes = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    // target ≈ half the dataset → 2 files (ceil division)
+    Maintenance.compactToSize(spark, dir, math.max(1L, bytes / 2))
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 3 && files >= 2, s"expected ~2 compacted files, got $files")
+    assert(spark.read.parquet(dir).count() == 5000)
+  }
+
   test("partition-scoped upsert rewrites only the touched partition") {
     val path = java.nio.file.Files.createTempDirectory("pups").toString + "/ds"
     val initial = Seq(
