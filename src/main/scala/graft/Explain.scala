@@ -31,6 +31,7 @@ object Explain {
       "q11_important_stock",                                   // 1-row total-value broadcast
       "ev_resample_gapfill",                                   // 1-row min/max grid-bounds broadcast
       "profile_drift_psi",                                     // 1-row cohort-totals broadcast
+      "text_unigram_score",                                    // 1-row corpus-total broadcast
       "dedup_semantic")                                        // k-centroid broadcast assign
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {

@@ -187,11 +187,15 @@ object Dedup {
     * edit distance is exactly order-sensitive — "a b c" vs "c b a" is
     * jaccard 1.0 but distance 4.
     *
-    * Scale: levenshtein is O(len²) per pair, which is why it only ever
-    * runs on CANDIDATE pairs (LSH/SimHash output), never the corpus —
-    * the same verify-after-candidates contract as [[verifyPairsJaccard]].
-    * Two narrow id-keyed joins re-attach text; the quadratic cost is
-    * bounded by candidate count × document length.
+    * Scale: the distance runs through the THRESHOLDED levenshtein
+    * built-in — banded O(len·maxDist) with early exit instead of the full
+    * O(len²) table, and it returns −1 the moment the band is exceeded, so
+    * wildly-different candidate pairs cost one diagonal sweep. It still
+    * only ever runs on CANDIDATE pairs (LSH/SimHash output), never the
+    * corpus — the same verify-after-candidates contract as
+    * [[verifyPairsJaccard]]. Two narrow id-keyed joins re-attach text.
+    * For surviving pairs the emitted distance is identical to the
+    * unthresholded form.
     */
   def verifyPairsEditDistance(docs: DataFrame, pairs: DataFrame,
                               idCol: String, textCol: String,
@@ -201,8 +205,8 @@ object Dedup {
     pairs
       .join(t.select(col("__id").as("id1"), col("__t").as("__t1")), Seq("id1"))
       .join(t.select(col("__id").as("id2"), col("__t").as("__t2")), Seq("id2"))
-      .withColumn("edit_dist", levenshtein(col("__t1"), col("__t2")))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__t1"), col("__t2"), maxDist))
+      .filter(col("edit_dist") =!= -1) // -1 = band exceeded = distance > maxDist
       .select("id1", "id2", "edit_dist")
   }
 

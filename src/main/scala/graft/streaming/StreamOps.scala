@@ -140,15 +140,23 @@ object StreamOps {
     * engine evict. Key equality + time bound is the canonical
     * click-to-impression shape.
     */
+  /** `joinType` "inner" (default) or "left_outer": the outer form emits
+    * null-padded left rows once the watermark proves no match can still
+    * arrive — impression-without-click detection with bounded state. Note
+    * outer results trail the watermark: rows near the end of a drained
+    * stream stay unemitted until a later batch advances it.
+    */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        key: String, leftTs: String, rightTs: String,
-                       watermarkDelay: String, joinWindow: String): DataFrame = {
+                       watermarkDelay: String, joinWindow: String,
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $joinWindow"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $joinWindow"),
+      joinType)
       .drop(r(key))
   }
 

@@ -151,6 +151,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((1L, sqlTs("2026-01-01 10:05:00"))))
   }
 
+  test("left-outer stream-stream join null-pads once the watermark proves no match") {
+    val lDir = java.nio.file.Files.createTempDirectory("sso_l")
+    val rDir = java.nio.file.Files.createTempDirectory("sso_r")
+    val now = System.currentTimeMillis()
+    def writeOne(dir: java.nio.file.Path, name: String, mtime: Long,
+                 rows: Seq[(Long, java.sql.Timestamp)], tsName: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sso_tmp").toString
+      rows.toDF("k", tsName).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+      assert(dir.resolve(name).toFile.setLastModified(mtime))
+    }
+    // batch 0: k=1 never matches, k=2 matches within the window
+    writeOne(lDir, "l1.parquet", now - 180000,
+      Seq((1L, sqlTs("2026-01-01 10:00:00")), (2L, sqlTs("2026-01-01 10:00:00"))), "lts")
+    writeOne(rDir, "r1.parquet", now - 180000,
+      Seq((2L, sqlTs("2026-01-01 10:02:00"))), "rts")
+    // batches 1-2: future rows on BOTH sides push the min watermark far
+    // past k=1's eviction point (outer emission trails eviction a batch)
+    writeOne(lDir, "l2.parquet", now - 120000, Seq((8L, sqlTs("2026-01-01 13:00:00"))), "lts")
+    writeOne(rDir, "r2.parquet", now - 120000, Seq((8L, sqlTs("2026-01-01 13:00:01"))), "rts")
+    writeOne(lDir, "l3.parquet", now - 60000, Seq((9L, sqlTs("2026-01-01 15:00:00"))), "lts")
+    writeOne(rDir, "r3.parquet", now - 60000, Seq((9L, sqlTs("2026-01-01 15:00:01"))), "rts")
+    def stream(dir: java.nio.file.Path) = {
+      val sch = spark.read.parquet(dir.toString).schema
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    }
+    val joined = StreamOps.streamStreamJoin(
+      stream(lDir), stream(rDir), "k", "lts", "rts",
+      watermarkDelay = "10 minutes", joinWindow = "10 MINUTE",
+      joinType = "left_outer")
+    StreamOps.runToMemory(joined.select(col("k"), col("lts"), col("rts")), "sso_out")
+    val rows = spark.table("sso_out").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)).map(_.toString))).toSet
+    assert(rows.contains((2L, Some("2026-01-01 10:02:00.0"))), rows.toString)
+    assert(rows.contains((1L, None)), s"unmatched left row must null-pad: $rows")
+  }
+
   test("upsertSink merges micro-batches by key; compaction preserves data") {
     val src  = java.nio.file.Files.createTempDirectory("up_src")
     val sink = java.nio.file.Files.createTempDirectory("up_sink").toString + "/ds"
