@@ -144,6 +144,29 @@ object ExtendedQueries {
   private val RebalanceShares =
     Seq("src0" -> 0.3, "src1" -> 0.1, "src2" -> 0.1, "src3" -> 0.5)
 
+  /** One oracle, two implementations: ev_session_window (batch) and
+    * ev_session_window_stream (complete-mode stream) replay the
+    * built-in's exact boundary semantics (gap of EXACTLY the threshold
+    * starts a new session — >= on epoch microseconds). */
+  private lazy val sessionWindowOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM $evSql WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  round(sum(value), 2) AS sum_value
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** One oracle, two implementations: ev_funnel (batch joins) and
     * ev_funnel_stream (stateful fold) must both reproduce it. */
   private lazy val funnelOracleSql: String =
@@ -1434,23 +1457,37 @@ object ExtendedQueries {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start"),
-      Some(s"""WITH g AS (
-             |  SELECT user_id, event_id, ts, value,
-             |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-             |         THEN 1 ELSE 0 END AS new_s
-             |  FROM $evSql WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-             |s AS (
-             |  SELECT user_id, ts, value,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |  FROM g)
-             |SELECT user_id, min(ts) AS session_start,
-             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-             |  CAST(count(*) AS BIGINT) AS n_events,
-             |  round(sum(value), 2) AS sum_value
-             |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, session_start""".stripMargin)
+      Some(sessionWindowOracleSql)
+    ),
+
+    // The SAME session_window aggregation running as a stream (complete
+    // mode drains every session under AvailableNow, so the identical
+    // batch oracle applies — no watermark needed when the sink holds the
+    // full result).
+    QueryDef(
+      "ev_session_window_stream",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_sw")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val withTs =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else stream
+        val agg = withTs
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+        val name = s"ev_sw_${System.nanoTime()}"
+        graft.streaming.StreamOps.runToMemory(agg, name, outputMode = "complete")
+        s.table(name).orderBy("user_id", "session_start")
+      },
+      Some(sessionWindowOracleSql)
     ),
 
     QueryDef(
