@@ -167,9 +167,8 @@ object Similarity {
         .crossJoin(broadcast(centroidFrame(spark, cents)))
         .withColumn("__cs", dot(col("v"), col("cent_v")) /
           (norm(col("v")) * norm(col("cent_v"))))
-      val w = Window.partitionBy("__rid").orderBy(desc("__cs"), col("cent_id"))
-      val assigned = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select(col("cent_id"), col("v"))
+      val assigned = assignNearest(scored, "__rid", Seq("v"))
+        .select(col("cent_id"), col("v"))
       val means = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cent_id", "dim").agg(avg("x").as("m"))
@@ -195,6 +194,23 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType), nullable = false))))
   }
 
+  /** Nearest-centroid pick as ONE hash aggregation: per id keep the
+    * centroid maximizing (cosine, then lowest cent_id) via `max_by` over
+    * an orderable struct. Map-side partial aggregation collapses the N·k
+    * scored rows to one row per id BEFORE any exchange — the row_number
+    * window this replaces shuffled and sorted all N·k rows. `carry`
+    * columns (constant per id) ride through with first(). Tie-break is
+    * identical to the window form: the struct's second field is the
+    * NEGATED centroid id, so equal cosines resolve to the lowest id.
+    */
+  private def assignNearest(scored: DataFrame, id: String,
+                            carry: Seq[String]): DataFrame = {
+    val aggs = max_by(col("cent_id"),
+        struct(col("__cs"), (-col("cent_id")).as("__nid"))).as("cent_id") +:
+      carry.map(c => first(col(c)).as(c))
+    scored.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** [[ivfTopK]] with externally-supplied centroids (e.g. trained by
     * [[kmeansCentroids]]): identical probe structure — broadcast-assign
     * both sides, equi-join on the centroid id — only the quantizer
@@ -204,12 +220,11 @@ object Similarity {
                   vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val carried = df.columns.filterNot(_ == id).toSeq
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("__cs", round(dot(col(vec), col("cent_v")) /
           (norm(col(vec)) * norm(col("cent_v"))), 6))
-      val w = Window.partitionBy(id).orderBy(desc("__cs"), col("cent_id"))
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__cs", "__rn", "cent_v")
+      assignNearest(scored, id, carried)
     }
     val c = assign(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn")), "neighbor_id", "cv")
@@ -282,8 +297,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
         (norm(col("v")) * norm(col("cent_v"))), 6))
-    val w = Window.partitionBy("vec_id").orderBy(desc("__cs"), col("cent_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    assignNearest(scored, "vec_id", Seq("v"))
       .select(col("vec_id"), col("v"), col("cent_id"))
       // organize-on-write: co-locate each inverted list before the
       // partitioned write (one file per list per writer that owns it,
@@ -490,9 +504,8 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
         (col("n") * col("cent_n")), 6))
-    val w = Window.partitionBy("id").orderBy(desc("__cs"), col("cent_id"))
-    val assigned = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).select(col("cent_id"), col("id"), col("v"), col("n"))
+    val assigned = assignNearest(scored, "id", Seq("v", "n"))
+      .select(col("cent_id"), col("id"), col("v"), col("n"))
     val a = assigned.select(col("cent_id"), col("id").as("id1"),
       col("v").as("v1"), col("n").as("n1"))
     val b = assigned.select(col("cent_id"), col("id").as("id2"),
