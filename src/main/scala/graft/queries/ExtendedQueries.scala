@@ -2083,6 +2083,23 @@ object ExtendedQueries {
              |FROM orders""".stripMargin)
     ),
 
+    // Grouped top-n through the native heap aggregate: the exchange
+    // carries groups×n rows (map-side partial agg), not the table sorted
+    // — vs the window formulation w1_window_rank exercises.
+    QueryDef(
+      "topn_orders_by_priority",
+      (s, dir) => TopN.topNPerGroup(Tables.orders(s, dir),
+          Seq("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), n = 3)
+        .orderBy("o_orderpriority", "rank"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank,
+             |  o_orderkey AS id, o_totalprice AS score
+             |FROM orders
+             |QUALIFY rank <= 3
+             |ORDER BY o_orderpriority, rank""".stripMargin)
+    ),
+
     // One-pass Pearson correlation matrix from decimal-exact sums.
     QueryDef(
       "profile_corr",
