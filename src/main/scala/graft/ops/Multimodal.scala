@@ -151,6 +151,72 @@ object Multimodal {
       .toDF(idCol, "width", "height", "channels", "pixel_sum")
   }
 
+  /** Perceptual average-hash (aHash) over the decoded raster: the image
+    * divides into a `grid`×`grid` block grid; bit b is set iff block b's
+    * mean ≥ the global mean. The comparison is INTEGER-exact
+    * (blockSum·w·h ≥ pixelSum·blockPx), so the SQL oracle reproduces the
+    * hash from the payload bytes without a PNG decoder, and the hash is
+    * engine-portable by construction. Output: (id, phash) with phash a
+    * grid²-char '0'/'1' string — near-dup images then pair by hamming
+    * distance through the same banded machinery as SimHash.
+    *
+    * Runs as executor-side partition batches through the REAL PNG
+    * roundtrip (encode → javax.imageio decode → raster); a payload no
+    * installed reader recognises falls back to the byte-replicated pixel
+    * law the encoder uses, so the hash is identical either way.
+    */
+  def pngAHash(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 16, h: Int = 16, grid: Int = 8): DataFrame = {
+    require(w % grid == 0 && h % grid == 0, "grid must divide image dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (bw, bh) = (w / grid, h / grid)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val decoded: Array[Long] = {
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(encodeGrayPng(bytes, w, h)))
+                catch { case _: java.io.IOException => null }
+              if (img != null) {
+                val r = img.getRaster
+                Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0).toLong)
+              } else // no reader: the encoder's byte-replication law
+                Array.tabulate(w * h)(i => (bytes(i % bytes.length) & 0xff).toLong)
+            }
+            val total = decoded.sum
+            val bits = new StringBuilder(grid * grid)
+            var by = 0
+            while (by < grid) {
+              var bx = 0
+              while (bx < grid) {
+                var bs = 0L
+                var dy = 0
+                while (dy < bh) {
+                  var dx = 0
+                  while (dx < bw) {
+                    bs += decoded((by * bh + dy) * w + (bx * bw + dx))
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                bits.append(if (bs * w * h >= total * bw * bh) '1' else '0')
+                bx += 1
+              }
+              by += 1
+            }
+            Iterator((id, bits.toString))
+          }
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
   /** STUB decoder: a real pipeline would decode image/audio here (JPEG →
     * pixels, PCM frames, …). No codec libraries exist in this container, so
     * this produces a deterministic fake embedding from a rolling byte hash —

@@ -1761,6 +1761,34 @@ object ExtendedQueries {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Perceptual average-hash over the decoded raster: integer-exact
+    // block-mean bits, so the oracle rebuilds the hash from the payload
+    // bytes with no PNG decoder (the roundtrip is bit-exact, proven by
+    // mm_decode's pixel_sum).
+    QueryDef(
+      "mm_phash",
+      (s, dir) => Multimodal.pngAHash(
+          Tables.documents(s, dir), "doc_id", "text", w = 16, h = 16, grid = 8)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |px AS (
+             |  SELECT doc_id,
+             |    ((i // 16) // 2) * 8 + (i % 16) // 2 AS blk,
+             |    (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 1, 1)) - 1) * 16
+             |  + (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 2, 1)) - 1) AS v
+             |  FROM b, (SELECT unnest(range(0, 256)) AS i)),
+             |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY 1),
+             |bits AS (SELECT doc_id, blk,
+             |  CASE WHEN s * 256 >= total * 4 THEN '1' ELSE '0' END AS bit
+             |  FROM bs JOIN tot USING (doc_id))
+             |SELECT doc_id, string_agg(bit, '' ORDER BY blk) AS phash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // ─────────────── benchmark contamination (train/test leakage) ────────
     // Corpus docs sharing word 3-grams with a benchmark set (stand-in:
     // every 97th doc). Spark joins md5'd grams (fixed-width shuffle key);
