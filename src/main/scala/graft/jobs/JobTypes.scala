@@ -48,3 +48,31 @@ abstract class LoadingJob(batches: BatchTracker) extends EtlJob {
     batch = Some(batches.create("loading", name, dsName, dsUrl, ctx.now))
   }
 }
+
+/** Config-driven bridge between the query registry and the connection
+  * registry: run a registered `SparkEntry` query over a source directory
+  * and publish the result through a named connection — the shape of the
+  * reference's nightly "derive table X into schema Y" loading jobs, with
+  * the query registry standing in for its SQL-string builders. Source
+  * dir, target connection/table, and write mode all resolve from the
+  * job's `Defaults` domain (config-as-data, reference §2.8), overridable
+  * at construction.
+  */
+class QueryJob(batches: BatchTracker, val queryName: String,
+               targetConnection: String, targetTable: String,
+               sourceDir: Option[String] = None,
+               mode: String = "overwrite") extends LoadingJob(batches) {
+  override val name: String = s"query_$queryName"
+
+  override def run(ctx: JobContext): Unit = {
+    val fn = graft.SparkEntry.queries.getOrElse(queryName,
+      throw new IllegalArgumentException(s"unknown query: $queryName"))
+    val dir = sourceDir.orElse(ctx.defaults.get("source_dir")).getOrElse(
+      throw new IllegalArgumentException(
+        s"no source_dir for $name: pass one or set defaults('source_dir')"))
+    ctx.setPhase("mapping")
+    val result = fn(ctx.spark, dir)
+    ctx.setPhase("loading")
+    graft.io.Connections.write(result, targetConnection, targetTable, mode)
+  }
+}

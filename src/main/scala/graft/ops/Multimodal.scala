@@ -217,6 +217,38 @@ object Multimodal {
       .toDF(idCol, "phash")
   }
 
+  /** Image near-dup pairs over the perceptual hash: banded equi-join on
+    * phash quarters (pigeonhole — hamming ≤ nBands−1 GUARANTEES a shared
+    * band), exact hamming verified on candidates only. SimHash's banding
+    * machinery applied to decoded-pixel hashes: candidates come from
+    * bucket joins, never all-pairs, so the cost is bucket density at any
+    * corpus size.
+    */
+  def phashPairs(df: DataFrame, idCol: String, textCol: String,
+                 maxHamming: Int, nBands: Int = 4,
+                 w: Int = 16, h: Int = 16, grid: Int = 8): DataFrame = {
+    val bits = grid * grid
+    require(bits % nBands == 0, "bands must divide the bit count")
+    val bandW = bits / nBands
+    val ph = pngAHash(df, idCol, textCol, w, h, grid)
+    val bands = ph
+      .select(col(idCol), col("phash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bh", expr(s"substring(phash, band * $bandW + 1, $bandW)"))
+    val a = bands.select(col("band"), col("bh"),
+      col(idCol).as("id1"), col("phash").as("p1"))
+    val b = bands.select(col("band"), col("bh"),
+      col(idCol).as("id2"), col("phash").as("p2"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
+      .select("id1", "id2", "p1", "p2").distinct()
+    cand
+      .withColumn("hamming",
+        size(filter(zip_with(split(col("p1"), ""), split(col("p2"), ""),
+          (x, y) => x =!= y), v => v)).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** STUB decoder: a real pipeline would decode image/audio here (JPEG →
     * pixels, PCM frames, …). No codec libraries exist in this container, so
     * this produces a deterministic fake embedding from a rolling byte hash —

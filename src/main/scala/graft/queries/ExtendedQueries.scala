@@ -1789,6 +1789,43 @@ object ExtendedQueries {
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Image near-dup pairs: banded phash join (pigeonhole over 4 quarters)
+    // + exact hamming on candidates only.
+    QueryDef(
+      "mm_phash_pairs",
+      (s, dir) => Multimodal.phashPairs(
+          Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |px AS (
+             |  SELECT doc_id, ((i // 16) // 2) * 8 + (i % 16) // 2 AS blk,
+             |    (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 1, 1)) - 1) * 16
+             |  + (strpos('0123456789abcdef', substring(hx, (i % n) * 2 + 2, 1)) - 1) AS v
+             |  FROM b, (SELECT unnest(range(0, 256)) AS i)),
+             |bs AS (SELECT doc_id, blk, SUM(v) AS s FROM px GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY 1),
+             |bits AS (SELECT doc_id, blk,
+             |  CASE WHEN s * 256 >= total * 4 THEN '1' ELSE '0' END AS bit
+             |  FROM bs JOIN tot USING (doc_id)),
+             |ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY blk) AS phash
+             |       FROM bits GROUP BY doc_id),
+             |bands AS (SELECT doc_id, band, substring(phash, band*16+1, 16) AS bh, phash
+             |          FROM ph, (SELECT unnest(range(0, 4)) AS band)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+             |           a.phash AS p1, b2.phash AS p2
+             |         FROM bands a JOIN bands b2
+             |           ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+             |hp AS (SELECT id1, id2,
+             |         CAST(len(list_filter(range(1, 65),
+             |           i -> substring(p1, i, 1) <> substring(p2, i, 1))) AS BIGINT) AS hamming
+             |       FROM cand)
+             |SELECT id1, id2, hamming FROM hp WHERE hamming <= 3
+             |ORDER BY id1, id2""".stripMargin)
+    ),
+
     // ─────────────── benchmark contamination (train/test leakage) ────────
     // Corpus docs sharing word 3-grams with a benchmark set (stand-in:
     // every 97th doc). Spark joins md5'd grams (fixed-width shuffle key);

@@ -189,4 +189,25 @@ class DefaultsSpec extends SparkSpec {
     loaded.load(spark, path)
     assert(loaded.snapshot == store.snapshot)
   }
+
+  test("QueryJob runs a registered query into a named connection end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("qjob").toString
+    graft.io.Connections.replace(graft.io.Connections.ConnectionInfo(
+      "qjob_out", "parquet", basePath = Some(base)))
+    val defaults = new DefaultsStore
+    // source dir resolves from the job's own defaults domain (config-as-data)
+    defaults.forDomain("query_q1_pricing_summary")
+      .update("source_dir", "/root/testdata/sf0.001")
+    val tracker = new StatusTracker
+    val runner  = new JobRunner(spark, defaults, tracker)
+    val job = new QueryJob(new BatchTracker, "q1_pricing_summary",
+      "qjob_out", "pricing_summary")
+    val id = runner.run(job, debug = true)
+    assert(tracker.all.find(_.id == id).exists(_.status == "ok"), tracker.all.toString)
+    val out = spark.read.parquet(s"$base/pricing_summary.parquet")
+    assert(out.count() > 0 && out.columns.contains("sum_qty"))
+    // unknown query fails the run, visible in the status row
+    val bad = runner.run(new QueryJob(new BatchTracker, "no_such_query", "qjob_out", "x"))
+    assert(tracker.all.find(_.id == bad).exists(_.status == "failed"))
+  }
 }
