@@ -104,6 +104,31 @@ object Events {
       .select(col(idCol), col(typeCol), col(valCol), col("z"))
   }
 
+  /** Robust (median/MAD) outliers — the breakdown-resistant complement of
+    * [[outliers]]: a mean/std detector is dragged by the very anomalies it
+    * hunts; medians have a 50% breakdown point. Two aggregation passes
+    * (per-group median, then the deviation median) with the tiny stats
+    * frame broadcast back; robust z = 0.6745·(v − med)/MAD, the standard
+    * consistency constant. Exact interpolated percentiles are
+    * engine-portable (pinned by the percentile query family). Groups with
+    * MAD = 0 are dropped — when over half the values are identical the
+    * MAD definition flags nothing.
+    */
+  def outliersRobust(df: DataFrame, typeCol: String, valCol: String,
+                     idCol: String, zThreshold: Double): DataFrame = {
+    val med = df.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), Seq(typeCol))
+      .withColumn("__ad", abs(col(valCol) - col("med")))
+      .groupBy(col(typeCol))
+      .agg(expr("percentile(__ad, 0.5)").as("mad"), first(col("med")).as("med"))
+    df.join(broadcast(mad), Seq(typeCol))
+      .filter(col("mad") > 0)
+      .withColumn("rz", round(lit(0.6745) * (col(valCol) - col("med")) / col("mad"), 4))
+      .filter(abs(col("rz")) >= zThreshold)
+      .select(col(idCol), col(typeCol), col(valCol), col("rz"))
+  }
+
   /** Ordered funnel with a per-stage conversion window: stage i+1 counts
     * only if it happens AFTER the user's stage-i time and within `maxGap`
     * of it. One left join + conditional min per stage, all keyed on the

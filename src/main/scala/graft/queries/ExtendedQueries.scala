@@ -1244,6 +1244,26 @@ object ExtendedQueries {
              |ORDER BY event_id""".stripMargin)
     ),
 
+    // Robust MAD outliers: the median-based complement of ev_outliers
+    // (breakdown-resistant; exact interpolated percentiles are portable).
+    QueryDef(
+      "ev_outliers_robust",
+      (s, dir) => Events.outliersRobust(Tables.events(s, dir),
+          "event_type", "value", "event_id", zThreshold = 3.5)
+        .orderBy("event_id"),
+      Some(s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |             FROM $evSql GROUP BY 1),
+             |mad AS (SELECT event_type, med,
+             |          quantile_cont(abs(value - med), 0.5) AS mad
+             |        FROM $evSql JOIN med USING (event_type)
+             |        GROUP BY event_type, med)
+             |SELECT event_id, event_type, value,
+             |  round(0.6745 * (value - med) / mad, 4) AS rz
+             |FROM $evSql JOIN mad USING (event_type)
+             |WHERE mad > 0 AND abs(round(0.6745 * (value - med) / mad, 4)) >= 3.5
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // Ordered conversion funnel view→click→purchase with a 24h per-stage
     // window: stage times via one co-partitioned left join + conditional
     // min per stage; `reached` is how deep each user got.
