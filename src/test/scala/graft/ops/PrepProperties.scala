@@ -1,6 +1,40 @@
 package graft.ops
 
 import org.scalacheck.{Gen, Prop, Properties}
+
+/** Algebraic invariants of the source-mix rebalance arithmetic: on any
+  * counts and positive shares, the binding source keeps rate 1, no rate
+  * exceeds 1, and the implied kept sizes are proportional to the target
+  * shares (up to the per-source count ceilings).
+  */
+object RebalanceProperties extends Properties("RebalanceRates") {
+
+  private val sharesGen: Gen[Seq[(String, Double)]] = for {
+    n <- Gen.choose(2, 5)
+    ws <- Gen.listOfN(n, Gen.choose(1, 100))
+  } yield ws.zipWithIndex.map { case (w, i) =>
+    s"s$i" -> w.toDouble / ws.sum
+  }
+
+  private val countsGen: Gen[Seq[Long]] =
+    Gen.listOf(Gen.choose(1L, 100000L))
+
+  property("bindingKeptWhole_ratesBounded_proportional") =
+    Prop.forAll(sharesGen, countsGen) { (shares, cs) =>
+      val counts = shares.map(_._1).zip(
+        cs.padTo(shares.size, 1000L)).toMap
+      val rates = Sampling.rebalanceRates(counts, shares).toMap
+      val binding = shares.minBy { case (s, w) => counts(s) / w }._1
+      val allBounded = rates.values.forall(r => r >= 0.0 && r <= 1.0 + 1e-12)
+      val bindingWhole = math.abs(rates(binding) - 1.0) < 1e-9
+      // kept_i = rate_i * count_i must be proportional to share_i
+      val kept = shares.map { case (s, w) => rates(s) * counts(s) / w }
+      val proportional = kept.forall(k => math.abs(k - kept.head) < 1e-6 * kept.head)
+      allBounded && bindingWhole && proportional
+    }
+}
+
+import org.scalacheck.{Gen, Prop, Properties}
 import org.apache.spark.sql.SparkSession
 
 /** Laws for the corpus-prep building blocks: on arbitrary small corpora
