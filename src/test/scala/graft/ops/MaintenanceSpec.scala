@@ -34,6 +34,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(parent == Set("ds"), s"unexpected siblings: $parent")
   }
 
+  test("manifest dataset: versioned publish, cheap append, time travel, vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("mfst").toString + "/ds"
+    val v1 = Manifest.overwrite(spark.range(0, 100).toDF("id"), dir)
+    assert(v1 == 1 && Manifest.read(spark, dir).count() == 100)
+    // append publishes a new version without touching v1's files
+    val before = filesUnder(new java.io.File(dir))
+    val v2 = Manifest.append(spark.range(100, 150).toDF("id"), dir)
+    assert(v2 == 2 && Manifest.read(spark, dir).count() == 150)
+    val after = filesUnder(new java.io.File(dir))
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "append must not rewrite or move existing data files")
+    // time travel: v1 still reads its original contents
+    assert(Manifest.read(spark, dir, version = 1).count() == 100)
+    // overwrite replaces latest, old versions remain until vacuum
+    val v3 = Manifest.overwrite(spark.range(0, 7).toDF("id"), dir)
+    assert(v3 == 3 && Manifest.read(spark, dir).count() == 7)
+    assert(Manifest.read(spark, dir, version = 2).count() == 150)
+    Manifest.vacuum(spark, dir, keepVersions = 1)
+    assert(Manifest.read(spark, dir).count() == 7) // latest unaffected
+    // vacuumed versions are gone: manifest deleted
+    intercept[java.util.NoSuchElementException] {
+      Manifest.read(spark, dir, version = 1)
+    }
+  }
+
   test("compactToSize derives the file count from on-disk bytes") {
     val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/ds"
     spark.range(0, 5000).toDF("id").repartition(16).write.parquet(dir)
