@@ -108,6 +108,33 @@ object Manifest {
     spark.read.parquet(files: _*)
   }
 
+  /** Keyed upsert as a manifest commit: last-writer-wins within the batch
+    * by `orderCol`, key matches replace existing rows, everything else
+    * passes through — [[Maintenance.upsertBatch]]'s contract, but the
+    * publish is a manifest swap instead of directory renames, so readers
+    * of the previous version are never disturbed and a crashed upsert
+    * leaves only invisible staged files. (The merge itself still reads
+    * and rewrites the dataset — pair with hive-partitioned or
+    * partition-scoped layouts when only a slice changes.)
+    */
+  def upsert(batch: DataFrame, path: String, keys: Seq[String],
+             orderCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(desc(orderCol))
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (latestVersion(spark, path) == 0) overwrite(latest, path)
+    else {
+      val merged = read(spark, path)
+        .join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(latest, allowMissingColumns = true)
+      overwrite(merged, path)
+    }
+  }
+
   /** Drop data files no manifest ≤ the retained window references and
     * manifests older than `keepVersions` — the vacuum that bounds
     * storage; readers of retained versions are unaffected.

@@ -183,6 +183,25 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Continuous append into a manifest-versioned dataset: every
+    * micro-batch publishes atomically as the next version — readers see
+    * whole batches or nothing, and a crashed batch leaves only invisible
+    * staged files (vs a plain file-sink's partial output). Appends move
+    * no existing data, so the sink cost is the batch, not the dataset;
+    * periodic [[graft.ops.Maintenance.compactToSize]]-style rewrites can
+    * run as just another committed version.
+    */
+  def manifestSink(stream: DataFrame, path: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Manifest.append(batch, path): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the test/driver harness shape
     * (`Trigger.AvailableNow` ≈ the reference's cron-batch cycle O12).

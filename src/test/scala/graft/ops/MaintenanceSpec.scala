@@ -59,6 +59,20 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("manifest upsert: keyed replace publishes a new version; old version intact") {
+    val dir = java.nio.file.Files.createTempDirectory("mfup").toString + "/ds"
+    Manifest.upsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"),
+      dir, Seq("k"), "seq")
+    Manifest.upsert(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "seq"),
+      dir, Seq("k"), "seq")
+    val now = Manifest.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    val v1 = Manifest.read(spark, dir, version = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("compactToSize derives the file count from on-disk bytes") {
     val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/ds"
     spark.range(0, 5000).toDF("id").repartition(16).write.parquet(dir)

@@ -299,6 +299,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(last.getAs[java.sql.Timestamp]("t3") == null)
   }
 
+  test("manifestSink: each micro-batch commits one atomic version") {
+    val src  = java.nio.file.Files.createTempDirectory("ms_src")
+    val sink = java.nio.file.Files.createTempDirectory("ms_sink").toString + "/ds"
+    val ckpt = java.nio.file.Files.createTempDirectory("ms_ckpt").toString
+    val now = System.currentTimeMillis()
+    def writeOne(name: String, mtime: Long, rows: Seq[Long]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ms_tmp").toString
+      rows.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+      assert(src.resolve(name).toFile.setLastModified(mtime))
+    }
+    writeOne("b1.parquet", now - 120000, Seq(1L, 2L))
+    writeOne("b2.parquet", now - 60000, Seq(3L))
+    val sch = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    StreamOps.manifestSink(stream, sink, ckpt)
+    assert(graft.ops.Manifest.latestVersion(spark, sink) == 2)
+    assert(graft.ops.Manifest.read(spark, sink).count() == 3)
+    // version 1 holds exactly the first micro-batch
+    assert(graft.ops.Manifest.read(spark, sink, version = 1).count() == 2)
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
