@@ -2185,6 +2185,41 @@ object ExtendedQueries {
              |ORDER BY o_orderpriority, rank""".stripMargin)
     ),
 
+    // Declarative data-quality gate: every expectation evaluated in ONE
+    // scan (nulls, key uniqueness, bounds, accepted values) with the
+    // verdicts unpivoted from the single agg row. Bounds(l_quantity ≤ 40)
+    // deliberately fails so both verdict branches are exercised.
+    QueryDef(
+      "check_lineitem",
+      (s, dir) => Checks.run(Tables.lineitem(s, dir), Seq(
+          Checks.NotNull("l_quantity"),
+          Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          Checks.Bounds("l_quantity", 1.0, 40.0),
+          Checks.Bounds("l_discount", 0.0, 0.1),
+          Checks.AcceptedValues("l_returnflag", Seq("A", "N", "R"))))
+        .orderBy("check_name", "col_name"),
+      Some("""WITH a AS (SELECT
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS o0,
+             |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) AS o1,
+             |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 40.0 THEN 1 ELSE 0 END) AS DOUBLE) AS o2,
+             |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS DOUBLE) AS o3,
+             |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |                 AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) AS o4
+             |FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'not_null' AS check_name, 'l_quantity' AS col_name, o0 AS observed, o0 <= 0.0 AS passed FROM a
+             |  UNION ALL
+             |  SELECT 'unique', 'l_orderkey,l_linenumber', o1, o1 = 0.0 FROM a
+             |  UNION ALL
+             |  SELECT 'bounds', 'l_quantity', o2, o2 = 0.0 FROM a
+             |  UNION ALL
+             |  SELECT 'bounds', 'l_discount', o3, o3 = 0.0 FROM a
+             |  UNION ALL
+             |  SELECT 'accepted_values', 'l_returnflag', o4, o4 = 0.0 FROM a)
+             |ORDER BY check_name, col_name""".stripMargin)
+    ),
+
     // One-pass Pearson correlation matrix from decimal-exact sums.
     QueryDef(
       "profile_corr",
