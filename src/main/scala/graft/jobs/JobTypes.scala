@@ -61,7 +61,8 @@ abstract class LoadingJob(batches: BatchTracker) extends EtlJob {
 class QueryJob(batches: BatchTracker, val queryName: String,
                targetConnection: String, targetTable: String,
                sourceDir: Option[String] = None,
-               mode: String = "overwrite") extends LoadingJob(batches) {
+               mode: String = "overwrite",
+               gate: Seq[graft.ops.Checks.Check] = Nil) extends LoadingJob(batches) {
   override val name: String = s"query_$queryName"
 
   override def run(ctx: JobContext): Unit = {
@@ -72,6 +73,19 @@ class QueryJob(batches: BatchTracker, val queryName: String,
         s"no source_dir for $name: pass one or set defaults('source_dir')"))
     ctx.setPhase("mapping")
     val result = fn(ctx.spark, dir)
+    // quality gate BEFORE publish — a failed expectation fails the job
+    // (status row 'failed' with the violation), and the target keeps its
+    // previous contents; the reference's quality_status as a load gate
+    if (gate.nonEmpty) {
+      ctx.setPhase("quality_check")
+      val failed = graft.ops.Checks.run(result, gate)
+        .filter(!org.apache.spark.sql.functions.col("passed")).collect()
+      if (failed.nonEmpty) {
+        val detail = failed.map(r => s"${r.getString(0)}(${r.getString(1)})=" +
+          r.getDouble(2)).mkString(", ")
+        throw new IllegalStateException(s"quality gate failed: $detail")
+      }
+    }
     ctx.setPhase("loading")
     graft.io.Connections.write(result, targetConnection, targetTable, mode)
   }

@@ -209,5 +209,19 @@ class DefaultsSpec extends SparkSpec {
     // unknown query fails the run, visible in the status row
     val bad = runner.run(new QueryJob(new BatchTracker, "no_such_query", "qjob_out", "x"))
     assert(tracker.all.find(_.id == bad).exists(_.status == "failed"))
+    // a failing quality gate blocks the publish and fails the run
+    val gated = runner.run(new QueryJob(new BatchTracker, "q1_pricing_summary",
+      "qjob_out", "gated_out",
+      gate = Seq(graft.ops.Checks.Bounds("sum_qty", 0.0, 1.0)))) // impossible bound
+    assert(tracker.all.find(_.id == gated).exists(r =>
+      r.status == "failed" && r.message.exists(_.contains("quality gate"))))
+    assert(!new java.io.File(s"$base/gated_out.parquet").exists(),
+      "gated publish must not write the target")
+    // a passing gate publishes normally
+    val ok = runner.run(new QueryJob(new BatchTracker, "q1_pricing_summary",
+      "qjob_out", "gated_ok",
+      gate = Seq(graft.ops.Checks.NotNull("sum_qty"))), debug = true)
+    assert(tracker.all.find(_.id == ok).exists(_.status == "ok"))
+    assert(spark.read.parquet(s"$base/gated_ok.parquet").count() > 0)
   }
 }
