@@ -343,6 +343,36 @@ object SqlSurfaceQueries {
              |GROUP BY k ORDER BY k""".stripMargin)
     ),
 
+    // bag intersection (multiplicity = min of the two sides)
+    QueryDef(
+      "set_intersect_all",
+      (s, dir) => Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        .intersectAll(Tables.lineitem(s, dir).select(col("l_suppkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT o_custkey AS k FROM orders
+             |  INTERSECT ALL SELECT l_suppkey AS k FROM lineitem)
+             |GROUP BY k ORDER BY k""".stripMargin)
+    ),
+
+    // boolean aggregate family: conditional counts and every/any per group
+    QueryDef(
+      "agg_boolean",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") >= 1.0).as("all_qty_positive"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+             |  bool_and(l_quantity >= 1.0) AS all_qty_positive,
+             |  bool_or(l_tax > 0.07) AS any_high_tax
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ordered string aggregation
     QueryDef(
       "agg_string",
