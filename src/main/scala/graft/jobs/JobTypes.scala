@@ -78,8 +78,11 @@ class QueryJob(batches: BatchTracker, val queryName: String,
     // previous contents; the reference's quality_status as a load gate
     if (gate.nonEmpty) {
       ctx.setPhase("quality_check")
+      // any non-true verdict fails — a NULL passed (however produced)
+      // must block the publish, not slip through a `!passed` filter
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
       val failed = graft.ops.Checks.run(result, gate)
-        .filter(!org.apache.spark.sql.functions.col("passed")).collect()
+        .filter(not(coalesce(col("passed"), lit(false)))).collect()
       if (failed.nonEmpty) {
         val detail = failed.map(r => s"${r.getString(0)}(${r.getString(1)})=" +
           r.getDouble(2)).mkString(", ")

@@ -27,13 +27,19 @@ object Checks {
     def passed(observed: Column): Column
   }
 
-  /** Null fraction of `col` must not exceed `maxNullFrac`. */
+  /** Null fraction of `col` must not exceed `maxNullFrac`. On an EMPTY
+    * input the observed fraction is defined as 1.0 (all-null-equivalent):
+    * an empty load is exactly the upstream regression a gate exists to
+    * catch, and must never slip through as a NULL verdict.
+    */
   final case class NotNull(col: String, maxNullFrac: Double = 0.0) extends Check {
     val name = "not_null"
     val colName = col
     def observed: Column =
-      sum(expr(s"$col IS NULL").cast("long")).cast("double") /
-        count(lit(1)).cast("double")
+      when(count(lit(1)) > 0,
+        sum(expr(s"$col IS NULL").cast("long")).cast("double") /
+          count(lit(1)).cast("double"))
+        .otherwise(lit(1.0))
     def passed(o: Column): Column = o <= maxNullFrac
   }
 
@@ -51,7 +57,8 @@ object Checks {
     val name = "bounds"
     val colName = col
     def observed: Column =
-      sum((expr(col) < lo || expr(col) > hi).cast("long")).cast("double")
+      coalesce(sum((expr(col) < lo || expr(col) > hi).cast("long")).cast("double"),
+        lit(0.0))
     def passed(o: Column): Column = o === 0.0
   }
 
@@ -60,8 +67,8 @@ object Checks {
     val name = "accepted_values"
     val colName = col
     def observed: Column =
-      sum((expr(col).isNotNull && !expr(col).isin(allowed.map(lit): _*))
-        .cast("long")).cast("double")
+      coalesce(sum((expr(col).isNotNull && !expr(col).isin(allowed.map(lit): _*))
+        .cast("long")).cast("double"), lit(0.0))
     def passed(o: Column): Column = o === 0.0
   }
 
@@ -71,15 +78,16 @@ object Checks {
     val aggs = checks.zipWithIndex.map { case (c, i) => c.observed.as(s"__o$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = checks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name}', '${c.colName}', `__o$i`"
+      s"$i, '${c.name}', '${c.colName}', `__o$i`"
     }.mkString(", ")
     val long = one.selectExpr(
-      s"stack(${checks.size}, $stackArgs) AS (check_name, col_name, observed)")
-    // verdicts ride a CASE over (check, col_name) — tiny post-agg frame
-    val verdict = checks.foldRight(lit(false)) { (c, els) =>
-      when(col("check_name") === c.name && col("col_name") === c.colName,
-        c.passed(col("observed"))).otherwise(els)
+      s"stack(${checks.size}, $stackArgs) AS (check_idx, check_name, col_name, observed)")
+    // verdicts ride a CASE keyed by the check INDEX — two checks of the
+    // same type on the same column (e.g. two Bounds ranges) must each
+    // evaluate their OWN pass predicate, so (name, col) is not a key
+    val verdict = checks.zipWithIndex.foldRight(lit(false)) { case ((c, i), els) =>
+      when(col("check_idx") === i, c.passed(col("observed"))).otherwise(els)
     }
-    long.withColumn("passed", verdict)
+    long.withColumn("passed", verdict).drop("check_idx")
   }
 }

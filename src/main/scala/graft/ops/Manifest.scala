@@ -4,30 +4,81 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Manifest-versioned datasets: the minimal transactional-table idea
-  * (Delta/Iceberg's core) in plain parquet + one JSON-lines file.
+  * (Delta/Iceberg's core) in plain parquet + one write-once manifest file
+  * per version.
   *
-  * Layout: `path/data/<uuid>.parquet` immutable data files;
-  * `path/_manifest.v<N>` lists the files visible at version N, one
-  * relative path per line; `path/_latest` holds the current version
-  * number. A writer stages new files under `data/` (invisible — readers
-  * only open manifest-listed files), writes the next manifest, then
-  * publishes by swapping ONE tiny `_latest` file via rename. Readers
-  * resolve `_latest` → manifest → explicit file list, so they never see
-  * a half-written version and old versions stay readable (time travel)
-  * until vacuumed.
+  * Layout: `path/data/<uuid>/…` immutable data files; `path/_manifest.v<N>`
+  * lists the files visible at version N (one relative path per line)
+  * between a header and a count-carrying footer line. There is no mutable
+  * pointer file at all: the current version IS the largest N whose
+  * manifest parses complete. A writer stages new files under `data/`
+  * (invisible — readers only open manifest-listed files), then publishes
+  * by creating `_manifest.v<N+1>` with `create(overwrite = false)`.
   *
-  * Why this beats directory swaps at 100 TB: the atomic unit is a
-  * single-entry rename (bounded metadata on any store), data files never
-  * move or rewrite on publish, and concurrent readers of version N are
-  * undisturbed by the commit of N+1. This is exactly the gap
-  * `Maintenance.swapWrite`'s directory rename leaves on object stores
-  * with non-atomic directory semantics.
+  * Correctness properties this buys:
+  *  - **No absence window.** Earlier designs swapped a `_latest` pointer
+  *    via delete-then-rename, so a reader racing a commit could observe
+  *    "no committed version". Manifests are append-only and write-once, so
+  *    every version that was ever visible stays visible until vacuumed.
+  *  - **Optimistic concurrency.** `create(overwrite = false)` is the
+  *    atomic claim on version N+1 (atomic on HDFS and on the local FS's
+  *    existence check). A loser gets FileAlreadyExistsException, re-reads
+  *    the new latest version, rebases its file list, and retries at N+2 —
+  *    concurrent appends both land, neither overwrites the other. (Two
+  *    concurrent *upserts touching the same keys* still last-writer-win at
+  *    the version level, like Delta's write conflicts.)
+  *  - **Torn-write safety.** A reader may see a manifest file before its
+  *    writer finished. The footer carries the entry count; a manifest
+  *    whose footer is absent or disagrees is treated as uncommitted and
+  *    skipped when resolving the latest version.
+  *
+  * Why this beats directory swaps at 100 TB: the atomic unit is one tiny
+  * file creation (bounded metadata on any store), data files never move or
+  * rewrite on publish, and concurrent readers of version N are undisturbed
+  * by the commit of N+1.
   */
 object Manifest {
+
+  private val Header = "#graft-manifest 1"
+  private def footer(n: Int): String = s"#end $n"
+  private val MaxCommitAttempts = 50
+
+  /** Parsed manifest: file list + commit properties (`#prop k=v` lines,
+    * URL-encoded). Props carry e.g. the dataset schema for partitioned
+    * layouts and the last streaming batch id for idempotent sinks.
+    */
+  final case class Snapshot(files: Seq[String], props: Map[String, String])
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def render(files: Seq[String], props: Map[String, String]): String = {
+    val propLines = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
+    ((Header +: propLines) ++ files :+ footer(files.size)).mkString("\n")
+  }
+
+  /** None when the text is not a complete committed manifest (in-flight or
+    * crashed writer) — the torn-write guard.
+    */
+  private def parse(text: String): Option[Snapshot] = {
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+    if (lines.isEmpty || lines.head != Header) return None
+    val files = lines.filterNot(_.startsWith("#"))
+    if (lines.last != footer(files.size)) return None
+    val props = lines.filter(_.startsWith("#prop ")).flatMap { l =>
+      val kv = l.stripPrefix("#prop ")
+      val i = kv.indexOf('=')
+      if (i < 0) None else Some(dec(kv.take(i)) -> dec(kv.drop(i + 1)))
+    }.toMap
+    Some(Snapshot(files, props))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -36,89 +87,193 @@ object Manifest {
     finally in.close()
   }
 
-  private def writeAtomic(fs: FileSystem, p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp." + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not publish $p")
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(root, s"_manifest.v$v")
+
+  /** All manifest version numbers present on disk (complete or not). */
+  private def versionsOnDisk(fs: FileSystem, root: Path): Seq[Long] = {
+    val st = try fs.globStatus(new Path(root, "_manifest.v*"))
+    catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) Nil
+    else st.toSeq.flatMap(s =>
+      scala.util.Try(s.getPath.getName.stripPrefix("_manifest.v").toLong).toOption)
   }
 
-  /** Current version, or 0 when the dataset does not exist yet. */
+  private def loadVersion(fs: FileSystem, root: Path, v: Long): Option[Snapshot] =
+    if (!fs.exists(manifestPath(root, v))) None
+    else parse(readSmall(fs, manifestPath(root, v)))
+
+  /** Current version: the largest N whose manifest is complete; 0 when the
+    * dataset has no committed version. Incomplete manifests (a writer
+    * mid-publish, or a crashed one) are skipped, never surfaced.
+    */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val (fs, root) = fsFor(spark, path)
-    val latest = new Path(root, "_latest")
-    if (!fs.exists(latest)) 0L else readSmall(fs, latest).trim.toLong
+    versionsOnDisk(fs, root).sorted(Ordering[Long].reverse)
+      .find(v => loadVersion(fs, root, v).isDefined).getOrElse(0L)
   }
 
-  private def manifestFiles(spark: SparkSession, path: String, version: Long): Seq[String] = {
+  /** Commit properties of a version (default: latest); empty when none. */
+  def committedProps(spark: SparkSession, path: String,
+                     version: Long = -1L): Map[String, String] = {
     val (fs, root) = fsFor(spark, path)
-    val mf = new Path(root, s"_manifest.v$version")
-    if (!fs.exists(mf)) throw new java.util.NoSuchElementException(
-      s"no manifest for version $version at $path")
-    readSmall(fs, mf).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val v = if (version < 0) latestVersion(spark, path) else version
+    if (v <= 0) Map.empty
+    else loadVersion(fs, root, v).map(_.props).getOrElse(Map.empty)
   }
+
+  /** Most recent committed value of prop `key`, scanning versions newest
+    * first — robust to interleaved commits (e.g. a compaction between two
+    * streaming appends) that don't carry the key.
+    */
+  def lastProp(spark: SparkSession, path: String, key: String): Option[String] = {
+    val (fs, root) = fsFor(spark, path)
+    versionsOnDisk(fs, root).sorted(Ordering[Long].reverse).iterator
+      .flatMap(v => loadVersion(fs, root, v).flatMap(_.props.get(key)))
+      .nextOption()
+  }
+
+  private def snapshotOf(spark: SparkSession, path: String, version: Long): Snapshot = {
+    val (fs, root) = fsFor(spark, path)
+    loadVersion(fs, root, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no manifest for version $version at $path"))
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String, version: Long): Seq[String] =
+    snapshotOf(spark, path, version).files
+
+  /** Directory-column name for partition col `c`: the hive layout needs a
+    * `k=v` path segment, but Spark's writer STRIPS the partitioned-by
+    * column from the data files and its reader only recovers it through
+    * directory inference — which rejects our `data/<uuid>/k=v` layout
+    * (uuid dirs at inconsistent k=v depths → CONFLICTING_DIRECTORY_
+    * STRUCTURES). So we partition by a throwaway DUPLICATE of the column:
+    * the real column stays in the data files, reads are plain explicit-
+    * file-list scans with zero inference, and the `__p_c=v` segment
+    * exists purely for manifest-level partition pruning.
+    */
+  private def partDirCol(c: String): String = s"__p_$c"
 
   /** Stage `df` as new immutable data files and return their relative
-    * paths WITHOUT publishing them — commit() makes them visible.
+    * paths WITHOUT publishing them — commit() makes them visible. With
+    * `partitionCols`, files land under `data/<uuid>/__p_c=v/…` dirs.
     */
-  private def stage(df: DataFrame, path: String): Seq[String] = {
+  private def stage(df: DataFrame, path: String,
+                    partitionCols: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.col
     val (fs, root) = fsFor(df.sparkSession, path)
     val batchDir = "data/" + java.util.UUID.randomUUID().toString
-    df.write.parquet(new Path(root, batchDir).toString)
-    fs.listStatus(new Path(root, batchDir)).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => batchDir + "/" + st.getPath.getName)
+    val toWrite = partitionCols.foldLeft(df)((d, c) =>
+      d.withColumn(partDirCol(c), col(c).cast("string")))
+    val w = toWrite.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(partDirCol): _*) else w)
+      .parquet(new Path(root, batchDir).toString)
+    val it = fs.listFiles(new Path(root, batchDir), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prefix = fs.makeQualified(root).toString + "/"
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        buf += fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
+    }
+    buf.toSeq
   }
 
-  private def commit(spark: SparkSession, path: String, files: Seq[String]): Long = {
+  /** Optimistic-concurrency commit: resolve the latest version, build the
+    * next file list against it via `filesFor` (the rebase hook), claim
+    * `_manifest.v<next>` atomically; on collision re-resolve and retry.
+    */
+  private def commit(spark: SparkSession, path: String,
+                     props: Map[String, String])
+                    (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
-    val next = latestVersion(spark, path) + 1
-    writeAtomic(fs, new Path(root, s"_manifest.v$next"), files.mkString("\n"))
-    writeAtomic(fs, new Path(root, "_latest"), next.toString)
-    next
+    if (!fs.exists(root)) fs.mkdirs(root)
+    var attempts = 0
+    while (true) {
+      // claim the next version ON DISK, not just the next complete one —
+      // a crashed writer's torn manifest occupies its number forever
+      val latestComplete = latestVersion(spark, path)
+      val next = math.max(latestComplete,
+        versionsOnDisk(fs, root).foldLeft(0L)(math.max)) + 1
+      val files = filesFor(latestComplete)
+      try {
+        val out = fs.create(manifestPath(root, next), false)
+        try out.write(render(files, props).getBytes("UTF-8")) finally out.close()
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= MaxCommitAttempts) throw new java.io.IOException(
+            s"could not commit to $path after $MaxCommitAttempts attempts")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Publish `df` as the dataset's next version, REPLACING the previous
     * contents (CTAS semantics). Old versions stay readable.
     */
-  def overwrite(df: DataFrame, path: String): Long =
-    commit(df.sparkSession, path, stage(df, path))
+  def overwrite(df: DataFrame, path: String,
+                props: Map[String, String] = Map.empty): Long = {
+    val staged = stage(df, path)
+    commit(df.sparkSession, path, props)(_ => staged)
+  }
 
   /** Publish `df` as the next version APPENDED to the current one: the
     * new manifest is previous-files ++ new-files — no data file is read,
-    * moved, or rewritten, so an append costs only the new data.
+    * moved, or rewritten, so an append costs only the new data. On a
+    * commit collision the append REBASES onto the winner's file list, so
+    * concurrent appends both land.
     */
-  def append(df: DataFrame, path: String): Long = {
+  def append(df: DataFrame, path: String,
+             props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
-    val prev = latestVersion(spark, path)
-    val base = if (prev == 0) Nil else manifestFiles(spark, path, prev)
-    commit(spark, path, base ++ stage(df, path))
+    val staged = stage(df, path)
+    commit(spark, path, props) { prev =>
+      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
+    }
   }
 
   /** Read a version (default: latest) as a DataFrame — an explicit file
-    * list, so no directory listing and no visibility race with an
-    * in-flight commit.
+    * list, so no directory listing, no visibility race with an in-flight
+    * commit, and no partition-schema inference (partition columns live in
+    * the data files themselves; see [[partDirCol]]).
     */
   def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"dataset at $path has no committed version")
-    val files = manifestFiles(spark, path, v).map(f => s"$path/$f")
-    spark.read.parquet(files: _*)
+    spark.read.parquet(manifestFiles(spark, path, v).map(f => s"$path/$f"): _*)
+  }
+
+  /** Read only the files of the partitions matching `values` (col→value,
+    * string-rendered) — manifest-level partition pruning: file selection
+    * happens on the tiny manifest list, so unmatched files are never
+    * opened, listed, or scheduled.
+    */
+  def readPartitions(spark: SparkSession, path: String,
+                     values: Map[String, String], version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val spec = values.toSeq.map { case (c, x) =>
+      s"${partDirCol(c)}=${escapePathSegment(x)}" }
+    val files = manifestFiles(spark, path, v).filter(f => fileInSpec(f, spec))
+    require(files.nonEmpty, s"no files match partition spec $values at $path v$v")
+    spark.read.parquet(files.map(f => s"$path/$f"): _*)
   }
 
   /** Keyed upsert as a manifest commit: last-writer-wins within the batch
     * by `orderCol`, key matches replace existing rows, everything else
-    * passes through — [[Maintenance.upsertBatch]]'s contract, but the
-    * publish is a manifest swap instead of directory renames, so readers
-    * of the previous version are never disturbed and a crashed upsert
-    * leaves only invisible staged files. (The merge itself still reads
-    * and rewrites the dataset — pair with hive-partitioned or
-    * partition-scoped layouts when only a slice changes.)
+    * passes through. With `partitionCols` the merge is PARTITION-SCOPED:
+    * only files in partitions the batch touches are read and rewritten;
+    * untouched partitions' manifest entries carry over byte-identical
+    * (same relative paths). Without `partitionCols` the whole dataset is
+    * rewritten (fine for small dimensions; pair big facts with a
+    * partitioned layout).
     */
   def upsert(batch: DataFrame, path: String, keys: Seq[String],
-             orderCol: String): Long = {
+             orderCol: String, partitionCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -126,34 +281,109 @@ object Manifest {
       .orderBy(desc(orderCol))
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    if (latestVersion(spark, path) == 0) overwrite(latest, path)
-    else {
+    val props =
+      if (partitionCols.isEmpty) Map.empty[String, String]
+      else Map("part.cols" -> partitionCols.mkString(","))
+    val prevV = latestVersion(spark, path)
+    if (prevV == 0) {
+      val staged = stage(latest, path, partitionCols)
+      commit(spark, path, props)(_ => staged)
+    } else if (partitionCols.isEmpty) {
       val merged = read(spark, path)
         .join(latest.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(latest, allowMissingColumns = true)
       overwrite(merged, path)
+    } else {
+      // touched partition specs, serialized the way the parquet writer
+      // names partition directories (bounded driver-side metadata: one
+      // row per touched partition, not per data row)
+      val touched = touchedSpecs(latest, partitionCols)
+      val prevFiles = manifestFiles(spark, path, prevV)
+      val (touchedFiles, untouchedFiles) =
+        prevFiles.partition(f => touched.exists(spec => fileInSpec(f, spec)))
+      val merged =
+        if (touchedFiles.isEmpty) latest
+        else spark.read.parquet(touchedFiles.map(f => s"$path/$f"): _*)
+          .join(latest.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(latest, allowMissingColumns = true)
+      val staged = stage(merged, path, partitionCols)
+      commit(spark, path, props) { prev =>
+        if (prev == prevV) untouchedFiles ++ staged
+        else { // rebase: keep the WINNER's untouched entries
+          val rebased = manifestFiles(spark, path, prev)
+            .filterNot(f => touched.exists(spec => fileInSpec(f, spec)))
+          rebased ++ staged
+        }
+      }
     }
   }
 
-  /** Drop data files no manifest ≤ the retained window references and
-    * manifests older than `keepVersions` — the vacuum that bounds
-    * storage; readers of retained versions are unaffected.
+  /** Path segments (`__p_c=v`, writer-escaped) for each touched partition. */
+  private def touchedSpecs(latest: DataFrame,
+                           partitionCols: Seq[String]): Seq[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    latest.select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().toSeq.map { row =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          require(!row.isNullAt(i),
+            s"partition column $c has a null value — null partitions unsupported")
+          s"${partDirCol(c)}=${escapePathSegment(row.getString(i))}"
+        }
+      }
+  }
+
+  /** Does relative path `f` (e.g. `data/<uuid>/__p_c=v/part-….parquet`)
+    * sit in the partition described by `spec` (every segment present)?
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+  private def fileInSpec(f: String, spec: Seq[String]): Boolean = {
+    val segs = f.split('/').toSet
+    spec.forall(segs.contains)
+  }
+
+  /** The parquet writer's own partition-directory escaping — using Spark's
+    * util guarantees the spec strings match the directories the writer
+    * actually produced, byte for byte.
+    */
+  private def escapePathSegment(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  /** Drop data files no retained manifest references, and manifests older
+    * than `keepVersions` — the vacuum that bounds storage. Safety rails:
+    *  - readers of any RETAINED version are unaffected (their files stay);
+    *  - staged-but-uncommitted data dirs younger than `graceMs` are
+    *    skipped, so an in-flight writer's staged files survive until it
+    *    commits (default 1 h, Delta's tombstone-retention idea);
+    *  - `keepVersions` < 1 is rejected — the latest version is never
+    *    collectable.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             graceMs: Long = 3600L * 1000): Unit = {
+    require(keepVersions >= 1, "vacuum must retain at least the latest version")
     val (fs, root) = fsFor(spark, path)
     val latest = latestVersion(spark, path)
+    if (latest == 0) return
     val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val live = (keepFrom to latest).flatMap(v => manifestFiles(spark, path, v)).toSet
+    val retained = (keepFrom to latest)
+      .flatMap(v => loadVersion(fs, root, v).map(_.files).getOrElse(Nil)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
-      if (d.isDirectory) fs.listStatus(d.getPath).foreach { f =>
-        val rel = "data/" + d.getPath.getName + "/" + f.getPath.getName
-        if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel))
-          fs.delete(f.getPath, false)
+      // a staged dir an in-flight writer just wrote is younger than the
+      // grace window — leave it; it becomes live on commit or collectable
+      // once stale
+      if (d.isDirectory && d.getModificationTime <= cutoff) {
+        val it = fs.listFiles(d.getPath, true)
+        val prefix = fs.makeQualified(root).toString + "/"
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
+          if (f.getPath.getName.endsWith(".parquet") && !retained.contains(rel))
+            fs.delete(f.getPath, false)
+        }
       }
     }
-    (1L until keepFrom).foreach { v =>
-      fs.delete(new Path(root, s"_manifest.v$v"), false)
+    versionsOnDisk(fs, root).filter(_ < keepFrom).foreach { v =>
+      fs.delete(manifestPath(root, v), false)
     }
   }
 }

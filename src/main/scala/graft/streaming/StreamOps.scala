@@ -191,10 +191,26 @@ object StreamOps {
     * periodic [[graft.ops.Maintenance.compactToSize]]-style rewrites can
     * run as just another committed version.
     */
+  /** Idempotent-replay append: a micro-batch retried after a failure
+    * between `Manifest.append` and the checkpoint commit would otherwise
+    * land twice. The manifest commit records the batchId; a replay whose
+    * id is ≤ the last recorded one is skipped — the standard foreachBatch
+    * exactly-once pattern. `lastProp` scans versions newest-first, so an
+    * interleaved non-streaming commit (compaction, manual append) can't
+    * hide the recorded id.
+    */
+  def appendIdempotent(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val committed = graft.ops.Manifest
+      .lastProp(batch.sparkSession, path, "streaming.batchId").map(_.toLong)
+    if (!committed.exists(_ >= batchId))
+      graft.ops.Manifest.append(batch, path,
+        Map("streaming.batchId" -> batchId.toString)): Unit
+  }
+
   def manifestSink(stream: DataFrame, path: String, checkpointDir: String): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Manifest.append(batch, path): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIdempotent(batch, path, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

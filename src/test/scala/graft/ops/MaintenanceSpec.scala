@@ -219,4 +219,126 @@ class MaintenanceSpec extends SparkSpec {
       s"expected partition filter in:\n$scan")
     assert(pruned.count() == 1)
   }
+
+  // ───────────────── round-6 manifest hardening ─────────────────
+
+  private def manifestEntries(dir: String, v: Long): Seq[String] =
+    scala.io.Source.fromFile(s"$dir/_manifest.v$v").getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSeq
+
+  test("manifest partition-scoped upsert carries untouched entries with identical paths") {
+    val dir = java.nio.file.Files.createTempDirectory("mfpart").toString + "/ds"
+    val initial = Seq(
+      (1L, "jan-a", 1L, "2026-01-01"),
+      (2L, "jan-b", 1L, "2026-01-01"),
+      (3L, "feb-a", 1L, "2026-02-01"),
+      (4L, "mar-a", 1L, "2026-03-01")
+    ).toDF("k", "v", "seq", "dt")
+    val v1 = Manifest.upsert(initial, dir, Seq("k"), "seq", partitionCols = Seq("dt"))
+    val before = filesUnder(new java.io.File(dir, "data"))
+    val v1Untouched = manifestEntries(dir, v1).filterNot(_.contains("dt=2026-01-01"))
+
+    val batch = Seq((2L, "jan-b-v2", 2L, "2026-01-01"), (5L, "jan-c", 2L, "2026-01-01"))
+      .toDF("k", "v", "seq", "dt")
+    val v2 = Manifest.upsert(batch, dir, Seq("k"), "seq", partitionCols = Seq("dt"))
+
+    // untouched partitions: the NEW manifest references the SAME relative
+    // paths, and the files themselves are byte-identical (len + mtime)
+    val v2Untouched = manifestEntries(dir, v2).filterNot(_.contains("dt=2026-01-01"))
+    assert(v1Untouched.toSet == v2Untouched.toSet,
+      s"untouched entries changed:\n$v1Untouched\nvs\n$v2Untouched")
+    val after = filesUnder(new java.io.File(dir, "data"))
+    val untouchedB = before.filter(!_._1.contains("dt=2026-01-01"))
+    assert(untouchedB.forall { case (f, sig) => after.get(f).contains(sig) },
+      "untouched partition files were rewritten or moved")
+
+    val state = Manifest.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[String]("dt"))).toSeq
+    assert(state == Seq((1L, "jan-a", "2026-01-01"), (2L, "jan-b-v2", "2026-01-01"),
+      (3L, "feb-a", "2026-02-01"), (4L, "mar-a", "2026-03-01"),
+      (5L, "jan-c", "2026-01-01")))
+    // time travel still sees the pre-upsert state
+    assert(Manifest.read(spark, dir, version = v1).count() == 4)
+  }
+
+  test("manifest partitioned upsert survives gnarly partition values and brand-new partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("mfgnarly").toString + "/ds"
+    val gnarly = Seq("a b", "c+d", "e,f", "g(h)", "i&j")
+    val initial = gnarly.zipWithIndex.map { case (p, i) => (i.toLong, "v1", 1L, p) }
+      .toDF("k", "v", "seq", "part")
+    Manifest.upsert(initial, dir, Seq("k"), "seq", partitionCols = Seq("part"))
+    val batch = gnarly.zipWithIndex.map { case (p, i) => (i.toLong, "v2", 2L, p) }
+      .toDF("k", "v", "seq", "part")
+    Manifest.upsert(batch, dir, Seq("k"), "seq", partitionCols = Seq("part"))
+    // a batch that ONLY adds a new partition leaves every old entry alone
+    val v3 = Manifest.upsert(Seq((99L, "new", 1L, "zz z")).toDF("k", "v", "seq", "part"),
+      dir, Seq("k"), "seq", partitionCols = Seq("part"))
+    val state = Manifest.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("v"))).toSeq
+    assert(state == gnarly.map(_ -> "v2") :+ ("zz z" -> "new"), s"lost rows: $state")
+    assert(manifestEntries(dir, v3).count(_.contains("part=zz")) > 0)
+  }
+
+  test("torn manifests are invisible: no absence window, version number burned") {
+    val dir = java.nio.file.Files.createTempDirectory("mftorn").toString + "/ds"
+    val v1 = Manifest.overwrite(spark.range(0, 10).toDF("id"), dir)
+    assert(v1 == 1L)
+    // a crashed writer left a manifest with no footer — readers must keep
+    // resolving v1, and the next commit must NOT reuse the torn number
+    val torn = new java.io.File(dir, "_manifest.v2")
+    val w = new java.io.FileWriter(torn)
+    w.write("#graft-manifest 1\ndata/zzz/part-0.parquet\n"); w.close()
+    assert(Manifest.latestVersion(spark, dir) == 1L)
+    assert(Manifest.read(spark, dir).count() == 10)
+    val v3 = Manifest.append(spark.range(10, 15).toDF("id"), dir)
+    assert(v3 == 3L, s"torn v2 must stay burned, got $v3")
+    assert(Manifest.read(spark, dir).count() == 15)
+  }
+
+  test("concurrent appends both land via optimistic rebase") {
+    val dir = java.nio.file.Files.createTempDirectory("mfconc").toString + "/ds"
+    Manifest.overwrite(spark.range(0, 10).toDF("id"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Manifest.append(spark.range(100L * (i + 1), 100L * (i + 1) + 20).toDF("id"), dir)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 4, s"collided versions: $versions")
+    } finally pool.shutdown()
+    // every append's rows are present — no lost update
+    assert(Manifest.read(spark, dir).count() == 10 + 4 * 20)
+  }
+
+  test("vacuum honors retention and grace: retained readers live, fresh staged files survive") {
+    val dir = java.nio.file.Files.createTempDirectory("mfvac").toString + "/ds"
+    val v1 = Manifest.overwrite(spark.range(0, 5).toDF("id"), dir)
+    val v2 = Manifest.overwrite(spark.range(0, 6).toDF("id"), dir)
+    val v3 = Manifest.overwrite(spark.range(0, 7).toDF("id"), dir)
+
+    Manifest.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    // v2 (within retention) still reads; v1's manifest is gone
+    assert(Manifest.read(spark, dir, version = v2).count() == 6)
+    assert(Manifest.read(spark, dir, version = v3).count() == 7)
+    intercept[java.util.NoSuchElementException] {
+      Manifest.read(spark, dir, version = v1)
+    }
+    // grace: an in-flight writer's freshly staged file is protected by the
+    // default window even though no manifest references it
+    val staged = new java.io.File(dir, "data/inflight-uuid")
+    staged.mkdirs()
+    val stagedFile = new java.io.File(staged, "part-0.parquet")
+    java.nio.file.Files.write(stagedFile.toPath, Array[Byte](1, 2, 3))
+    Manifest.vacuum(spark, dir, keepVersions = 2) // default graceMs = 1h
+    assert(stagedFile.exists(), "grace window must protect fresh staged files")
+    // with grace disabled it is collectable
+    Manifest.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    assert(!stagedFile.exists())
+    assert(intercept[IllegalArgumentException] {
+      Manifest.vacuum(spark, dir, keepVersions = 0)
+    }.getMessage.contains("retain"))
+  }
 }

@@ -18,6 +18,23 @@ class StreamOpsSpec extends SparkSpec {
     dir
   }
 
+  test("appendIdempotent skips a replayed micro-batch, even across interleaved commits") {
+    val dir = java.nio.file.Files.createTempDirectory("mfidem").toString + "/ds"
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamOps.appendIdempotent(batch0, dir, batchId = 0L)
+    assert(graft.ops.Manifest.read(spark, dir).count() == 2)
+    // replay of batch 0 (failure between append and checkpoint commit)
+    StreamOps.appendIdempotent(batch0, dir, batchId = 0L)
+    assert(graft.ops.Manifest.read(spark, dir).count() == 2, "replayed batch appended twice")
+    // an interleaved NON-streaming commit must not hide the recorded id
+    graft.ops.Manifest.append(Seq((9L, "x")).toDF("id", "v"), dir)
+    StreamOps.appendIdempotent(batch0, dir, batchId = 0L)
+    assert(graft.ops.Manifest.read(spark, dir).count() == 3, "replay slipped past a compaction commit")
+    // the NEXT batch lands normally
+    StreamOps.appendIdempotent(Seq((3L, "c")).toDF("id", "v"), dir, batchId = 1L)
+    assert(graft.ops.Manifest.read(spark, dir).count() == 4)
+  }
+
   test("readStream -> watermarked windowed agg -> memory sink (complete run)") {
     val dir    = writeEventsParquet()
     val schema = spark.read.parquet(dir).schema
