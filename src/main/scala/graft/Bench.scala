@@ -29,21 +29,52 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        // a crashed query must fail LOUDLY (err field + nonzero exit),
+        // never silently shrink the total the driver grades
+        case e: Throwable => Left(jsonSafe(s"${e.getClass.getName}: ${e.getMessage}"))
+      }
+    }
+    // min-of-2 timed passes per query: one timed pass has zero defense
+    // against a noisy neighbor on a shared machine (round 5's artifact
+    // recorded 852 s for an engine a quiet re-run measured at 109 s — a
+    // single contended pass inflated profile_columns 131×). The min of
+    // two consecutive passes is the better estimate of plan cost; the
+    // warm-up sweep above already paid JIT/codegen, so the extra pass
+    // costs roughly one engine-run, not a cold start.
     val results: Seq[(String, Either[String, Double])] = ordered.map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r = try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          // a crashed query must fail LOUDLY (err field + nonzero exit),
-          // never silently shrink the total the driver grades
-          case e: Throwable => Left(jsonSafe(s"${e.getClass.getName}: ${e.getMessage}"))
-        }
-        name -> r
+        name -> (timed(fn) match {
+          case Right(t1) => timed(fn).map(t2 => math.min(t1, t2))
+          case left => left
+        })
     }
     val ok = results.collect { case (n, Right(s)) => n -> s }
     val errs = results.collect { case (n, Left(e)) => n -> e }
+    // contention sentinel: re-time 3 batch queries spread across the cost
+    // spectrum AFTER the sweep and compare against their recorded min. A
+    // quiet machine re-times within noise; a contended one shows large
+    // ratios — the artifact then carries its own health signal instead of
+    // presenting contention as a plan regression.
+    val fnByName = ordered.toMap
+    val candidates = ok.filterNot(kv => isStreaming(kv._1)).filter(_._2 >= 0.2)
+      .sortBy(_._2)
+    val sentinels =
+      if (candidates.size < 3) candidates
+      else Seq(candidates.head, candidates(candidates.size / 2), candidates.last)
+    val sentinelChecks = sentinels.flatMap { case (name, recorded) =>
+      timed(fnByName(name)).toOption.map { re =>
+        (name, recorded, re, re / math.max(recorded, 1e-9))
+      }
+    }
+    val maxRatio = if (sentinelChecks.isEmpty) 1.0 else sentinelChecks.map(_._4).max
+    val contended = maxRatio > 3.0
     val total = ok.map(_._2).sum
     val streamingTotal = ok.collect { case (n, s) if isStreaming(n) => s }.sum
     val batchTotal = total - streamingTotal
@@ -56,8 +87,14 @@ object Bench {
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val cc = sentinelChecks.map { case (n, rec, re, ratio) =>
+      "\"" + n + "\":{\"recorded\":" + sec(rec) + ",\"recheck\":" + sec(re) +
+        ",\"ratio\":" + sec(ratio) + "}"
+    }.mkString("{", ",", "}")
+    val ccFields =
+      s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"contention_check":$cc"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir","errors":$es,"queries":$qs}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},$ccFields,"sf":"$sfDir","errors":$es,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
       (full + "\n").getBytes("UTF-8"))
@@ -68,7 +105,7 @@ object Bench {
     val entries = ok.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + sec(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     def head(omitted: Int) =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},"queries_omitted":$omitted,"sf":"$sfDir","full_in":"bench_full.json","errors":$es,"queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},$ccFields,"queries_omitted":$omitted,"sf":"$sfDir","full_in":"bench_full.json","errors":$es,"queries":{"""
     var len = head(entries.size).length + 2 // worst-case header length
     for (e <- entries if len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
     spark.stop() // stop FIRST so no Spark shutdown logging prints after the JSON
