@@ -109,19 +109,30 @@ object Events {
     * hunts; medians have a 50% breakdown point. Two aggregation passes
     * (per-group median, then the deviation median) with the tiny stats
     * frame broadcast back; robust z = 0.6745·(v − med)/MAD, the standard
-    * consistency constant. Exact interpolated percentiles are
-    * engine-portable (pinned by the percentile query family). Groups with
-    * MAD = 0 are dropped — when over half the values are identical the
-    * MAD definition flags nothing.
+    * consistency constant. Groups with MAD = 0 are dropped — when over
+    * half the values are identical the MAD definition flags nothing.
+    *
+    * Memory plan: the DEFAULT medians use `approx_percentile` (GK sketch,
+    * fixed-size buffer per group regardless of group size) — a 100×
+    * skewed group costs the sketch, not the group. `exactPercentile =
+    * true` switches to exact interpolated `percentile`, which buffers
+    * every value of a group in its aggregation buffer: engine-portable
+    * (what the DuckDB-oracled query pins) but an OOM hazard on a hot key
+    * at scale — keep it for oracle-scale verification only.
     */
   def outliersRobust(df: DataFrame, typeCol: String, valCol: String,
-                     idCol: String, zThreshold: Double): DataFrame = {
+                     idCol: String, zThreshold: Double,
+                     exactPercentile: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
+    def p50(c: String): Column =
+      if (exactPercentile) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
     val med = df.groupBy(col(typeCol))
-      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+      .agg(p50(valCol).as("med"))
     val mad = df.join(broadcast(med), Seq(typeCol))
       .withColumn("__ad", abs(col(valCol) - col("med")))
       .groupBy(col(typeCol))
-      .agg(expr("percentile(__ad, 0.5)").as("mad"), first(col("med")).as("med"))
+      .agg(p50("__ad").as("mad"), first(col("med")).as("med"))
     df.join(broadcast(mad), Seq(typeCol))
       .filter(col("mad") > 0)
       .withColumn("rz", round(lit(0.6745) * (col(valCol) - col("med")) / col("mad"), 4))

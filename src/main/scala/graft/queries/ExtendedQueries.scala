@@ -1138,28 +1138,50 @@ object ExtendedQueries {
       }
     ),
 
-    // Sketch-based distinct count: values differ across engines'
-    // HLL implementations, so no SQL oracle — the driver records the
-    // weaker rows-only check by design.
+    // Sketch-based distinct count, oracled WITH TOLERANCE: raw HLL
+    // estimates differ across engines, so the query emits whether Spark's
+    // estimate lands within ±15% (3× the 5% rsd — deterministic for a
+    // fixed dataset, so stable across runs) of the exact count computed in
+    // the same scan, and the oracle asserts the verdict, not the estimate.
+    // SketchSpec keeps the tighter error-bound anchors.
     QueryDef(
       "agg_approx_distinct",
       (s, dir) => Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
-        count(lit(1)).as("n_rows")),
-      None
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          countDistinct(col("l_partkey")).as("x_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("a_supps"),
+          countDistinct(col("l_suppkey")).as("x_supps"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          (abs(col("a_parts") - col("x_parts")) <= col("x_parts") * 0.15)
+            .as("parts_within_tol"),
+          (abs(col("a_supps") - col("x_supps")) <= col("x_supps") * 0.15)
+            .as("supps_within_tol"),
+          col("n_rows")),
+      Some("""SELECT true AS parts_within_tol, true AS supps_within_tol,
+             |  count(*) AS n_rows FROM lineitem""".stripMargin)
     ),
 
-    // Quantile sketch (GK): rows-only like the HLL query — sketch values
-    // are engine-specific; the error-bound anchor is SketchSpec's
-    // rank-band test against exact percentiles.
+    // Quantile sketch (GK), oracled with tolerance like the HLL query:
+    // accuracy 10000 bounds rank error to n/10000, so the estimate must
+    // sit within ±5% of the exact interpolated percentile computed in the
+    // same query; the oracle asserts the verdict.
     QueryDef(
       "agg_approx_percentile",
       (s, dir) => Tables.lineitem(s, dir).agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_qty"),
-        count(lit(1)).as("n_rows")),
-      None
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_p50"),
+          expr("percentile(l_extendedprice, 0.5)").as("x_p50"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("a_p90"),
+          expr("percentile(l_quantity, 0.9)").as("x_p90"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          (abs(col("a_p50") - col("x_p50")) <= abs(col("x_p50")) * 0.05)
+            .as("p50_within_tol"),
+          (abs(col("a_p90") - col("x_p90")) <= abs(col("x_p90")) * 0.05)
+            .as("p90_within_tol"),
+          col("n_rows")),
+      Some("""SELECT true AS p50_within_tol, true AS p90_within_tol,
+             |  count(*) AS n_rows FROM lineitem""".stripMargin)
     ),
 
     // ─────────────────────── event analytics ─────────────────────────────
@@ -1244,12 +1266,16 @@ object ExtendedQueries {
              |ORDER BY event_id""".stripMargin)
     ),
 
-    // Robust MAD outliers: the median-based complement of ev_outliers
-    // (breakdown-resistant; exact interpolated percentiles are portable).
+    // Robust MAD outliers: the median-based complement of ev_outliers.
+    // exactPercentile = true ONLY here: exact interpolated medians are
+    // what DuckDB's quantile_cont computes, so the oracle can hash-match;
+    // the operator's default is the bounded-memory approx_percentile
+    // sketch (see Events.outliersRobust docstring).
     QueryDef(
       "ev_outliers_robust",
       (s, dir) => Events.outliersRobust(Tables.events(s, dir),
-          "event_type", "value", "event_id", zThreshold = 3.5)
+          "event_type", "value", "event_id", zThreshold = 3.5,
+          exactPercentile = true)
         .orderBy("event_id"),
       Some(s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
              |             FROM $evSql GROUP BY 1),

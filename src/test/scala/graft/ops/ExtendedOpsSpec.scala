@@ -1186,6 +1186,19 @@ class EventsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("event_type")).contains("click"))
   }
 
+  test("outliersRobust: bounded-memory approx default flags the same rows as the exact form") {
+    // a clear outlier among tight values — sketch vs interpolated medians
+    // must agree on WHO is flagged even if the medians differ in the
+    // interpolation digits
+    val df = ((1 to 50).map(i => (i.toLong, "a", 10.0 + (i % 3) * 0.01)) :+
+      (99L, "a", 500.0)).toDF("event_id", "event_type", "value")
+    def flagged(exact: Boolean) =
+      Events.outliersRobust(df, "event_type", "value", "event_id", 3.5,
+        exactPercentile = exact).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(flagged(exact = true) == Set(99L))
+    assert(flagged(exact = false) == Set(99L))
+  }
+
   test("funnel: stage must follow previous stage within the gap window") {
     val out = Events.funnel(ev, "user_id", "ts", "event_type",
         Seq("view", "click"), maxGap = "24 HOURS")
