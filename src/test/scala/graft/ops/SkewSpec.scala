@@ -38,6 +38,31 @@ class SkewSpec extends SparkSpec {
     assert(salts == 8) // hot key occupies all 8 salt buckets
   }
 
+  test("suggestSaltN measures skew: >1 on the hot-key fixture, 1 on uniform keys") {
+    // full-sample probe on the fixture: key 1 holds 80% of 1000 rows over
+    // 8 keys → skewFactor = 800 / 125 = 6.4 → saltN = 7
+    val n = Skew.suggestSaltN(fact, Seq("k"), sampleFraction = 1.0)
+    assert(n > 1, s"expected salting suggested for the hot key, got $n")
+    // the suggestion composes with the salted agg and stays correct
+    val salted = Skew.saltedSumCount(fact, Seq("k"), "v", saltN = n, saltBy = Seq("id"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val plain = fact.groupBy("k").agg(sum("v"), count(lit(1)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+    // and the suggested salt actually spreads the hot key across reducers
+    val spread = fact.filter(col("k") === 1L)
+      .select(Skew.saltCol(n, Seq(col("id"))).as("s")).distinct().count()
+    assert(spread == n, s"hot key occupies $spread of $n salt buckets")
+    // uniform keys: no skew → no salting suggested
+    val uniform = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "id")
+    assert(Skew.suggestSaltN(uniform, Seq("k"), sampleFraction = 1.0) == 1)
+    // cap bounds the right-side replication cost of saltedJoin: one key
+    // with 1000 rows over a 100-key long tail → skewFactor ≈ 92 → capped
+    val extreme = ((1 to 1000).map(i => (1L, i.toLong)) ++
+      (2 to 101).map(i => (i.toLong, 0L))).toDF("k", "id")
+    assert(Skew.suggestSaltN(extreme, Seq("k"), sampleFraction = 1.0, cap = 16) == 16)
+  }
+
   test("AQE does not rebalance single-stage agg skew; salting is still needed") {
     // AQE's skew mitigation (OptimizeSkewedJoin / OptimizeSkewInRebalance)
     // applies to sort-merge joins and explicit rebalance hints — NOT to the
