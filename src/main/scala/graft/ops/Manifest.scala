@@ -347,6 +347,39 @@ object Manifest {
   private def escapePathSegment(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
+  /** Rewrite the current version into ~`targetFileBytes`-sized files and
+    * publish the result as the NEXT version — compaction as just another
+    * committed version: readers of the small-file version are undisturbed,
+    * time travel still reaches it, and vacuum reclaims the small files
+    * once the version ages out of retention. The many-small-files problem
+    * is the manifest layout's main tax at stream-append rates; this is
+    * the periodic remedy.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val files = manifestFiles(spark, path, v)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(root, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val compacted = read(spark, path, v).repartition(nFiles)
+    val staged = stage(compacted, path)
+    // carry the source version's props forward (e.g. streaming.batchId) so
+    // a compaction never erases the idempotence watermark
+    val props = committedProps(spark, path, v) + ("compacted.from" -> v.toString)
+    commit(spark, path, props) { prev =>
+      if (prev == v) staged
+      else {
+        // an append landed while we compacted: keep its files alongside
+        // the compacted rewrite of OUR baseline — no lost update
+        val baseline = files.toSet
+        staged ++ manifestFiles(spark, path, prev).filterNot(baseline)
+      }
+    }
+  }
+
   /** Drop data files no retained manifest references, and manifests older
     * than `keepVersions` — the vacuum that bounds storage. Safety rails:
     *  - readers of any RETAINED version are unaffected (their files stay);

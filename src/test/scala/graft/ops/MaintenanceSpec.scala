@@ -313,6 +313,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).count() == 10 + 4 * 20)
   }
 
+  test("manifest compact publishes a new version; readPartitions prunes by manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("mfcmp").toString + "/ds"
+    // stream-append shape: many tiny versions → many tiny files
+    (0 until 5).foreach { i =>
+      Manifest.append(spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .repartition(4), dir, Map("streaming.batchId" -> i.toString))
+    }
+    val smallFiles = manifestEntries(dir, 5L).size
+    assert(smallFiles >= 20)
+    val cv = Manifest.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(cv == 6L)
+    assert(manifestEntries(dir, cv).size == 1, "1 GiB target → one file")
+    assert(Manifest.read(spark, dir).count() == 500)
+    // the pre-compaction version is still readable (time travel)...
+    assert(Manifest.read(spark, dir, version = 5L).count() == 500)
+    // ...and the idempotence watermark survived the compaction commit
+    assert(Manifest.lastProp(spark, dir, "streaming.batchId").contains("4"))
+
+    // manifest-level partition pruning reads only the matching files
+    val pdir = java.nio.file.Files.createTempDirectory("mfprune").toString + "/ds"
+    Manifest.upsert(Seq((1L, "a", 1L, "x"), (2L, "b", 1L, "y")).toDF("k", "v", "seq", "p"),
+      pdir, Seq("k"), "seq", partitionCols = Seq("p"))
+    val pruned = Manifest.readPartitions(spark, pdir, Map("p" -> "x"))
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    assert(pruned.inputFiles.length < Manifest.read(spark, pdir).inputFiles.length)
+  }
+
   test("vacuum honors retention and grace: retained readers live, fresh staged files survive") {
     val dir = java.nio.file.Files.createTempDirectory("mfvac").toString + "/ds"
     val v1 = Manifest.overwrite(spark.range(0, 5).toDF("id"), dir)
