@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * the per-column metrics are parallel agg expressions collapsed map-side,
   * and the (tiny, #cols-row) result is unpivoted with `stack` AFTER the
   * aggregation, so the unpivot multiplies a handful of rows, never the
-  * table. The exact `countDistinct` per column plans as an Expand (one
-  * pass, rows × #cols intermediate): fine for a profiling sweep; swap in
-  * `approx_count_distinct` when an estimate is enough at 100 TB.
+  * table.
+  *
+  * Cardinalities: the DEFAULT `exactDistinct = false` uses
+  * `approx_count_distinct` (HLL) — a regular single-pass aggregate with a
+  * fixed-size sketch per column, no row multiplication. The exact
+  * `countDistinct` form (needed for oracle parity) plans as an Expand
+  * (one pass, rows × #cols intermediate): acceptable at verification
+  * scale, but at 100 TB the Expand multiplies shuffle input #cols-fold,
+  * so the sketch is the production default.
   *
   * Means are decimal-exact sums divided once in double, so any row order
   * (and any engine) produces identical bits.
@@ -21,13 +27,15 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profileNumeric(df: DataFrame, cols: Seq[String],
-                     sumType: String = "decimal(18,4)"): DataFrame = {
+                     sumType: String = "decimal(18,4)",
+                     exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__nd"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         sum(col(c).cast(sumType)).cast("double").as(s"${c}__sum"))

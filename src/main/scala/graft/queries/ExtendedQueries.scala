@@ -2310,12 +2310,15 @@ object ExtendedQueries {
 
     // Generic multi-column profile: every column's metrics in ONE agg
     // pass, unpivoted AFTER aggregation (stack multiplies #cols rows,
-    // never the table).
+    // never the table). exactDistinct = true ONLY here — the oracle
+    // compares exact cardinalities; the operator's production default is
+    // the HLL sketch (no Expand, no rows×#cols intermediate).
     QueryDef(
       "profile_columns",
       (s, dir) => Profile.profileNumeric(
         Tables.lineitem(s, dir),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exactDistinct = true)
         .orderBy("col_name"),
       Some {
         def one(c: String) =

@@ -665,6 +665,16 @@ class ProfileSpec extends SparkSpec {
     val b = out(1)
     assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2 &&
       b.getAs[Double]("mean_v") == 20.0)
+    // the exact (oracle-parity) form agrees with the sketch default here,
+    // and its plan carries the Expand the sketch avoids
+    val exact = Profile.profileNumeric(df, Seq("a", "b"), exactDistinct = true)
+      .orderBy("col_name").collect()
+    assert(exact.map(_.getAs[Long]("n_distinct")).toSeq ==
+      out.map(_.getAs[Long]("n_distinct")).toSeq)
+    val approxPlan = Profile.profileNumeric(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"sketch profile must not multiply rows via Expand:\n$approxPlan")
   }
 
   test("correlations: perfect positive, perfect negative, r in matrix order") {
