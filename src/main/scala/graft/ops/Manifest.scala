@@ -273,7 +273,8 @@ object Manifest {
     * partitioned layout).
     */
   def upsert(batch: DataFrame, path: String, keys: Seq[String],
-             orderCol: String, partitionCols: Seq[String] = Nil): Long = {
+             orderCol: String, partitionCols: Seq[String] = Nil,
+             extraProps: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -281,9 +282,9 @@ object Manifest {
       .orderBy(desc(orderCol))
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val props =
-      if (partitionCols.isEmpty) Map.empty[String, String]
-      else Map("part.cols" -> partitionCols.mkString(","))
+    val props = extraProps ++
+      (if (partitionCols.isEmpty) Map.empty[String, String]
+       else Map("part.cols" -> partitionCols.mkString(",")))
     val prevV = latestVersion(spark, path)
     if (prevV == 0) {
       val staged = stage(latest, path, partitionCols)
@@ -292,7 +293,7 @@ object Manifest {
       val merged = read(spark, path)
         .join(latest.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(latest, allowMissingColumns = true)
-      overwrite(merged, path)
+      overwrite(merged, path, props)
     } else {
       // touched partition specs, serialized the way the parquet writer
       // names partition directories (bounded driver-side metadata: one

@@ -191,6 +191,32 @@ object StreamOps {
     * periodic [[graft.ops.Maintenance.compactToSize]]-style rewrites can
     * run as just another committed version.
     */
+  /** Continuous keyed upsert into a MANIFEST-versioned dataset: each
+    * micro-batch merges by key (last-writer-wins on `orderCol`) and
+    * publishes as the next version — [[upsertSink]]'s contract on the
+    * transactional layout instead of directory swaps, composing its
+    * guarantees: readers never see a half-merged state, `partitionCols`
+    * bounds the rewrite to touched partitions, and a replayed batch is
+    * skipped via the batchId watermark (same pattern as
+    * [[appendIdempotent]]).
+    */
+  def manifestUpsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                         orderCol: String, checkpointDir: String,
+                         partitionCols: Seq[String] = Nil): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val committed = graft.ops.Manifest
+          .lastProp(batch.sparkSession, path, "streaming.batchId").map(_.toLong)
+        if (!committed.exists(_ >= batchId))
+          graft.ops.Manifest.upsert(batch, path, keys, orderCol, partitionCols,
+            extraProps = Map("streaming.batchId" -> batchId.toString)): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Idempotent-replay append: a micro-batch retried after a failure
     * between `Manifest.append` and the checkpoint commit would otherwise
     * land twice. The manifest commit records the batchId; a replay whose

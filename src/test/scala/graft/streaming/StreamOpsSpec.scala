@@ -271,6 +271,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("manifestUpsertSink: versioned transactional upsert with replay idempotence") {
+    val src  = java.nio.file.Files.createTempDirectory("mup_src")
+    val sink = java.nio.file.Files.createTempDirectory("mup_sink").toString + "/ds"
+    val ckpt = java.nio.file.Files.createTempDirectory("mup_ckpt").toString
+    def writeOne(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mup_tmp").toString
+      rows.toDF("k", "v", "seq", "dt").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    writeOne("b1.parquet", Seq((1L, "a", 1L, "2026-01-01"), (2L, "b", 1L, "2026-01-02")))
+    val schema = spark.read.parquet(src.toString).schema
+    def run(): Unit = StreamOps.manifestUpsertSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      sink, Seq("k"), "seq", ckpt, partitionCols = Seq("dt"))
+    run()
+    val v1 = graft.ops.Manifest.latestVersion(spark, sink)
+    def state = graft.ops.Manifest.read(spark, sink).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state == Map(1L -> "a", 2L -> "b"))
+    // second batch updates only the 01-02 partition; the 01-01 entries
+    // carry over path-identical in the new manifest version
+    writeOne("b2.parquet", Seq((2L, "b2", 2L, "2026-01-02"), (3L, "c", 1L, "2026-01-02")))
+    run()
+    val v2 = graft.ops.Manifest.latestVersion(spark, sink)
+    assert(v2 > v1)
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    def entries(v: Long) = scala.io.Source.fromFile(s"$sink/_manifest.v$v").getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty).toSet
+    assert(entries(v1).filter(_.contains("dt=2026-01-01")) ==
+      entries(v2).filter(_.contains("dt=2026-01-01")))
+    // time travel reaches the pre-update state
+    assert(graft.ops.Manifest.read(spark, sink, version = v1).count() == 2)
+    // replay guard: re-applying the last committed batchId changes nothing
+    val watermark = graft.ops.Manifest.lastProp(spark, sink, "streaming.batchId")
+      .get.toLong
+    val replay = Seq((3L, "SHOULD-NOT-APPLY", 99L, "2026-01-02"))
+      .toDF("k", "v", "seq", "dt")
+    // simulate foreachBatch re-delivery of an already-committed batch
+    val committed = graft.ops.Manifest.lastProp(spark, sink, "streaming.batchId").map(_.toLong)
+    if (!committed.exists(_ >= watermark))
+      graft.ops.Manifest.upsert(replay, sink, Seq("k"), "seq", Seq("dt"),
+        extraProps = Map("streaming.batchId" -> watermark.toString))
+    assert(state(3L) == "c", "replayed batch must be skipped")
+    assert(graft.ops.Manifest.latestVersion(spark, sink) == v2)
+  }
+
   test("upsertBatch is idempotent: replaying a micro-batch changes nothing") {
     // foreachBatch re-delivers a batch after a failure — the merge must
     // tolerate replays for the sink to stay effectively exactly-once.
