@@ -38,11 +38,16 @@ object Connections {
     c.format match {
       case "jdbc" =>
         spark.read.format("jdbc").options(c.options).option("dbtable", table).load()
+      case "manifest" =>
+        graft.ops.Manifest.read(spark, manifestPath(c, table))
       case fmt =>
         val path = c.basePath.map(b => s"$b/$table.$fmt").getOrElse(table)
         spark.read.format(fmt).options(c.options).load(path)
     }
   }
+
+  private def manifestPath(c: ConnectionInfo, table: String): String =
+    c.basePath.map(b => s"$b/$table").getOrElse(table)
 
   /** S6/S7 sinks: append (reference `INSERT INTO … SELECT`) or overwrite
     * (reference CTAS). Partitioning columns let 100 TB sinks prune on read.
@@ -51,13 +56,27 @@ object Connections {
             mode: String = "append", partitionBy: Seq[String] = Nil): Unit = {
     val c = Connections.registry.getOrElse(connection,
       throw new IllegalArgumentException(s"unknown connection: $connection"))
-    val w0: DataFrameWriter[Row] = df.write.mode(mode).options(c.options)
-    val w  = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     c.format match {
-      case "jdbc" => w.format("jdbc").option("dbtable", table).save()
+      case "manifest" =>
+        // transactional publish: a failed write leaves only invisible
+        // staged files and the previous version intact — the gate-then-
+        // publish contract QueryJob wants, with no half-written target
+        val path = manifestPath(c, table)
+        mode match {
+          case "append" => graft.ops.Manifest.append(df, path): Unit
+          case "overwrite" => graft.ops.Manifest.overwrite(df, path): Unit
+          case other => throw new IllegalArgumentException(
+            s"manifest connections support append/overwrite, not $other")
+        }
       case fmt =>
-        val path = c.basePath.map(b => s"$b/$table.$fmt").getOrElse(table)
-        w.format(fmt).save(path)
+        val w0: DataFrameWriter[Row] = df.write.mode(mode).options(c.options)
+        val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+        fmt match {
+          case "jdbc" => w.format("jdbc").option("dbtable", table).save()
+          case _ =>
+            val path = c.basePath.map(b => s"$b/$table.$fmt").getOrElse(table)
+            w.format(fmt).save(path)
+        }
     }
   }
 
@@ -67,7 +86,9 @@ object Connections {
   def dropTable(spark: SparkSession, connection: String, table: String): Unit =
     registry.get(connection).foreach { c =>
       c.basePath.foreach { b =>
-        val p = new org.apache.hadoop.fs.Path(s"$b/$table.${c.format}")
+        val target =
+          if (c.format == "manifest") s"$b/$table" else s"$b/$table.${c.format}"
+        val p = new org.apache.hadoop.fs.Path(target)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }

@@ -78,6 +78,24 @@ class ConfigSpec extends SparkSpec {
     assert(rest.toSeq == Seq("-d", "run", "j"))
   }
 
+  test("manifest connection: transactional append/overwrite through the registry (S6/S7)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("conn_mf").toString
+    Connections.replace(Connections.ConnectionInfo(
+      "tx", format = "manifest", basePath = Some(base)))
+    Connections.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "tx", "t",
+      mode = "overwrite")
+    Connections.write(Seq((3L, "c")).toDF("id", "v"), "tx", "t", mode = "append")
+    assert(Connections.read(spark, "tx", "t").count() == 3)
+    // versioned: the overwrite-only state is still reachable
+    assert(graft.ops.Manifest.read(spark, s"$base/t", version = 1).count() == 2)
+    intercept[IllegalArgumentException] {
+      Connections.write(Seq((9L, "x")).toDF("id", "v"), "tx", "t", mode = "ignore")
+    }
+    Connections.dropTable(spark, "tx", "t")
+    assert(!new java.io.File(s"$base/t").exists())
+  }
+
   test("loadSchedules parses the reference schedule shape") {
     val p = write(
       """- { job: daily_load, schedule: daily, run_order: 1 }
