@@ -504,14 +504,22 @@ object SqlSurfaceQueries {
              |GROUP BY q_start ORDER BY q_start""".stripMargin)
     ),
 
-    // salted two-phase aggregation == plain GROUP BY (skew rewrite proof)
+    // salted two-phase aggregation == plain GROUP BY (skew rewrite proof).
+    // The salt count comes from the MEASURED key distribution
+    // (Skew.suggestSaltN — deterministic seeded sample): l_returnflag has
+    // 3 heavy values, so the probe suggests real salting, and the rewrite
+    // provably doesn't change the answer at any saltN.
     QueryDef(
       "skew_salted_agg",
-      (s, dir) => Skew.saltedSumCount(
-        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity",
-        saltN = 16, saltBy = Seq("l_orderkey"))
-        .select(col("l_returnflag"), col("sum_l_quantity").as("sum_qty"), col("n_rows"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val n = math.max(2, Skew.suggestSaltN(li, Seq("l_returnflag"),
+          sampleFraction = 0.05))
+        Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity",
+          saltN = n, saltBy = Seq("l_orderkey"))
+          .select(col("l_returnflag"), col("sum_l_quantity").as("sum_qty"), col("n_rows"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
