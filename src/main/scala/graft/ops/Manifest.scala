@@ -44,10 +44,13 @@ object Manifest {
   private val MaxCommitAttempts = 50
 
   /** Parsed manifest: file list + commit properties (`#prop k=v` lines,
-    * URL-encoded). Props carry e.g. the dataset schema for partitioned
-    * layouts and the last streaming batch id for idempotent sinks.
+    * URL-encoded) + optional per-file column bounds (`#filestat` lines).
+    * Props carry e.g. the dataset schema for partitioned layouts and the
+    * last streaming batch id for idempotent sinks; file stats power
+    * manifest-level file skipping ([[readRange]]), Iceberg's core idea.
     */
-  final case class Snapshot(files: Seq[String], props: Map[String, String])
+  final case class Snapshot(files: Seq[String], props: Map[String, String],
+                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -59,10 +62,16 @@ object Manifest {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def render(files: Seq[String], props: Map[String, String]): String = {
+  private def render(files: Seq[String], props: Map[String, String],
+                     stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
-    ((Header +: propLines) ++ files :+ footer(files.size)).mkString("\n")
+    val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"#filestat ${enc(f)} ${enc(c)} $lo $hi"
+      }
+    }
+    ((Header +: propLines) ++ statLines ++ files :+ footer(files.size)).mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -78,7 +87,16 @@ object Manifest {
       val i = kv.indexOf('=')
       if (i < 0) None else Some(dec(kv.take(i)) -> dec(kv.drop(i + 1)))
     }.toMap
-    Some(Snapshot(files, props))
+    val stats = lines.filter(_.startsWith("#filestat ")).flatMap { l =>
+      l.stripPrefix("#filestat ").split(' ') match {
+        case Array(f, c, lo, hi) =>
+          scala.util.Try((dec(f), dec(c), lo.toDouble, hi.toDouble)).toOption
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+    Some(Snapshot(files, props, stats))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -185,7 +203,9 @@ object Manifest {
     * `_manifest.v<next>` atomically; on collision re-resolve and retry.
     */
   private def commit(spark: SparkSession, path: String,
-                     props: Map[String, String])
+                     props: Map[String, String],
+                     statsFor: Long => Map[String, Map[String, (Double, Double)]] =
+                       _ => Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -197,9 +217,11 @@ object Manifest {
       val next = math.max(latestComplete,
         versionsOnDisk(fs, root).foldLeft(0L)(math.max)) + 1
       val files = filesFor(latestComplete)
+      // stats only for files that made it into this version's list
+      val stats = statsFor(latestComplete).view.filterKeys(files.toSet).toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props).getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, props, stats).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -231,9 +253,91 @@ object Manifest {
              props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stage(df, path)
-    commit(spark, path, props) { prev =>
+    // carried-over files keep their recorded bounds (commit intersects
+    // the stats map with the final file list)
+    commit(spark, path, props,
+      prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
     }
+  }
+
+  /** [[append]] that also records per-file min/max bounds for `statsCols`
+    * in the manifest — Iceberg's file-skipping idea: one small aggregation
+    * over ONLY the staged batch (grouped by file) computes the bounds, and
+    * [[readRange]] later drops whole files whose range can't match, before
+    * any footer is opened or task scheduled. Bounds of files carried over
+    * from the previous version are carried with them. `statsCols` must
+    * cast to double (numerics, dates via epoch — the usual clustering
+    * columns).
+    */
+  def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String],
+                      props: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stage(df, path)
+    val newStats = computeStats(spark, path, staged, statsCols)
+    val allProps = props + ("stats.cols" -> statsCols.mkString(","))
+    commit(spark, path, allProps,
+      prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
+        else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
+      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
+    }
+  }
+
+  /** Rows of the current (or given) version with `column` in [lo, hi],
+    * skipping every file whose recorded bounds can't intersect the range —
+    * the file list shrinks BEFORE Spark plans the scan, so at 100 TB a
+    * narrow range on the stats column costs the matching files only.
+    * Files without recorded bounds are read (correctness over pruning);
+    * the row-level filter still applies either way.
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+                lo: Double, hi: Double, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val keep = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val pred = col(column).cast("double") >= lo && col(column).cast("double") <= hi
+    // all files pruned → nothing can match; keep the plan trivially empty
+    // by scanning the (tiny) first file with an always-false residual
+    if (keep.isEmpty)
+      spark.read.parquet(s"$path/${snap.files.head}")
+        .filter(org.apache.spark.sql.functions.lit(false) && pred)
+    else
+      spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
+  }
+
+  /** Per-file [min, max] of `cols` over exactly the given files: one
+    * aggregation grouped by `input_file_name()` — cost bounded by the
+    * batch being committed, never the dataset.
+    */
+  private def computeStats(spark: SparkSession, path: String, files: Seq[String],
+                           cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"lo__$c"),
+        max(col(c).cast("double")).as(s"hi__$c"))
+    }
+    val rows = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      val uri = r.getString(0)
+      files.find(f => uri.endsWith(f)).map { rel =>
+        rel -> cols.flatMap { c =>
+          val lo = r.getAs[java.lang.Double](s"lo__$c")
+          val hi = r.getAs[java.lang.Double](s"hi__$c")
+          if (lo == null || hi == null) None
+          else Some(c -> (lo.doubleValue(), hi.doubleValue()))
+        }.toMap
+      }
+    }.toMap
   }
 
   /** Read a version (default: latest) as a DataFrame — an explicit file
@@ -308,7 +412,8 @@ object Manifest {
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest, allowMissingColumns = true)
       val staged = stage(merged, path, partitionCols)
-      commit(spark, path, props) { prev =>
+      commit(spark, path, props,
+        prev => snapshotOf(spark, path, prev).stats) { prev =>
         if (prev == prevV) untouchedFiles ++ staged
         else { // rebase: keep the WINNER's untouched entries
           val rebased = manifestFiles(spark, path, prev)
@@ -365,12 +470,30 @@ object Manifest {
     val totalBytes = files.map(f =>
       fs.getFileStatus(new Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val compacted = read(spark, path, v).repartition(nFiles)
+    // a stats-carrying dataset compacts RANGE-CLUSTERED on its stats
+    // columns — plain round-robin repartition would smear every file
+    // across the whole value range and nullify file skipping
+    val src = read(spark, path, v)
+    val compacted = committedProps(spark, path, v).get("stats.cols") match {
+      case Some(cs) if cs.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        src.repartitionByRange(nFiles, cs.split(',').map(col).toSeq: _*)
+      case _ => src.repartition(nFiles)
+    }
     val staged = stage(compacted, path)
     // carry the source version's props forward (e.g. streaming.batchId) so
     // a compaction never erases the idempotence watermark
     val props = committedProps(spark, path, v) + ("compacted.from" -> v.toString)
-    commit(spark, path, props) { prev =>
+    // a stats-carrying dataset keeps its file-skipping power through the
+    // rewrite: recompute bounds for the compacted files
+    val newStats = props.get("stats.cols") match {
+      case Some(cs) if cs.nonEmpty =>
+        computeStats(spark, path, staged, cs.split(',').toSeq)
+      case _ => Map.empty[String, Map[String, (Double, Double)]]
+    }
+    commit(spark, path, props, prev =>
+      (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
+       else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
       if (prev == v) staged
       else {
         // an append landed while we compacted: keep its files alongside

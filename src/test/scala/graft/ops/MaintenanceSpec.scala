@@ -340,6 +340,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(pruned.inputFiles.length < Manifest.read(spark, pdir).inputFiles.length)
   }
 
+  test("file stats in the manifest skip non-matching files in readRange") {
+    val dir = java.nio.file.Files.createTempDirectory("mfstats").toString + "/ds"
+    // three appends with disjoint id ranges → per-file bounds in the manifest
+    Manifest.appendWithStats(spark.range(0, 100).toDF("id").coalesce(1), dir, Seq("id"))
+    Manifest.appendWithStats(spark.range(100, 200).toDF("id").coalesce(1), dir, Seq("id"))
+    Manifest.appendWithStats(spark.range(200, 300).toDF("id").coalesce(1), dir, Seq("id"))
+    val all = Manifest.read(spark, dir)
+    assert(all.count() == 300)
+    // a range inside the middle batch reads ONE file of three
+    val mid = Manifest.readRange(spark, dir, "id", 120, 180)
+    assert(mid.inputFiles.length == 1, s"expected 1 file, got ${mid.inputFiles.length}")
+    assert(mid.count() == 61 && all.inputFiles.length == 3)
+    // a range outside every file reads nothing and returns nothing
+    val none = Manifest.readRange(spark, dir, "id", 1000, 2000)
+    assert(none.count() == 0)
+    // compaction recomputes bounds for the rewritten files (stats.cols
+    // prop carried), so skipping keeps working on the compacted version
+    Manifest.compact(spark, dir, targetFileBytes = 400L)
+    val afterCompact = Manifest.readRange(spark, dir, "id", 120, 180)
+    assert(afterCompact.count() == 61)
+    assert(afterCompact.inputFiles.length < Manifest.read(spark, dir).inputFiles.length,
+      "compacted version lost its file-skipping stats")
+  }
+
   test("vacuum honors retention and grace: retained readers live, fresh staged files survive") {
     val dir = java.nio.file.Files.createTempDirectory("mfvac").toString + "/ds"
     val v1 = Manifest.overwrite(spark.range(0, 5).toDF("id"), dir)
