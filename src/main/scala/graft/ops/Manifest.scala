@@ -252,10 +252,23 @@ object Manifest {
   def append(df: DataFrame, path: String,
              props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
+    // schema evolution: a batch whose columns differ from the committed
+    // set flips the dataset into mergeSchema reads — without the flag a
+    // plain parquet read resolves ONE footer and silently drops the new
+    // column. The flag is sticky (carried in props) so later readers and
+    // appends keep merging; datasets that never evolve never pay the
+    // all-footers mergeSchema cost.
+    val prevV = latestVersion(spark, path)
+    val evolved = prevV > 0 && {
+      val prevProps = committedProps(spark, path, prevV)
+      prevProps.get("merge.schema").contains("true") ||
+        read(spark, path, prevV).schema.fieldNames.toSet != df.schema.fieldNames.toSet
+    }
+    val allProps = if (evolved) props + ("merge.schema" -> "true") else props
     val staged = stage(df, path)
     // carried-over files keep their recorded bounds (commit intersects
     // the stats map with the final file list)
-    commit(spark, path, props,
+    commit(spark, path, allProps,
       prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
     }
@@ -348,7 +361,12 @@ object Manifest {
   def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"dataset at $path has no committed version")
-    spark.read.parquet(manifestFiles(spark, path, v).map(f => s"$path/$f"): _*)
+    val snap = snapshotOf(spark, path, v)
+    val reader =
+      if (snap.props.get("merge.schema").contains("true"))
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+    reader.parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
   /** Read only the files of the partitions matching `values` (col→value,

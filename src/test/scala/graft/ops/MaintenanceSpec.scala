@@ -364,6 +364,20 @@ class MaintenanceSpec extends SparkSpec {
       "compacted version lost its file-skipping stats")
   }
 
+  test("manifest append with an evolved schema merges instead of dropping the new column") {
+    val dir = java.nio.file.Files.createTempDirectory("mfevo").toString + "/ds"
+    Manifest.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    Manifest.append(Seq((2L, "b", "extra")).toDF("id", "v", "w"), dir)
+    val out = Manifest.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("w"))).toSeq
+    assert(out == Seq((1L, "a", null), (2L, "b", "extra")), out.toString)
+    // stickiness: a LATER same-schema-as-first append still merge-reads
+    Manifest.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    val cols = Manifest.read(spark, dir).columns.toSet
+    assert(cols == Set("id", "v", "w"))
+    assert(Manifest.read(spark, dir).count() == 3)
+  }
+
   test("vacuum honors retention and grace: retained readers live, fresh staged files survive") {
     val dir = java.nio.file.Files.createTempDirectory("mfvac").toString + "/ds"
     val v1 = Manifest.overwrite(spark.range(0, 5).toDF("id"), dir)
