@@ -522,6 +522,34 @@ object Manifest {
     }
   }
 
+  /** [[compact]] with Z-ORDER clustering on `zCols`: the rewrite tiles
+    * the value space ([[ZOrder.cluster]]) instead of sorting
+    * lexicographically, and records per-file bounds for every z-column —
+    * so [[readRange]] prunes files on ANY of them, not just the leading
+    * sort column. The multi-dimensional complement of [[compact]]'s 1-D
+    * range clustering.
+    */
+  def compactZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+                    targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val files = manifestFiles(spark, path, v)
+    val totalBytes = files.map(f =>
+      fs.getFileStatus(new Path(root, f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staged = stage(ZOrder.cluster(read(spark, path, v), zCols, nFiles), path)
+    val props = committedProps(spark, path, v) +
+      ("compacted.from" -> v.toString) + ("stats.cols" -> zCols.mkString(","))
+    val newStats = computeStats(spark, path, staged, zCols)
+    commit(spark, path, props, prev =>
+      (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
+       else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
+      if (prev == v) staged
+      else staged ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
+    }
+  }
+
   /** Drop data files no retained manifest references, and manifests older
     * than `keepVersions` — the vacuum that bounds storage. Safety rails:
     *  - readers of any RETAINED version are unaffected (their files stay);
