@@ -2417,6 +2417,46 @@ object ExtendedQueries {
               |  CAST(floor(start_tok / 256.0) AS BIGINT) AS chunk_first,
               |  CAST(floor(greatest(start_tok + n_tokens - 1, start_tok) / 256.0) AS BIGINT) AS chunk_last
               |FROM o ORDER BY doc_id""".stripMargin)
+    ),
+
+    // The transactional manifest layer under the driver's oracle gate:
+    // lineitem is published once per JVM as a stats-carrying manifest
+    // dataset (range-clustered on l_orderkey, per-file bounds recorded),
+    // and the query reads a key range back through readRange — file
+    // skipping happens on the manifest list, the oracle checks the rows
+    // against plain SQL over the same source. Builds are cached so the
+    // bench's warm-up pass pays the one-time write and the timed passes
+    // measure the pruned read.
+    QueryDef(
+      "manifest_range_scan",
+      (s, dir) => {
+        val path = manifestDatasetFor(s, dir)
+        Manifest.readRange(s, path, "l_orderkey", 1000, 5000)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
+
+  // One manifest publish per source dir per JVM: queries must be
+  // idempotent across the harness's repeated invocations (Verify dump,
+  // bench warm-up + two timed passes).
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestDatasetFor(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    manifestCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mf").toString + "/lineitem"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+      Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      path
+    })
 }
