@@ -2419,6 +2419,32 @@ object ExtendedQueries {
               |FROM o ORDER BY doc_id""".stripMargin)
     ),
 
+    // The partition-scoped manifest UPSERT under the oracle gate: orders
+    // is published partitioned by order year, then a deterministic update
+    // batch (every 10th key flipped to status 'X') merges through
+    // Manifest.upsert — only touched partitions rewrite — and the merged
+    // state must aggregate identically to the oracle's CASE-simulated
+    // merge over the raw table. Build cached per JVM like
+    // manifest_range_scan below.
+    QueryDef(
+      "manifest_upsert_scan",
+      (s, dir) => {
+        val path = manifestUpsertFor(s, dir)
+        Manifest.read(s, path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |  o_totalprice FROM orders)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // The transactional manifest layer under the driver's oracle gate:
     // lineitem is published once per JVM as a stats-carrying manifest
     // dataset (range-clustered on l_orderkey, per-file bounds recorded),
@@ -2457,6 +2483,25 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_extendedprice"))
         .repartitionByRange(8, col("l_orderkey"))
       Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      path
+    })
+
+  private val upsertCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestUpsertFor(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    upsertCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfu").toString + "/orders"
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("string").as("o_year"),
+        lit(1L).as("seq"))
+      Manifest.upsert(base, path, Seq("o_orderkey"), "seq",
+        partitionCols = Seq("o_year"))
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("seq", lit(2L))
+      Manifest.upsert(upd, path, Seq("o_orderkey"), "seq",
+        partitionCols = Seq("o_year"))
       path
     })
 }
