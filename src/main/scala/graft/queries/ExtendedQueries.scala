@@ -2419,6 +2419,36 @@ object ExtendedQueries {
               |FROM o ORDER BY doc_id""".stripMargin)
     ),
 
+    // The streaming manifest SINK under the oracle gate: events stream
+    // through foreachBatch → Manifest.append (batchId watermark recorded),
+    // and the committed dataset must read back as exactly the source
+    // table. Decimal-exact sums keep the verdict bit-stable cross-engine.
+    QueryDef(
+      "manifest_sink_stream",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("mf_sink_src")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        val path = java.nio.file.Files.createTempDirectory("mf_sink_ds").toString + "/ev"
+        val ckpt = java.nio.file.Files.createTempDirectory("mf_sink_ck").toString
+        graft.streaming.StreamOps.manifestSink(
+          stream.select(col("event_id"), col("event_type"), col("value")), path, ckpt)
+        Manifest.read(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // The partition-scoped manifest UPSERT under the oracle gate: orders
     // is published partitioned by order year, then a deterministic update
     // batch (every 10th key flipped to status 'X') merges through
