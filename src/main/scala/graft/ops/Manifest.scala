@@ -44,13 +44,17 @@ object Manifest {
   private val MaxCommitAttempts = 50
 
   /** Parsed manifest: file list + commit properties (`#prop k=v` lines,
-    * URL-encoded) + optional per-file column bounds (`#filestat` lines).
-    * Props carry e.g. the dataset schema for partitioned layouts and the
-    * last streaming batch id for idempotent sinks; file stats power
-    * manifest-level file skipping ([[readRange]]), Iceberg's core idea.
+    * URL-encoded) + optional per-file column bounds (`#filestat` lines)
+    * + per-file byte sizes (`#size` lines). Props carry e.g. the dataset
+    * schema for partitioned layouts and the last streaming batch id for
+    * idempotent sinks; file stats power manifest-level file skipping
+    * ([[readRange]], [[table]]), Iceberg's core idea. Sizes let a reader
+    * plan the scan with ZERO filesystem listing — at 100 TB the manifest
+    * is the only metadata round-trip.
     */
   final case class Snapshot(files: Seq[String], props: Map[String, String],
-                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+                            sizes: Map[String, Long] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -63,7 +67,8 @@ object Manifest {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   private def render(files: Seq[String], props: Map[String, String],
-                     stats: Map[String, Map[String, (Double, Double)]] = Map.empty): String = {
+                     stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+                     sizes: Map[String, Long] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -71,7 +76,10 @@ object Manifest {
         s"#filestat ${enc(f)} ${enc(c)} $lo $hi"
       }
     }
-    ((Header +: propLines) ++ statLines ++ files :+ footer(files.size)).mkString("\n")
+    val sizeLines = sizes.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"#size ${enc(f)} $n" }
+    ((Header +: propLines) ++ statLines ++ sizeLines ++ files :+ footer(files.size))
+      .mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -96,7 +104,13 @@ object Manifest {
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-    Some(Snapshot(files, props, stats))
+    val sizes = lines.filter(_.startsWith("#size ")).flatMap { l =>
+      l.stripPrefix("#size ").split(' ') match {
+        case Array(f, n) => scala.util.Try(dec(f) -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -174,11 +188,12 @@ object Manifest {
   private def partDirCol(c: String): String = s"__p_$c"
 
   /** Stage `df` as new immutable data files and return their relative
-    * paths WITHOUT publishing them — commit() makes them visible. With
-    * `partitionCols`, files land under `data/<uuid>/__p_c=v/…` dirs.
+    * paths (with byte sizes, captured off the same listing) WITHOUT
+    * publishing them — commit() makes them visible. With `partitionCols`,
+    * files land under `data/<uuid>/__p_c=v/…` dirs.
     */
-  private def stage(df: DataFrame, path: String,
-                    partitionCols: Seq[String] = Nil): Seq[String] = {
+  private def stageSized(df: DataFrame, path: String,
+                         partitionCols: Seq[String] = Nil): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val (fs, root) = fsFor(df.sparkSession, path)
     val batchDir = "data/" + java.util.UUID.randomUUID().toString
@@ -188,15 +203,19 @@ object Manifest {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols.map(partDirCol): _*) else w)
       .parquet(new Path(root, batchDir).toString)
     val it = fs.listFiles(new Path(root, batchDir), true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val prefix = fs.makeQualified(root).toString + "/"
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet"))
-        buf += fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
+        buf += (fs.makeQualified(f.getPath).toString.stripPrefix(prefix) -> f.getLen)
     }
     buf.toSeq
   }
+
+  private def stage(df: DataFrame, path: String,
+                    partitionCols: Seq[String] = Nil): Seq[String] =
+    stageSized(df, path, partitionCols).map(_._1)
 
   /** Optimistic-concurrency commit: resolve the latest version, build the
     * next file list against it via `filesFor` (the rebase hook), claim
@@ -205,7 +224,8 @@ object Manifest {
   private def commit(spark: SparkSession, path: String,
                      props: Map[String, String],
                      statsFor: Long => Map[String, Map[String, (Double, Double)]] =
-                       _ => Map.empty)
+                       _ => Map.empty,
+                     newSizes: Map[String, Long] = Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -219,9 +239,15 @@ object Manifest {
       val files = filesFor(latestComplete)
       // stats only for files that made it into this version's list
       val stats = statsFor(latestComplete).view.filterKeys(files.toSet).toMap
+      // sizes are per-file FACTS (not version state): carried-over files
+      // keep the previous version's recorded size, staged files bring
+      // their own — no call-site plumbing needed
+      val sizes = ((if (latestComplete == 0) Map.empty[String, Long]
+        else loadVersion(fs, root, latestComplete).map(_.sizes).getOrElse(Map.empty))
+        ++ newSizes).view.filterKeys(files.toSet).toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props, stats).getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, props, stats, sizes).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -239,8 +265,9 @@ object Manifest {
     */
   def overwrite(df: DataFrame, path: String,
                 props: Map[String, String] = Map.empty): Long = {
-    val staged = stage(df, path)
-    commit(df.sparkSession, path, props)(_ => staged)
+    val staged = stageSized(df, path)
+    commit(df.sparkSession, path, props,
+      newSizes = staged.toMap)(_ => staged.map(_._1))
   }
 
   /** Publish `df` as the next version APPENDED to the current one: the
@@ -265,12 +292,13 @@ object Manifest {
         read(spark, path, prevV).schema.fieldNames.toSet != df.schema.fieldNames.toSet
     }
     val allProps = if (evolved) props + ("merge.schema" -> "true") else props
-    val staged = stage(df, path)
+    val staged = stageSized(df, path)
     // carried-over files keep their recorded bounds (commit intersects
     // the stats map with the final file list)
     commit(spark, path, allProps,
-      prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats) { prev =>
-      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
+      prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats,
+      newSizes = staged.toMap) { prev =>
+      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
 
@@ -286,13 +314,14 @@ object Manifest {
   def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String],
                       props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
-    val staged = stage(df, path)
-    val newStats = computeStats(spark, path, staged, statsCols)
+    val staged = stageSized(df, path)
+    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("stats.cols" -> statsCols.mkString(","))
     commit(spark, path, allProps,
       prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
-        else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
-      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged
+        else snapshotOf(spark, path, prev).stats) ++ newStats,
+      newSizes = staged.toMap) { prev =>
+      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
 
@@ -369,6 +398,42 @@ object Manifest {
     reader.parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
+  /** Read a version (default: latest) through a manifest-backed
+    * [[org.apache.spark.sql.graft.ManifestFileIndex]] — the DECLARATIVE
+    * form of [[readRange]]/[[readPartitions]]: a plain `.filter(...)` on
+    * the returned DataFrame is pushed down by Catalyst into manifest-level
+    * file skipping (recorded min/max bounds) and partition pruning
+    * (`__p_c=v` dirs), with zero filesystem listing — file paths and sizes
+    * come from the manifest, so at 100 TB planning costs one small
+    * manifest read plus one schema footer. Equivalent rows to [[read]];
+    * prefer this for analytical scans with selective predicates.
+    */
+  def table(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    require(snap.files.nonEmpty, s"version $v at $path lists no files")
+    val (fs, root) = fsFor(spark, path)
+    val qroot = fs.makeQualified(root)
+    val entries = snap.files.map { rel =>
+      val p = new Path(qroot, rel)
+      // pre-size-recording manifests fall back to one status call per file
+      val len = snap.sizes.getOrElse(rel, fs.getFileStatus(p).getLen)
+      rel -> new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L, p)
+    }
+    val merge = snap.props.get("merge.schema").contains("true")
+    val dataSchema =
+      if (merge)
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(f => s"$path/$f"): _*).schema
+      else spark.read.parquet(s"$path/${snap.files.head}").schema
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    org.apache.spark.sql.graft.ManifestFileIndex.dataFrame(
+      spark, qroot, entries, snap.stats, partCols, dataSchema,
+      if (merge) Map("mergeSchema" -> "true") else Map.empty)
+  }
+
   /** Read only the files of the partitions matching `values` (col→value,
     * string-rendered) — manifest-level partition pruning: file selection
     * happens on the tiny manifest list, so unmatched files are never
@@ -409,8 +474,8 @@ object Manifest {
        else Map("part.cols" -> partitionCols.mkString(",")))
     val prevV = latestVersion(spark, path)
     if (prevV == 0) {
-      val staged = stage(latest, path, partitionCols)
-      commit(spark, path, props)(_ => staged)
+      val staged = stageSized(latest, path, partitionCols)
+      commit(spark, path, props, newSizes = staged.toMap)(_ => staged.map(_._1))
     } else if (partitionCols.isEmpty) {
       val merged = read(spark, path)
         .join(latest.select(keys.map(col): _*), keys, "left_anti")
@@ -429,14 +494,15 @@ object Manifest {
         else spark.read.parquet(touchedFiles.map(f => s"$path/$f"): _*)
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest, allowMissingColumns = true)
-      val staged = stage(merged, path, partitionCols)
+      val staged = stageSized(merged, path, partitionCols)
       commit(spark, path, props,
-        prev => snapshotOf(spark, path, prev).stats) { prev =>
-        if (prev == prevV) untouchedFiles ++ staged
+        prev => snapshotOf(spark, path, prev).stats,
+        newSizes = staged.toMap) { prev =>
+        if (prev == prevV) untouchedFiles ++ staged.map(_._1)
         else { // rebase: keep the WINNER's untouched entries
           val rebased = manifestFiles(spark, path, prev)
             .filterNot(f => touched.exists(spec => fileInSpec(f, spec)))
-          rebased ++ staged
+          rebased ++ staged.map(_._1)
         }
       }
     }
@@ -498,7 +564,7 @@ object Manifest {
         src.repartitionByRange(nFiles, cs.split(',').map(col).toSeq: _*)
       case _ => src.repartition(nFiles)
     }
-    val staged = stage(compacted, path)
+    val staged = stageSized(compacted, path)
     // carry the source version's props forward (e.g. streaming.batchId) so
     // a compaction never erases the idempotence watermark
     val props = committedProps(spark, path, v) + ("compacted.from" -> v.toString)
@@ -506,18 +572,19 @@ object Manifest {
     // rewrite: recompute bounds for the compacted files
     val newStats = props.get("stats.cols") match {
       case Some(cs) if cs.nonEmpty =>
-        computeStats(spark, path, staged, cs.split(',').toSeq)
+        computeStats(spark, path, staged.map(_._1), cs.split(',').toSeq)
       case _ => Map.empty[String, Map[String, (Double, Double)]]
     }
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
-       else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
-      if (prev == v) staged
+       else snapshotOf(spark, path, prev).stats) ++ newStats,
+      newSizes = staged.toMap) { prev =>
+      if (prev == v) staged.map(_._1)
       else {
         // an append landed while we compacted: keep its files alongside
         // the compacted rewrite of OUR baseline — no lost update
         val baseline = files.toSet
-        staged ++ manifestFiles(spark, path, prev).filterNot(baseline)
+        staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(baseline)
       }
     }
   }
@@ -538,15 +605,16 @@ object Manifest {
     val totalBytes = files.map(f =>
       fs.getFileStatus(new Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staged = stage(ZOrder.cluster(read(spark, path, v), zCols, nFiles), path)
+    val staged = stageSized(ZOrder.cluster(read(spark, path, v), zCols, nFiles), path)
     val props = committedProps(spark, path, v) +
       ("compacted.from" -> v.toString) + ("stats.cols" -> zCols.mkString(","))
-    val newStats = computeStats(spark, path, staged, zCols)
+    val newStats = computeStats(spark, path, staged.map(_._1), zCols)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
-       else snapshotOf(spark, path, prev).stats) ++ newStats) { prev =>
-      if (prev == v) staged
-      else staged ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
+       else snapshotOf(spark, path, prev).stats) ++ newStats,
+      newSizes = staged.toMap) { prev =>
+      if (prev == v) staged.map(_._1)
+      else staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
     }
   }
 

@@ -2498,6 +2498,31 @@ object ExtendedQueries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
              |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // The DECLARATIVE manifest scan under the oracle gate: the same
+    // stats-carrying dataset read through Manifest.table — a manifest-
+    // backed FileIndex — where a plain .filter is pushed down by Catalyst
+    // into manifest-level file skipping (no readRange call; the plan's
+    // Location shows ManifestFileIndex and numFiles drops to the
+    // intersecting files). Same rows as ordinary SQL over the source,
+    // which is exactly what the oracle asserts.
+    QueryDef(
+      "manifest_table_scan",
+      (s, dir) => {
+        val path = manifestDatasetFor(s, dir)
+        Manifest.table(s, path)
+          .filter(col("l_orderkey") >= 2000 && col("l_orderkey") <= 6000)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 6000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

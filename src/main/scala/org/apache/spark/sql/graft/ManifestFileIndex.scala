@@ -1,0 +1,158 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{
+  DataSourceStrategy, FileIndex, FileStatusWithMetadata, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+/** A [[FileIndex]] over a graft manifest snapshot — the Delta/Iceberg
+  * architecture (cf. Delta's `TahoeFileIndex`): the table's file list,
+  * sizes, per-file column bounds, and partition layout all come from the
+  * committed manifest, so planning a scan costs ZERO filesystem listing,
+  * and Catalyst's ordinary pushdown becomes manifest-level pruning.
+  *
+  * `listFiles` receives the query's pushed data filters (Spark's
+  * `FileSourceStrategy` forwards them to every FileIndex) and drops:
+  *  - files whose recorded min/max bounds cannot intersect the predicate
+  *    (Iceberg file skipping, now DECLARATIVE — a plain `.filter` prunes,
+  *    no bespoke readRange call needed);
+  *  - files outside `__p_c=v` partition directories excluded by equality/
+  *    IN predicates on partition columns (manifest-level partition
+  *    pruning without directory inference).
+  *
+  * Pruning is strictly conservative: a file survives unless the predicate
+  * PROVABLY cannot match it, and the row-level filter still runs on every
+  * surviving file, so results are identical with or without stats.
+  *
+  * Lives under `org.apache.spark.sql` for the same reason Delta does:
+  * `FileIndex`/`HadoopFsRelation` are `private[sql]` extension points.
+  */
+final class ManifestFileIndex(
+    spark: classic.SparkSession,
+    root: Path,
+    entries: Seq[(String, FileStatus)],
+    stats: Map[String, Map[String, (Double, Double)]],
+    partCols: Seq[String]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  // partition values live IN the data files (the `__p_c=v` dirs hold a
+  // throwaway duplicate — see Manifest.partDirCol), so to Spark this is a
+  // non-partitioned relation; pruning happens here, not in the planner.
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = entries.map(_._2.getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val translated = (partitionFilters ++ dataFilters)
+      .flatMap(e => DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+    val kept = entries.filter { case (rel, _) =>
+      translated.forall(f => mayMatch(rel, f))
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map { case (_, st) => FileStatusWithMetadata(st) }))
+  }
+
+  /** Conservative three-valued pruning: false ONLY when the filter
+    * provably matches no row of the file.
+    */
+  private def mayMatch(rel: String, filter: sources.Filter): Boolean = filter match {
+    case sources.And(l, r) => mayMatch(rel, l) && mayMatch(rel, r)
+    case sources.Or(l, r) => mayMatch(rel, l) || mayMatch(rel, r)
+    case sources.EqualTo(c, v) => pointAllows(rel, c, v)
+    case sources.EqualNullSafe(c, v) if v != null => pointAllows(rel, c, v)
+    case sources.GreaterThan(c, v) =>
+      boundsAllow(rel, c, v)((lo, hi, d) => hi > d)
+    case sources.GreaterThanOrEqual(c, v) =>
+      boundsAllow(rel, c, v)((lo, hi, d) => hi >= d)
+    case sources.LessThan(c, v) =>
+      boundsAllow(rel, c, v)((lo, hi, d) => lo < d)
+    case sources.LessThanOrEqual(c, v) =>
+      boundsAllow(rel, c, v)((lo, hi, d) => lo <= d)
+    case sources.In(c, vs) =>
+      if (vs == null || vs.isEmpty) false // IN () matches nothing
+      else vs.exists(v => v == null || pointAllows(rel, c, v))
+    case _ => true // IsNull/StringStartsWith/Not/…: no sound file-level proof
+  }
+
+  private def pointAllows(rel: String, c: String, v: Any): Boolean =
+    boundsAllow(rel, c, v)((lo, hi, d) => d >= lo && d <= hi) &&
+      segmentAllows(rel, c, v)
+
+  /** Check `v` against the file's recorded [lo, hi] for column `c`;
+    * files or columns without bounds (and non-numeric literals) pass.
+    */
+  private def boundsAllow(rel: String, c: String, v: Any)
+                         (pred: (Double, Double, Double) => Boolean): Boolean =
+    stats.get(rel).flatMap(_.get(c)) match {
+      case Some((lo, hi)) =>
+        numeric(v) match {
+          case Some(d) => pred(lo, hi, d)
+          case None => true
+        }
+      case None => true
+    }
+
+  /** For a partition column, does the file sit in the `__p_c=v` dir the
+    * literal denotes? Only value types whose `toString` provably equals
+    * Spark's `cast(x as string)` rendering participate (exact-or-no-prune;
+    * floats/timestamps/decimals render differently and are skipped).
+    */
+  private def segmentAllows(rel: String, c: String, v: Any): Boolean = {
+    if (!partCols.contains(c)) return true
+    stringRendering(v) match {
+      case Some(s) =>
+        val seg = s"__p_$c=${ExternalCatalogUtils.escapePathName(s)}"
+        rel.split('/').contains(seg)
+      case None => true
+    }
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  private def stringRendering(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _: java.lang.Boolean | _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => Some(v.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Build a DataFrame over the index: a vanilla parquet
+    * `HadoopFsRelation` whose file listing is the manifest — every
+    * downstream Spark facility (vectorized reader, whole-stage codegen,
+    * footer-level predicate pushdown, AQE) applies unchanged.
+    */
+  def dataFrame(spark: SparkSession, root: Path,
+                entries: Seq[(String, FileStatus)],
+                stats: Map[String, Map[String, (Double, Double)]],
+                partCols: Seq[String],
+                dataSchema: StructType,
+                options: Map[String, String]): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new ManifestFileIndex(cs, root, entries, stats, partCols)
+    val relation = HadoopFsRelation(index, new StructType(), dataSchema,
+      None, new ParquetFileFormat, options)(cs)
+    classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = false))
+  }
+}

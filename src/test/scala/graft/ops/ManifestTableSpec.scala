@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The declarative manifest scan ([[Manifest.table]]): a plain `.filter`
+  * must prune files through the custom FileIndex — stats-based skipping
+  * and partition pruning with no explicit readRange/readPartitions call —
+  * while returning exactly the rows a full read + filter would. Pruning
+  * is observed through the scan's own `numFiles` metric, so these tests
+  * pin the END-TO-END path (Catalyst pushdown → FileIndex.listFiles →
+  * scheduled scan), not the pruning helper in isolation.
+  */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Total files the executed plan's parquet scans actually read. Pass a
+    * FRESH Dataset: metrics reset on each new execution, but the scan's
+    * file listing is cached per plan instance, so a re-collected Dataset
+    * reports numFiles=0.
+    */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case p if p.nodeName.startsWith("Scan") && p.metrics.contains("numFiles") => p
+    }
+    assert(scans.nonEmpty, "no file scan in plan:\n" + df.queryExecution.executedPlan)
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ds"
+
+  test("table() returns the same rows as read()") {
+    val dir = tmp("mft_parity")
+    Manifest.appendWithStats(spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id") * 2).coalesce(1), dir, Seq("id"))
+    Manifest.appendWithStats(spark.range(100, 200).toDF("id")
+      .withColumn("v", col("id") * 2).coalesce(1), dir, Seq("id"))
+    val viaRead = Manifest.read(spark, dir).orderBy("id").collect().toSeq
+    val viaTable = Manifest.table(spark, dir).orderBy("id").collect().toSeq
+    assert(viaTable == viaRead && viaTable.size == 200)
+  }
+
+  test("a plain filter prunes files via recorded bounds") {
+    val dir = tmp("mft_stats")
+    for (lo <- Seq(0L, 100L, 200L)) {
+      Manifest.appendWithStats(
+        spark.range(lo, lo + 100).toDF("id").coalesce(1), dir, Seq("id"))
+    }
+    def t = Manifest.table(spark, dir)
+    assert(scannedFiles(t) == 3, "unfiltered scan must read every file")
+    assert(t.filter(col("id") >= 250).collect().map(_.getLong(0)).sorted.toSeq
+      == (250L until 300L))
+    assert(scannedFiles(t.filter(col("id") >= 250)) == 1,
+      "range predicate must skip 2 of 3 files")
+    // disjunctions prune per-branch, conservatively unioned
+    val twoSided = t.filter(col("id") < 50 || col("id") >= 250)
+    assert(twoSided.count() == 100)
+    assert(scannedFiles(t.filter(col("id") < 50 || col("id") >= 250)) == 2)
+    // a contradiction prunes everything — zero tasks, zero files
+    assert(t.filter(col("id") > 1000).collect().isEmpty)
+    assert(scannedFiles(t.filter(col("id") > 1000)) == 0)
+  }
+
+  test("equality on a partition column prunes to its partition's files") {
+    val dir = tmp("mft_part")
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30),
+      (4L, "a", 40), (5L, "b", 50)).toDF("id", "p", "x")
+    Manifest.upsert(df, dir, keys = Seq("id"), orderCol = "x",
+      partitionCols = Seq("p"))
+    def t = Manifest.table(spark, dir)
+    val total = scannedFiles(t)
+    assert(t.filter(col("p") === "b").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 5L))
+    assert(scannedFiles(t.filter(col("p") === "b")) < total,
+      "partition equality must prune files")
+    // IN-lists prune to the union of named partitions
+    assert(t.filter(col("p").isin("a", "c")).count() == 3)
+    assert(scannedFiles(t.filter(col("p").isin("a", "c"))) < total)
+  }
+
+  test("schema evolution: table() serves the merged schema") {
+    val dir = tmp("mft_evolve")
+    Manifest.append(Seq((1L, "x")).toDF("id", "v"), dir)
+    Manifest.append(Seq((2L, "y", 9.5)).toDF("id", "v", "score"), dir)
+    val t = Manifest.table(spark, dir)
+    assert(t.schema.fieldNames.toSet == Set("id", "v", "score"))
+    val rows = t.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("commits record per-file sizes; planning needs no filesystem listing") {
+    val dir = tmp("mft_sizes")
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir)
+    Manifest.append(spark.range(10, 20).toDF("id").coalesce(1), dir)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.v2")), "UTF-8")
+    val sizeLines = text.linesIterator.filter(_.startsWith("#size ")).toSeq
+    assert(sizeLines.size == 2, s"expected a #size line per file:\n$text")
+    // recorded sizes match the real files (so FileStatus synthesis is
+    // faithful and split planning sees true lengths)
+    sizeLines.foreach { l =>
+      val Array(rel, len) = l.stripPrefix("#size ").split(' ')
+      val real = new java.io.File(dir,
+        java.net.URLDecoder.decode(rel, "UTF-8")).length()
+      assert(len.toLong == real)
+    }
+  }
+}
