@@ -39,7 +39,9 @@ object Connections {
       case "jdbc" =>
         spark.read.format("jdbc").options(c.options).option("dbtable", table).load()
       case "manifest" =>
-        graft.ops.Manifest.read(spark, manifestPath(c, table))
+        // the FileIndex-backed form: filters on the returned frame prune
+        // files through the manifest's bounds/partition dirs
+        graft.ops.Manifest.table(spark, manifestPath(c, table))
       case fmt =>
         val path = c.basePath.map(b => s"$b/$table.$fmt").getOrElse(table)
         spark.read.format(fmt).options(c.options).load(path)

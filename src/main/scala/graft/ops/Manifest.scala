@@ -408,7 +408,23 @@ object Manifest {
     * manifest read plus one schema footer. Equivalent rows to [[read]];
     * prefer this for analytical scans with selective predicates.
     */
-  def table(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+  def table(spark: SparkSession, path: String, version: Long = -1L): DataFrame =
+    org.apache.spark.sql.graft.ManifestFileIndex.dataFrame(spark, tableInfo(spark, path, version))
+
+  /** Everything a relation over a manifest snapshot needs — shared by
+    * [[table]] and the `graft-manifest` data source format
+    * ([[org.apache.spark.sql.graft.ManifestDataSource]]), which makes
+    * these datasets addressable from pure SQL (`CREATE ... USING`).
+    */
+  final case class TableInfo(
+      root: Path,
+      entries: Seq[(String, org.apache.hadoop.fs.FileStatus)],
+      stats: Map[String, Map[String, (Double, Double)]],
+      partCols: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String])
+
+  def tableInfo(spark: SparkSession, path: String, version: Long = -1L): TableInfo = {
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
@@ -429,8 +445,7 @@ object Manifest {
       else spark.read.parquet(s"$path/${snap.files.head}").schema
     val partCols = snap.props.get("part.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    org.apache.spark.sql.graft.ManifestFileIndex.dataFrame(
-      spark, qroot, entries, snap.stats, partCols, dataSchema,
+    TableInfo(qroot, entries, snap.stats, partCols, dataSchema,
       if (merge) Map("mergeSchema" -> "true") else Map.empty)
   }
 

@@ -2523,6 +2523,28 @@ object ExtendedQueries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
              |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 6000
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // PURE SQL over the manifest layer: the dataset registered through the
+    // `graft-manifest` data source format (CREATE TEMPORARY VIEW … USING),
+    // queried with ordinary spark.sql — the WHERE clause reaches the same
+    // manifest-level file skipping as the DataFrame form, proving the
+    // transactional layout is a first-class SQL citizen, not a bespoke API.
+    QueryDef(
+      "manifest_sql_scan",
+      (s, dir) => {
+        val path = manifestDatasetFor(s, dir)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_mf_lineitem " +
+          s"USING `graft-manifest` OPTIONS (path '$path')")
+        s.sql("""SELECT l_orderkey, count(*) AS n_items,
+                |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+                |FROM graft_mf_lineitem WHERE l_orderkey BETWEEN 3000 AND 7000
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE l_orderkey BETWEEN 3000 AND 7000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

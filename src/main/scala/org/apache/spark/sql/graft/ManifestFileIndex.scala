@@ -138,21 +138,58 @@ final class ManifestFileIndex(
 
 object ManifestFileIndex {
 
-  /** Build a DataFrame over the index: a vanilla parquet
-    * `HadoopFsRelation` whose file listing is the manifest — every
-    * downstream Spark facility (vectorized reader, whole-stage codegen,
-    * footer-level predicate pushdown, AQE) applies unchanged.
+  /** The index as a vanilla parquet `HadoopFsRelation` — every downstream
+    * Spark facility (vectorized reader, whole-stage codegen, footer-level
+    * predicate pushdown, AQE) applies unchanged.
     */
-  def dataFrame(spark: SparkSession, root: Path,
-                entries: Seq[(String, FileStatus)],
-                stats: Map[String, Map[String, (Double, Double)]],
-                partCols: Seq[String],
-                dataSchema: StructType,
-                options: Map[String, String]): DataFrame = {
+  def relation(spark: SparkSession,
+               info: graft.ops.Manifest.TableInfo): HadoopFsRelation = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val index = new ManifestFileIndex(cs, root, entries, stats, partCols)
-    val relation = HadoopFsRelation(index, new StructType(), dataSchema,
-      None, new ParquetFileFormat, options)(cs)
-    classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = false))
+    val index = new ManifestFileIndex(cs, info.root, info.entries,
+      info.stats, info.partCols)
+    HadoopFsRelation(index, new StructType(), info.dataSchema,
+      None, new ParquetFileFormat, info.options)(cs)
+  }
+
+  def dataFrame(spark: SparkSession,
+                info: graft.ops.Manifest.TableInfo): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(cs,
+      LogicalRelation(relation(spark, info), isStreaming = false))
+  }
+}
+
+/** The `graft-manifest` data source format: manifest-versioned datasets
+  * addressable through the standard reader API and PURE SQL —
+  *
+  * {{{
+  *   spark.read.format("graft-manifest").load(path)              // latest
+  *   spark.read.format("graft-manifest")
+  *     .option("version", 3).load(path)                          // time travel
+  *   CREATE TEMPORARY VIEW t USING `graft-manifest`
+  *     OPTIONS (path '…', version '3')                           -- SQL DDL
+  * }}}
+  *
+  * The returned relation is the same [[ManifestFileIndex]]-backed one as
+  * `Manifest.table`, so SQL `WHERE` clauses prune files through the
+  * manifest's recorded bounds and partition directories. Registered via
+  * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`.
+  */
+final class ManifestDataSource
+    extends org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest requires a path (reader .load(path) or OPTIONS (path '…'))"))
+    val version = parameters.get("version").map(_.toLong).getOrElse(-1L)
+    val spark = sqlContext.sparkSession
+    ManifestFileIndex.relation(spark,
+      graft.ops.Manifest.tableInfo(spark, path, version))
   }
 }

@@ -91,6 +91,31 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
   }
 
+  test("graft-manifest is a registered data source format with time travel") {
+    val dir = tmp("mft_fmt")
+    Manifest.overwrite(spark.range(0, 10).toDF("id"), dir)   // v1
+    Manifest.append(spark.range(10, 30).toDF("id"), dir)     // v2
+    // reader API, latest version
+    assert(spark.read.format("graft-manifest").load(dir).count() == 30)
+    // time travel through an option
+    assert(spark.read.format("graft-manifest")
+      .option("version", 1).load(dir).count() == 10)
+  }
+
+  test("SQL over a USING graft-manifest view prunes via the manifest") {
+    val dir = tmp("mft_sql")
+    for (lo <- Seq(0L, 100L, 200L))
+      Manifest.appendWithStats(
+        spark.range(lo, lo + 100).toDF("id").coalesce(1), dir, Seq("id"))
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW mft_sql USING `graft-manifest` OPTIONS (path '$dir')")
+    val q = spark.sql("SELECT count(*) AS n FROM mft_sql WHERE id >= 250")
+    assert(q.collect().head.getLong(0) == 50)
+    assert(scannedFiles(
+      spark.sql("SELECT id FROM mft_sql WHERE id >= 250")) == 1,
+      "SQL WHERE must reach the manifest's file skipping")
+  }
+
   test("commits record per-file sizes; planning needs no filesystem listing") {
     val dir = tmp("mft_sizes")
     Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir)
