@@ -270,6 +270,18 @@ object Manifest {
       newSizes = staged.toMap)(_ => staged.map(_._1))
   }
 
+  /** [[overwrite]] recording per-file min/max bounds for `statsCols` —
+    * the CTAS form of [[appendWithStats]].
+    */
+  def overwriteWithStats(df: DataFrame, path: String, statsCols: Seq[String],
+                         props: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageSized(df, path)
+    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
+    commit(spark, path, props + ("stats.cols" -> statsCols.mkString(",")),
+      _ => newStats, newSizes = staged.toMap)(_ => staged.map(_._1))
+  }
+
   /** Publish `df` as the next version APPENDED to the current one: the
     * new manifest is previous-files ++ new-files — no data file is read,
     * moved, or rewritten, so an append costs only the new data. On a
@@ -520,6 +532,50 @@ object Manifest {
           rebased ++ staged.map(_._1)
         }
       }
+    }
+  }
+
+  /** Delete rows matching `condition` as a manifest commit — Delta's
+    * copy-on-write DELETE: only files that actually CONTAIN matching rows
+    * are rewritten (found by running the stats-pruned [[table]] scan over
+    * the predicate, so at 100 TB a selective delete on a clustered column
+    * reads and rewrites the intersecting files, not the dataset); every
+    * other manifest entry carries over path-identical, keeping its
+    * recorded bounds and size. Partitioned layouts restage into their
+    * `__p_c=v` dirs; stats-carrying datasets get bounds recomputed for
+    * the rewritten files. Returns the new version, or the current one
+    * when nothing matches (no empty commit).
+    */
+  def delete(spark: SparkSession, path: String,
+             condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    // files with at least one matching row — the scan itself is pruned by
+    // the manifest's bounds, and returns one row per FILE, not per match
+    val hit = table(spark, path, v).filter(condition)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = snap.files.filter(f => hit.exists(_.endsWith("/" + f)))
+    if (touched.isEmpty) return v
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = snap.props.get("stats.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val kept = spark.read.parquet(touched.map(f => s"$path/$f"): _*)
+      .filter(!condition)
+    val staged = stageSized(kept, path, partCols)
+    val newStats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
+      else computeStats(spark, path, staged.map(_._1), statsCols)
+    commit(spark, path, snap.props,
+      prev => snapshotOf(spark, path, prev).stats ++ newStats,
+      newSizes = staged.toMap) { prev =>
+      // rebase-safe: a concurrent append's files aren't in `touched` and
+      // survive; concurrent writers of the SAME files last-writer-win at
+      // the version level (the documented upsert semantics)
+      manifestFiles(spark, path, prev).filterNot(touched.toSet) ++ staged.map(_._1)
     }
   }
 

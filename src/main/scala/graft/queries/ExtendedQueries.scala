@@ -2545,6 +2545,28 @@ object ExtendedQueries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
              |FROM lineitem WHERE l_orderkey BETWEEN 3000 AND 7000
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Copy-on-write DELETE under the oracle gate: lineitem published
+    // range-clustered with stats, a key range deleted through
+    // Manifest.delete — only the files whose bounds intersect the range
+    // are rewritten — and the surviving state must aggregate identically
+    // to SQL's WHERE NOT over the raw table.
+    QueryDef(
+      "manifest_delete_scan",
+      (s, dir) => {
+        val path = manifestDeleteFor(s, dir)
+        Manifest.table(s, path)
+          .groupBy((col("l_orderkey") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT l_orderkey % 7 AS bucket, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE NOT (l_orderkey BETWEEN 4000 AND 8000)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 
@@ -2560,6 +2582,20 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_extendedprice"))
         .repartitionByRange(8, col("l_orderkey"))
       Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      path
+    })
+
+  private val deleteCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestDeleteFor(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    deleteCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfd").toString + "/lineitem"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+      Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      Manifest.delete(s, path,
+        col("l_orderkey") >= 4000 && col("l_orderkey") <= 8000)
       path
     })
 

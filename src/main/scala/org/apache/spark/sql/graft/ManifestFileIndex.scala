@@ -177,19 +177,57 @@ object ManifestFileIndex {
   */
 final class ManifestDataSource
     extends org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-manifest requires a path (reader .load(path) or OPTIONS (path '…'))"))
+
   override def createRelation(
       sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-manifest requires a path (reader .load(path) or OPTIONS (path '…'))"))
+    val path = pathOf(parameters)
     val version = parameters.get("version").map(_.toLong).getOrElse(-1L)
     val spark = sqlContext.sparkSession
     ManifestFileIndex.relation(spark,
       graft.ops.Manifest.tableInfo(spark, path, version))
+  }
+
+  /** Writer API: `df.write.format("graft-manifest").mode(m).save(path)`.
+    * Append/overwrite map onto manifest commits (so every save is a
+    * versioned, atomically-published transaction); a `stats.cols` option
+    * records per-file bounds for file skipping on later reads.
+    */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val statsCols = parameters.get("stats.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def append(): Unit =
+      if (statsCols.nonEmpty) graft.ops.Manifest.appendWithStats(data, path, statsCols)
+      else graft.ops.Manifest.append(data, path)
+    val exists = graft.ops.Manifest.latestVersion(spark, path) > 0
+    mode match {
+      case SaveMode.Append => append()
+      case SaveMode.Overwrite =>
+        if (statsCols.nonEmpty)
+          graft.ops.Manifest.overwriteWithStats(data, path, statsCols)
+        else graft.ops.Manifest.overwrite(data, path)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"manifest dataset already exists at $path (mode ErrorIfExists)")
+        else append()
+      case SaveMode.Ignore => if (!exists) append()
+    }
+    createRelation(sqlContext, parameters)
   }
 }

@@ -116,6 +116,51 @@ class ManifestTableSpec extends SparkSpec {
       "SQL WHERE must reach the manifest's file skipping")
   }
 
+  test("writer API: save modes map onto manifest commits") {
+    val dir = tmp("mft_write")
+    spark.range(0, 10).toDF("id").write.format("graft-manifest")
+      .option("stats.cols", "id").save(dir)                    // v1 (append)
+    spark.range(10, 20).toDF("id").write.format("graft-manifest")
+      .mode("append").option("stats.cols", "id").save(dir)     // v2
+    assert(Manifest.read(spark, dir).count() == 20)
+    intercept[IllegalStateException] {
+      spark.range(0, 5).toDF("id").write.format("graft-manifest")
+        .mode("errorifexists").save(dir)
+    }
+    spark.range(0, 5).toDF("id").write.format("graft-manifest")
+      .mode("ignore").save(dir)                                // no-op
+    assert(Manifest.read(spark, dir).count() == 20)
+    spark.range(0, 7).toDF("id").write.format("graft-manifest")
+      .mode("overwrite").option("stats.cols", "id").save(dir)  // v3
+    assert(Manifest.read(spark, dir).count() == 7)
+    assert(Manifest.read(spark, dir, version = 2).count() == 20) // time travel intact
+    // stats survived the overwrite: a filter prunes on them
+    assert(Manifest.committedProps(spark, dir).get("stats.cols").contains("id"))
+  }
+
+  test("delete rewrites only the files that contain matching rows") {
+    val dir = tmp("mft_delete")
+    for (lo <- Seq(0L, 100L, 200L))
+      Manifest.appendWithStats(
+        spark.range(lo, lo + 100).toDF("id").coalesce(1), dir, Seq("id"))
+    val before = Manifest.tableInfo(spark, dir).entries.map(_._1).toSet
+    val v = Manifest.delete(spark, dir, col("id") >= 250 && col("id") < 260)
+    assert(v == 4)
+    val after = Manifest.tableInfo(spark, dir).entries.map(_._1).toSet
+    // the two files whose ranges can't match carry over path-identical
+    assert((before & after).size == 2,
+      s"untouched files must carry over: before=$before after=$after")
+    val ids = Manifest.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids.size == 290 && !ids.exists(i => i >= 250 && i < 260))
+    // time travel: the pre-delete version still has every row
+    assert(Manifest.read(spark, dir, version = 3).count() == 300)
+    // rewritten file got fresh bounds: a filter on the surviving tail of
+    // the touched range still prunes to one file
+    assert(scannedFiles(Manifest.table(spark, dir).filter(col("id") >= 280)) == 1)
+    // deleting nothing is a no-op, not an empty commit
+    assert(Manifest.delete(spark, dir, col("id") < 0) == 4)
+  }
+
   test("commits record per-file sizes; planning needs no filesystem listing") {
     val dir = tmp("mft_sizes")
     Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir)
