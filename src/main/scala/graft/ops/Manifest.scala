@@ -356,14 +356,31 @@ object Manifest {
         case None => true
       }
     }
-    val pred = col(column).cast("double") >= lo && col(column).cast("double") <= hi
     // all files pruned → nothing can match; keep the plan trivially empty
     // by scanning the (tiny) first file with an always-false residual
-    if (keep.isEmpty)
-      spark.read.parquet(s"$path/${snap.files.head}")
-        .filter(org.apache.spark.sql.functions.lit(false) && pred)
-    else
-      spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
+    val src =
+      if (keep.isEmpty) spark.read.parquet(s"$path/${snap.files.head}")
+      else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
+    val enc = statEncode(src, column)
+    val pred = enc >= lo && enc <= hi
+    if (keep.isEmpty) src.filter(org.apache.spark.sql.functions.lit(false) && pred)
+    else src.filter(pred)
+  }
+
+  /** The numeric encoding a column's bounds are recorded in: dates as
+    * epoch DAYS (`unix_date` — a plain numeric cast is not defined for
+    * dates), timestamps as fractional epoch seconds (Spark's own
+    * timestamp→double cast), everything else as its double cast. The
+    * filter-literal side of the encoding lives in
+    * `ManifestFileIndex.numeric` and MUST stay in sync.
+    */
+  private[graft] def statEncode(df: DataFrame,
+                                c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
   }
 
   /** Per-file [min, max] of `cols` over exactly the given files: one
@@ -374,11 +391,12 @@ object Manifest {
                            cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || cols.isEmpty) return Map.empty
+    val src = spark.read.parquet(files.map(f => s"$path/$f"): _*)
     val aggs = cols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"lo__$c"),
-        max(col(c).cast("double")).as(s"hi__$c"))
+      Seq(min(statEncode(src, c)).as(s"lo__$c"),
+        max(statEncode(src, c)).as(s"hi__$c"))
     }
-    val rows = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val rows = src
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.toSeq.flatMap { r =>
@@ -577,6 +595,38 @@ object Manifest {
       // the version level (the documented upsert semantics)
       manifestFiles(spark, path, prev).filterNot(touched.toSet) ++ staged.map(_._1)
     }
+  }
+
+  /** Row-level CHANGES between two committed versions — the CDC feed of
+    * the manifest layer (Delta's Change Data Feed idea, computed rather
+    * than stored). Because data files are immutable, every row-level
+    * difference between `fromV` and `toV` lives in the files ADDED or
+    * REMOVED between the two manifests; files common to both versions
+    * are skipped wholesale, so the diff costs the churned files, not the
+    * dataset. The comparison itself is the reference's fingerprint CDC
+    * ([[Diff.tableDiffRows]], SURVEY §2.7) keyed by `keys` over `fields`:
+    * output rows carry `diff` = 'n' (key added), 'c' (key present in both
+    * but fields changed; the NEW row is emitted), or 'd' (key removed).
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long,
+              keys: Seq[String], fields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV > 0 && toV > 0, "versions must be committed (≥ 1)")
+    val fromFiles = manifestFiles(spark, path, fromV)
+    val toFiles = manifestFiles(spark, path, toV)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    val removed = fromFiles.filterNot(toFiles.toSet)
+    // LIMIT 0 keeps union schemas aligned when one side had no churn
+    def side(files: Seq[String], v: Long): DataFrame =
+      if (files.isEmpty) read(spark, path, v).limit(0)
+      else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val newRows = side(added, toV)
+    val oldRows = side(removed, fromV)
+    val addedOrChanged = Diff.tableDiffRows(newRows, oldRows, keys, fields)
+    val deleted = oldRows
+      .join(newRows.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("diff", lit("d"))
+    addedOrChanged.unionByName(deleted)
   }
 
   /** Path segments (`__p_c=v`, writer-escaped) for each touched partition. */

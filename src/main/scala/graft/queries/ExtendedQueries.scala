@@ -2567,6 +2567,25 @@ object ExtendedQueries {
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
              |FROM lineitem WHERE NOT (l_orderkey BETWEEN 4000 AND 8000)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Version-to-version CDC over the manifest layer: the upsert fixture's
+    // v1→v2 delta (every 10th key's status flipped to 'X') recovered by
+    // Manifest.changes — which reads only the files churned between the
+    // two manifests and compares them with the reference's fingerprint CDC
+    // (SURVEY §2.7). The feed must name exactly the flipped keys, tagged
+    // 'c', with the NEW row values.
+    QueryDef(
+      "manifest_changes_scan",
+      (s, dir) => {
+        val path = manifestUpsertFor(s, dir)
+        Manifest.changes(s, path, 1, 2,
+          keys = Seq("o_orderkey"), fields = Seq("o_orderstatus", "o_totalprice"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("diff"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, 'X' AS o_orderstatus, 'c' AS diff
+             |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY 1""".stripMargin)
     )
   )
 

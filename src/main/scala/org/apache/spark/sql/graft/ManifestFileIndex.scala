@@ -121,8 +121,15 @@ final class ManifestFileIndex(
     }
   }
 
+  /** Filter-literal side of the bounds encoding (`Manifest.statEncode`):
+    * dates as epoch days, timestamps as fractional epoch seconds.
+    */
   private def numeric(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime / 1000.0)
+    case i: java.time.Instant => Some(i.getEpochSecond + i.getNano / 1e9)
     case _ => None
   }
 

@@ -161,6 +161,60 @@ class ManifestTableSpec extends SparkSpec {
     assert(Manifest.delete(spark, dir, col("id") < 0) == 4)
   }
 
+  test("date-clustered appends prune on date and timestamp predicates") {
+    val dir = tmp("mft_dates")
+    // three monthly batches — the classic time-series append layout
+    for (m <- 1 to 3) {
+      val df = spark.range(0, 50).toDF("i")
+        .withColumn("d", expr(s"date_add(date'2024-0$m-01', cast(i as int) % 28)"))
+        .withColumn("ts", col("d").cast("timestamp"))
+        .coalesce(1)
+      Manifest.appendWithStats(df, dir, Seq("d", "ts"))
+    }
+    def t = Manifest.table(spark, dir)
+    assert(scannedFiles(t) == 3)
+    val feb = t.filter(col("d") >= lit(java.sql.Date.valueOf("2024-02-01")) &&
+      col("d") < lit(java.sql.Date.valueOf("2024-03-01")))
+    assert(feb.count() == 50)
+    assert(scannedFiles(t.filter(
+      col("d") >= lit(java.sql.Date.valueOf("2024-02-01")) &&
+        col("d") < lit(java.sql.Date.valueOf("2024-03-01")))) == 1,
+      "a date range must prune to the matching month's file")
+    // timestamp predicates prune through the fractional-seconds encoding
+    assert(scannedFiles(t.filter(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))) == 1)
+    // readRange accepts the same encodings (epoch days for dates)
+    val march = Manifest.readRange(spark, dir, "d",
+      java.time.LocalDate.parse("2024-03-01").toEpochDay.toDouble,
+      java.time.LocalDate.parse("2024-12-31").toEpochDay.toDouble)
+    assert(march.count() == 50)
+  }
+
+  test("changes() reads only churned files and emits n/c/d rows") {
+    val dir = tmp("mft_changes")
+    for (lo <- Seq(0L, 100L, 200L))
+      Manifest.appendWithStats(spark.range(lo, lo + 100).toDF("id")
+        .withColumn("v", col("id") * 10).coalesce(1), dir, Seq("id"))   // v1..v3
+    // delete a slice (rewrites only file 3) …
+    Manifest.delete(spark, dir, col("id") >= 250 && col("id") < 260)    // v4
+    val del = Manifest.changes(spark, dir, 3, 4, Seq("id"), Seq("v"))
+    assert(del.filter(col("diff") === "d").collect().map(_.getLong(0)).sorted.toSeq
+      == (250L until 260L))
+    assert(del.filter(col("diff") =!= "d").isEmpty)
+    // … then append fresh keys
+    Manifest.append(spark.range(300, 310).toDF("id")
+      .withColumn("v", col("id") * 10), dir)                            // v5
+    val add = Manifest.changes(spark, dir, 4, 5, Seq("id"), Seq("v"))
+    assert(add.filter(col("diff") === "n").count() == 10
+      && add.filter(col("diff") =!= "n").isEmpty)
+    // across the whole lineage: deletes and adds both visible
+    val span = Manifest.changes(spark, dir, 3, 5, Seq("id"), Seq("v"))
+    assert(span.filter(col("diff") === "d").count() == 10
+      && span.filter(col("diff") === "n").count() == 10)
+    // identical versions → empty feed
+    assert(Manifest.changes(spark, dir, 5, 5, Seq("id"), Seq("v")).isEmpty)
+  }
+
   test("commits record per-file sizes; planning needs no filesystem listing") {
     val dir = tmp("mft_sizes")
     Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir)
