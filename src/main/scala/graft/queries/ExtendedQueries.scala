@@ -2569,6 +2569,40 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // The streaming manifest SOURCE under the oracle gate: events are
+    // published as a TWO-append manifest lineage (so delivery spans
+    // versions), tailed with spark.readStream.format("graft-manifest") —
+    // offsets are manifest versions; each micro-batch reads only the files
+    // appended since the checkpoint — and landed idempotently in a second
+    // manifest dataset, whose contents must aggregate identically to the
+    // source table. Closes the loop: manifest → stream → manifest.
+    QueryDef(
+      "manifest_source_stream",
+      (s, dir) => {
+        val srcPath = manifestStreamSrcFor(s, dir)
+        val dst = java.nio.file.Files.createTempDirectory("mf_src_dst").toString + "/ev"
+        val ckpt = java.nio.file.Files.createTempDirectory("mf_src_ck").toString
+        val q = s.readStream.format("graft-manifest").load(srcPath)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.streaming.StreamOps.appendIdempotent(batch, dst, batchId)
+          }
+          .start()
+        q.awaitTermination()
+        Manifest.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Version-to-version CDC over the manifest layer: the upsert fixture's
     // v1→v2 delta (every 10th key's status flipped to 'X') recovered by
     // Manifest.changes — which reads only the files churned between the
@@ -2615,6 +2649,21 @@ object ExtendedQueries {
       Manifest.appendWithStats(li, path, Seq("l_orderkey"))
       Manifest.delete(s, path,
         col("l_orderkey") >= 4000 && col("l_orderkey") <= 8000)
+      path
+    })
+
+  // Source fixture for manifest_source_stream: events split into two
+  // appends so the stream's offset log spans multiple manifest versions.
+  private val streamSrcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestStreamSrcFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String =
+    streamSrcCache.computeIfAbsent(dir, _ => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = java.nio.file.Files.createTempDirectory("graft_mfs").toString + "/events"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      Manifest.append(ev.filter(col("event_id") % 2 === 0), path)
+      Manifest.append(ev.filter(col("event_id") % 2 =!= 0), path)
       path
     })
 

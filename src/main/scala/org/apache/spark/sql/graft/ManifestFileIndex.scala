@@ -166,8 +166,67 @@ object ManifestFileIndex {
   }
 }
 
+/** A manifest dataset as a STREAMING SOURCE (Delta's streaming-source
+  * idea): offsets are manifest version numbers, and each micro-batch
+  * reads exactly the files APPENDED between the checkpointed version and
+  * the current one — immutability makes the delta a file-set difference,
+  * so tailing a 100 TB dataset costs the new files only, and checkpointed
+  * offsets give exactly-once delivery across restarts. Defined for
+  * append-only lineages: a version that REMOVES files (overwrite, delete,
+  * upsert, compaction) fails the stream unless `ignoreChanges=true`
+  * (rewritten files are then re-delivered, Delta's documented semantics).
+  */
+final class ManifestStreamSource(
+    spark: classic.SparkSession,
+    path: String,
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  override val schema: StructType =
+    graft.ops.Manifest.tableInfo(spark, path).dataSchema
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = graft.ops.Manifest.latestVersion(spark, path)
+    if (v == 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.classic.DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(0L)
+    val toV = versionOf(end)
+    val fromFiles =
+      if (fromV == 0) Set.empty[String]
+      else graft.ops.Manifest.tableInfo(spark, path, fromV).entries.map(_._1).toSet
+    val full = graft.ops.Manifest.tableInfo(spark, path, toV)
+    val added = full.entries.filterNot(e => fromFiles(e._1))
+    val removed = fromFiles -- full.entries.map(_._1).toSet
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"version $toV of $path removed ${removed.size} file(s) — the stream " +
+          "source is append-only; pass ignoreChanges=true to re-deliver rewrites")
+    val addedSet = added.map(_._1).toSet
+    val info = full.copy(entries = added,
+      stats = full.stats.view.filterKeys(addedSet).toMap)
+    classic.Dataset.ofRows(spark,
+      LogicalRelation(ManifestFileIndex.relation(spark, info), isStreaming = true))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestStreamSource[$path]"
+}
+
 /** The `graft-manifest` data source format: manifest-versioned datasets
-  * addressable through the standard reader API and PURE SQL —
+  * addressable through the standard reader API, PURE SQL, and
+  * `readStream` —
   *
   * {{{
   *   spark.read.format("graft-manifest").load(path)              // latest
@@ -175,16 +234,19 @@ object ManifestFileIndex {
   *     .option("version", 3).load(path)                          // time travel
   *   CREATE TEMPORARY VIEW t USING `graft-manifest`
   *     OPTIONS (path '…', version '3')                           -- SQL DDL
+  *   spark.readStream.format("graft-manifest").load(path)        // tail appends
   * }}}
   *
   * The returned relation is the same [[ManifestFileIndex]]-backed one as
   * `Manifest.table`, so SQL `WHERE` clauses prune files through the
-  * manifest's recorded bounds and partition directories. Registered via
+  * manifest's recorded bounds and partition directories; the streaming
+  * form is [[ManifestStreamSource]]. Registered via
   * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`.
   */
 final class ManifestDataSource
     extends org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
@@ -236,5 +298,39 @@ final class ManifestDataSource
       case SaveMode.Ignore => if (!exists) append()
     }
     createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming-source entry points: `spark.readStream
+    * .format("graft-manifest").load(path)`. The dataset must already have
+    * a committed version (the schema comes from the manifest; pass
+    * `.schema(...)` to start a stream against a not-yet-created dataset is
+    * unsupported by design — a manifest IS the schema authority).
+    * Option `ignoreChanges=true` opts into re-delivery of rewritten files
+    * when a non-append commit (upsert/delete/compaction) enters the
+    * lineage, mirroring Delta's option of the same name.
+    */
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val s = schema.getOrElse(
+      graft.ops.Manifest.tableInfo(sqlContext.sparkSession, path).dataSchema)
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val ignoreChanges =
+      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+        .exists(_.toBoolean)
+    new ManifestStreamSource(
+      sqlContext.sparkSession.asInstanceOf[classic.SparkSession],
+      pathOf(parameters), ignoreChanges)
   }
 }

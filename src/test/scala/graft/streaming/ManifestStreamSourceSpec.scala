@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Manifest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Manifest datasets as a STREAMING SOURCE
+  * (`spark.readStream.format("graft-manifest")`): offsets are manifest
+  * versions, so each micro-batch must read exactly the files appended
+  * since the checkpointed version — the Delta streaming-source semantics.
+  * These tests pin incremental delivery, exactly-once resume across a
+  * query restart (the offset log carries the version), and the
+  * append-only guard against rewriting commits.
+  */
+class ManifestStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Drain every available version into `sink` via foreachBatch, then
+    * stop — AvailableNow so each call processes pending offsets only.
+    */
+  private def drain(dir: String, checkpoint: String,
+                    sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])],
+                    ignoreChanges: Boolean = false): Unit = {
+    val reader = spark.readStream.format("graft-manifest")
+    val q = (if (ignoreChanges) reader.option("ignoreChanges", "true") else reader)
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.add(batchId -> batch.select("id").collect().map(_.getLong(0)).toSeq)
+        (): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("appends arrive incrementally; restart resumes from the checkpoint") {
+    val root = tmp("mss_inc")
+    val dir = s"$root/ds"
+    val ckpt = s"$root/ckpt"
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+
+    Manifest.append(spark.range(0, 10).toDF("id"), dir)            // v1
+    drain(dir, ckpt, sink)
+    assert(sink.asScala.flatMap(_._2).toSeq.sorted == (0L until 10L),
+      "first drain must deliver version 1's rows")
+
+    sink.clear()
+    Manifest.append(spark.range(10, 15).toDF("id"), dir)           // v2
+    Manifest.append(spark.range(15, 25).toDF("id"), dir)           // v3
+    drain(dir, ckpt, sink)
+    val second = sink.asScala.flatMap(_._2).toSeq.sorted
+    assert(second == (10L until 25L),
+      s"restart must deliver ONLY versions 2..3 (got $second)")
+
+    // nothing new → nothing delivered (no re-read of old versions)
+    sink.clear()
+    drain(dir, ckpt, sink)
+    assert(sink.asScala.flatMap(_._2).isEmpty)
+  }
+
+  test("a rewriting commit fails the stream unless ignoreChanges is set") {
+    val root = tmp("mss_rw")
+    val dir = s"$root/ds"
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir) // v1
+    drain(dir, s"$root/ckpt1", sink)
+    Manifest.delete(spark, dir, col("id") >= 8)                     // v2 rewrites
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, s"$root/ckpt1", sink)
+    }
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
+
+    // ignoreChanges: the rewritten file is re-delivered (Delta semantics)
+    sink.clear()
+    drain(dir, s"$root/ckpt2", sink, ignoreChanges = true)          // fresh ckpt: v2 state
+    sink.clear()
+    Manifest.delete(spark, dir, col("id") >= 6)                     // v3 rewrites again
+    drain(dir, s"$root/ckpt2", sink, ignoreChanges = true)
+    assert(sink.asScala.flatMap(_._2).toSeq.sorted == (0L until 6L),
+      "ignoreChanges must re-deliver the rewritten file's surviving rows")
+  }
+
+  test("stream-to-manifest composition: tail one dataset into another") {
+    val root = tmp("mss_pipe")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Manifest.append(spark.range(0, 100).toDF("id"), src)
+    val q = spark.readStream.format("graft-manifest").load(src)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamOps.appendIdempotent(batch, dst, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    assert(Manifest.read(spark, dst).agg(sum("doubled")).head.getLong(0)
+      == (0L until 100L).map(_ * 2).sum)
+  }
+
+  private implicit class QueueOps[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala: Iterator[A] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala
+    }
+  }
+}
