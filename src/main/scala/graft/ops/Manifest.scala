@@ -299,9 +299,23 @@ object Manifest {
     // all-footers mergeSchema cost.
     val prevV = latestVersion(spark, path)
     val evolved = prevV > 0 && {
+      val prevSchema = read(spark, path, prevV).schema
+      // fail the INCOMPATIBLE evolution at append time: a type conflict on
+      // a shared column would poison every later read (parquet schema
+      // merge throws once both footers meet), which at 100 TB surfaces
+      // hours later in someone else's query — reject it here, where the
+      // writer can still cast
+      prevSchema.fields.foreach { pf =>
+        df.schema.fields.find(_.name == pf.name).foreach { nf =>
+          require(nf.dataType == pf.dataType,
+            s"append would change column '${pf.name}' from ${pf.dataType.sql} " +
+              s"to ${nf.dataType.sql} — cast the batch to the committed type " +
+              "(only ADDING columns is supported schema evolution)")
+        }
+      }
       val prevProps = committedProps(spark, path, prevV)
       prevProps.get("merge.schema").contains("true") ||
-        read(spark, path, prevV).schema.fieldNames.toSet != df.schema.fieldNames.toSet
+        prevSchema.fieldNames.toSet != df.schema.fieldNames.toSet
     }
     val allProps = if (evolved) props + ("merge.schema" -> "true") else props
     val staged = stageSized(df, path)
@@ -679,16 +693,22 @@ object Manifest {
     // columns — plain round-robin repartition would smear every file
     // across the whole value range and nullify file skipping
     val src = read(spark, path, v)
-    val compacted = committedProps(spark, path, v).get("stats.cols") match {
+    // carry the source version's props forward (e.g. streaming.batchId) so
+    // a compaction never erases the idempotence watermark
+    val props = committedProps(spark, path, v) + ("compacted.from" -> v.toString)
+    val compacted = props.get("stats.cols") match {
       case Some(cs) if cs.nonEmpty =>
         import org.apache.spark.sql.functions.col
         src.repartitionByRange(nFiles, cs.split(',').map(col).toSeq: _*)
       case _ => src.repartition(nFiles)
     }
-    val staged = stageSized(compacted, path)
-    // carry the source version's props forward (e.g. streaming.batchId) so
-    // a compaction never erases the idempotence watermark
-    val props = committedProps(spark, path, v) + ("compacted.from" -> v.toString)
+    // a partitioned dataset restages INTO its `__p_c=v` layout — the
+    // part.cols prop promises those dirs to partition pruning, so a flat
+    // rewrite would silently prune the compacted files out of every
+    // partition-equality query
+    val partCols = props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val staged = stageSized(compacted, path, partCols)
     // a stats-carrying dataset keeps its file-skipping power through the
     // rewrite: recompute bounds for the compacted files
     val newStats = props.get("stats.cols") match {
@@ -726,9 +746,13 @@ object Manifest {
     val totalBytes = files.map(f =>
       fs.getFileStatus(new Path(root, f)).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staged = stageSized(ZOrder.cluster(read(spark, path, v), zCols, nFiles), path)
     val props = committedProps(spark, path, v) +
       ("compacted.from" -> v.toString) + ("stats.cols" -> zCols.mkString(","))
+    // same partition-layout preservation as compact()
+    val zPartCols = props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val staged = stageSized(
+      ZOrder.cluster(read(spark, path, v), zCols, nFiles), path, zPartCols)
     val newStats = computeStats(spark, path, staged.map(_._1), zCols)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
@@ -737,6 +761,32 @@ object Manifest {
       if (prev == v) staged.map(_._1)
       else staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
     }
+  }
+
+  /** Commit history of a dataset, newest first — Delta's DESCRIBE HISTORY:
+    * one row per committed version with its file count, total bytes, file
+    * churn vs the previous version, commit timestamp (manifest file
+    * mtime), and commit properties. Driver-side work is bounded by the
+    * number of versions (each manifest is one small file), never by data.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val committed = versionsOnDisk(fs, root).sorted
+      .flatMap(v => loadVersion(fs, root, v).map(v -> _))
+    val rows = committed.zipWithIndex.map { case ((v, snap), i) =>
+      val prevFiles = if (i == 0) Set.empty[String]
+        else committed(i - 1)._2.files.toSet
+      val files = snap.files.toSet
+      val bytes = snap.files.map(f => snap.sizes.getOrElse(f, 0L)).sum
+      (v, snap.files.size.toLong, bytes,
+        (files -- prevFiles).size.toLong, (prevFiles -- files).size.toLong,
+        new java.sql.Timestamp(fs.getFileStatus(manifestPath(root, v)).getModificationTime),
+        snap.props)
+    }
+    rows.toDF("version", "n_files", "total_bytes", "n_added_files",
+        "n_removed_files", "committed_at", "props")
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
   }
 
   /** Drop data files no retained manifest references, and manifests older

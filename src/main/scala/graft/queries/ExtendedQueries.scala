@@ -2603,6 +2603,30 @@ object ExtendedQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Compaction of a PARTITIONED dataset under the oracle gate: orders
+    // published partitioned by year in two appends (many small files),
+    // compacted — the rewrite must restage into the `__p` layout — then
+    // read back through the declarative scan WITH a partition filter. A
+    // compaction that dropped the partition dirs would silently prune the
+    // compacted files out of this query; the oracle pins the row set.
+    QueryDef(
+      "manifest_compact_scan",
+      (s, dir) => {
+        val path = manifestCompactFor(s, dir)
+        Manifest.table(s, path)
+          .filter(col("o_year") === "1995")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Version-to-version CDC over the manifest layer: the upsert fixture's
     // v1→v2 delta (every 10th key's status flipped to 'X') recovered by
     // Manifest.changes — which reads only the files churned between the
@@ -2664,6 +2688,25 @@ object ExtendedQueries {
         .select(col("event_id"), col("event_type"), col("value"))
       Manifest.append(ev.filter(col("event_id") % 2 === 0), path)
       Manifest.append(ev.filter(col("event_id") % 2 =!= 0), path)
+      path
+    })
+
+  // Fixture for manifest_compact_scan: orders partitioned by year, two
+  // appends, then compacted into ~2 files per partition.
+  private val compactCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestCompactFor(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    compactCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfc").toString + "/orders"
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("string").as("o_year"),
+        lit(1L).as("seq"))
+      Manifest.upsert(base.filter(col("o_orderkey") % 2 === 0), path,
+        Seq("o_orderkey"), "seq", partitionCols = Seq("o_year"))
+      Manifest.upsert(base.filter(col("o_orderkey") % 2 =!= 0), path,
+        Seq("o_orderkey"), "seq", partitionCols = Seq("o_year"))
+      Manifest.compact(s, path, targetFileBytes = 4L << 20)
       path
     })
 

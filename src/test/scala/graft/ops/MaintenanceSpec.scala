@@ -340,6 +340,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(pruned.inputFiles.length < Manifest.read(spark, pdir).inputFiles.length)
   }
 
+  test("compacting a PARTITIONED dataset keeps its partition layout queryable") {
+    val dir = java.nio.file.Files.createTempDirectory("mfcmpp").toString + "/ds"
+    val rows = (1L to 40L).map(i => (i, s"v$i", 1L, if (i % 2 == 0) "x" else "y"))
+    Manifest.upsert(rows.toDF("k", "v", "seq", "p"), dir, Seq("k"), "seq",
+      partitionCols = Seq("p"))
+    // a second small upsert so compaction has something to collapse
+    Manifest.upsert(Seq((1L, "v1b", 2L, "y")).toDF("k", "v", "seq", "p"),
+      dir, Seq("k"), "seq", partitionCols = Seq("p"))
+    val cv = Manifest.compact(spark, dir, targetFileBytes = 1L << 30)
+    // rows intact after the rewrite
+    assert(Manifest.read(spark, dir, cv).count() == 40)
+    // the declarative scan's partition pruning must still see every row of
+    // the filtered partition — compacted files must carry __p dirs
+    val xs = Manifest.table(spark, dir)
+      .filter(col("p") === "x").collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(xs == (2L to 40L by 2), s"partition filter lost rows: $xs")
+    // ...and the explicit partition read still resolves files
+    val ys = Manifest.readPartitions(spark, dir, Map("p" -> "y"))
+    assert(ys.count() == 20)
+    assert(ys.filter(col("k") === 1L).head.getAs[String]("v") == "v1b")
+  }
+
   test("file stats in the manifest skip non-matching files in readRange") {
     val dir = java.nio.file.Files.createTempDirectory("mfstats").toString + "/ds"
     // three appends with disjoint id ranges → per-file bounds in the manifest
@@ -362,6 +384,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(afterCompact.count() == 61)
     assert(afterCompact.inputFiles.length < Manifest.read(spark, dir).inputFiles.length,
       "compacted version lost its file-skipping stats")
+  }
+
+  test("history lists every version with file churn and props") {
+    val dir = java.nio.file.Files.createTempDirectory("mfhist").toString + "/ds"
+    Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir,
+      Map("job" -> "first"))
+    Manifest.append(spark.range(10, 20).toDF("id").coalesce(1), dir)
+    Manifest.compact(spark, dir, targetFileBytes = 1L << 30)
+    val h = Manifest.history(spark, dir).collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(3L, 2L, 1L), "newest first")
+    assert(h.map(_.getAs[Long]("n_files")).toSeq == Seq(1L, 2L, 1L))
+    // churn: v2 added 1 file removed 0; v3 (compaction) added 1 removed 2
+    assert(h(1).getAs[Long]("n_added_files") == 1 && h(1).getAs[Long]("n_removed_files") == 0)
+    assert(h(0).getAs[Long]("n_added_files") == 1 && h(0).getAs[Long]("n_removed_files") == 2)
+    assert(h(2).getAs[Map[String, String]]("props").get("job").contains("first"))
+    assert(h(0).getAs[Map[String, String]]("props").get("compacted.from").contains("2"))
+    assert(h.forall(_.getAs[Long]("total_bytes") > 0))
+  }
+
+  test("an append that would change a column's type is rejected at write time") {
+    val dir = java.nio.file.Files.createTempDirectory("mftype").toString + "/ds"
+    Manifest.append(Seq((1L, "a")).toDF("id", "v"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.append(Seq((2, 3.5)).toDF("id", "v"), dir) // id int, v double
+    }
+    assert(ex.getMessage.contains("cast the batch"))
+    // the failed append stays invisible: still one committed version
+    assert(Manifest.latestVersion(spark, dir) == 1L)
+    assert(Manifest.read(spark, dir).count() == 1)
   }
 
   test("manifest append with an evolved schema merges instead of dropping the new column") {
