@@ -175,11 +175,20 @@ object ManifestFileIndex {
   * append-only lineages: a version that REMOVES files (overwrite, delete,
   * upsert, compaction) fails the stream unless `ignoreChanges=true`
   * (rewritten files are then re-delivered, Delta's documented semantics).
+  *
+  * `maxVersionsPerTrigger` bounds catch-up batches: a stream restarted
+  * against a long backlog advances at most that many versions per
+  * micro-batch instead of swallowing the whole lineage in one — the
+  * throughput valve every file-tailing source needs at scale (cf.
+  * `maxFilesPerTrigger`). Correctness is unaffected: the offset log
+  * checkpoints each capped step, so delivery stays exactly-once.
   */
 final class ManifestStreamSource(
     spark: classic.SparkSession,
     path: String,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
@@ -188,6 +197,35 @@ final class ManifestStreamSource(
   override val schema: StructType =
     graft.ops.Manifest.tableInfo(spark, path).dataSchema
 
+  // Highest version this source has offered or delivered — the base the
+  // per-trigger cap advances from. PERSISTED under the query's source
+  // metadata dir (the FileStreamSource pattern): without it, a restarted
+  // instance could offer a capped offset BELOW the engine's checkpoint,
+  // and the resulting backwards batch would either fail or re-deliver.
+  // getBatch(start, …) also raises the floor, covering pre-hwm
+  // checkpoints and missing metadata alike.
+  private val hwmFile = metadataPath.map(m => new Path(m, "graft-version-hwm"))
+  private val ratchet = new java.util.concurrent.atomic.AtomicLong(
+    hwmFile.filter(_ => maxVersionsPerTrigger.isDefined).flatMap { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else scala.util.Try {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }.toOption
+    }.getOrElse(0L))
+
+  private def advance(v: Long): Unit = {
+    val prev = ratchet.getAndUpdate(cur => math.max(cur, v))
+    if (v > prev) hwmFile.filter(_ => maxVersionsPerTrigger.isDefined).foreach { p =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def versionOf(o: V1Offset): Long = o match {
     case LongOffset(v) => v
     case SerializedOffset(json) => json.trim.toLong
@@ -195,13 +233,19 @@ final class ManifestStreamSource(
   }
 
   override def getOffset: Option[V1Offset] = {
-    val v = graft.ops.Manifest.latestVersion(spark, path)
-    if (v == 0) None else Some(LongOffset(v))
+    val latest = graft.ops.Manifest.latestVersion(spark, path)
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(latest, ratchet.get() + n)
+      case None => latest
+    }
+    if (capped == 0) None
+    else { advance(capped); Some(LongOffset(capped)) }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.classic.DataFrame = {
     val fromV = start.map(versionOf).getOrElse(0L)
     val toV = versionOf(end)
+    advance(toV)
     val fromFiles =
       if (fromV == 0) Set.empty[String]
       else graft.ops.Manifest.tableInfo(spark, path, fromV).entries.map(_._1).toSet
@@ -329,8 +373,12 @@ final class ManifestDataSource
     val ignoreChanges =
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.toBoolean)
+    val maxVersions =
+      parameters.get("maxversionspertrigger")
+        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    require(maxVersions.forall(_ > 0), "maxVersionsPerTrigger must be positive")
     new ManifestStreamSource(
       sqlContext.sparkSession.asInstanceOf[classic.SparkSession],
-      pathOf(parameters), ignoreChanges)
+      pathOf(parameters), ignoreChanges, maxVersions, Some(metadataPath))
   }
 }

@@ -89,6 +89,49 @@ class ManifestStreamSourceSpec extends SparkSpec {
       "ignoreChanges must re-deliver the rewritten file's surviving rows")
   }
 
+  test("maxVersionsPerTrigger paces catch-up and survives a restart") {
+    val root = tmp("mss_rate")
+    val dir = s"$root/ds"
+    val ckpt = s"$root/ckpt"
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+
+    // a 4-version backlog, 10 rows each
+    for (i <- 0 until 4)
+      Manifest.append(spark.range(i * 10, (i + 1) * 10).toDF("id"), dir)
+
+    def drainPaced(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("maxVersionsPerTrigger", "2")
+        .load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batches.add(batchId -> batch.select("id").collect().map(_.getLong(0)).toSeq)
+          (): Unit
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    drainPaced()
+    val firstRun = batches.asScala.toSeq
+    assert(firstRun.map(_._2.size).forall(_ <= 20),
+      s"a paced batch must carry ≤ 2 versions (20 rows): ${firstRun.map(_._2.size)}")
+    assert(firstRun.size >= 2, "4 versions at cap 2 must take ≥ 2 batches")
+    assert(firstRun.flatMap(_._2).sorted == (0L until 40L))
+
+    // restart against new backlog: the persisted high-water mark keeps the
+    // cap anchored at the checkpoint — no re-delivery, no skipped version
+    batches.clear()
+    for (i <- 4 until 7)
+      Manifest.append(spark.range(i * 10, (i + 1) * 10).toDF("id"), dir)
+    drainPaced()
+    val secondRun = batches.asScala.toSeq
+    assert(secondRun.flatMap(_._2).sorted == (40L until 70L),
+      s"restart must deliver exactly versions 5..7: ${secondRun.flatMap(_._2).sorted}")
+    assert(secondRun.map(_._2.size).forall(_ <= 20))
+  }
+
   test("stream-to-manifest composition: tail one dataset into another") {
     val root = tmp("mss_pipe")
     val src = s"$root/src"
