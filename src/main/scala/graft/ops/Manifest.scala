@@ -567,6 +567,108 @@ object Manifest {
     }
   }
 
+  /** Clauses of a [[merge]], Delta's MERGE INTO semantics. Conditions and
+    * update expressions are SQL strings over aliases `t` (target row) and
+    * `s` (matching source row). Clause precedence on a matched pair:
+    * update (when its condition holds) wins over delete; a matched row
+    * hitting neither clause carries over unchanged.
+    */
+  final case class MergeSpec(
+      matchedUpdate: Map[String, String] = Map.empty,
+      matchedUpdateCondition: Option[String] = None,
+      matchedDeleteCondition: Option[String] = None,
+      notMatchedInsert: Boolean = true,
+      notMatchedInsertCondition: Option[String] = None)
+
+  /** MERGE `source` into the dataset on `keys` as one manifest commit —
+    * the general conditional upsert/update/delete/insert primitive
+    * (Delta/Iceberg MERGE INTO), file-scoped like [[delete]]:
+    *
+    *  - only target files CONTAINING a matched key are rewritten (found by
+    *    a stats-pruned semi-join probe, so at 100 TB a merge against a
+    *    clustered key range touches the intersecting files, not the
+    *    dataset);
+    *  - inserts stage as NEW files — they rewrite nothing;
+    *  - unmatched target files carry over path-identical with their
+    *    recorded bounds and sizes.
+    *
+    * The source must be key-unique (dedup upstream — [[upsert]]'s
+    * `orderCol` pattern); multiple matches per target row would make the
+    * merge non-deterministic, so it is rejected. Returns the new version
+    * (or the current one when the merge is a complete no-op).
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keys: Seq[String], spec: MergeSpec): Long = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    require(source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty,
+      s"merge source must be unique on ${keys.mkString(",")}")
+    val snap = snapshotOf(spark, path, v)
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = snap.props.get("stats.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val targetCols = read(spark, path, v).columns.toSeq
+
+    // files holding at least one matched key — the only rewrite set; the
+    // probe scan is pruned by the manifest's recorded bounds
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    // project the file name BEFORE the join: input_file_name() is only
+    // defined over a single source
+    val hit = table(spark, path, v)
+      .select((keys.map(col) :+ input_file_name().as("__f")): _*).alias("t")
+      .join(source.select(keys.map(col): _*).alias("s"), keyCond, "left_semi")
+      .select("__f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = snap.files.filter(f => hit.exists(_.endsWith("/" + f)))
+
+    val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
+      val t = spark.read.parquet(touched.map(f => s"$path/$f"): _*).alias("t")
+      val joined = t.join(source.alias("s"), keyCond, "left")
+      val matched = col(s"s.${keys.head}").isNotNull
+      val updCond = matched &&
+        spec.matchedUpdateCondition.map(expr).getOrElse(lit(spec.matchedUpdate.nonEmpty))
+      val delCond = matched &&
+        spec.matchedDeleteCondition.map(expr).getOrElse(lit(false))
+      val updated = joined
+        .filter(updCond || !delCond) // delete loses to update, else drops
+        .select(targetCols.map { c =>
+          spec.matchedUpdate.get(c) match {
+            case Some(e) => when(updCond, expr(e)).otherwise(col(s"t.$c")).as(c)
+            case None => col(s"t.$c").as(c)
+          }
+        }: _*)
+      Some(updated)
+    }
+
+    val inserts: Option[DataFrame] = if (!spec.notMatchedInsert) None else {
+      val all = read(spark, path, v)
+      val novel = source.alias("s")
+        .join(all.select(keys.map(col): _*).alias("t"), keyCond, "left_anti")
+      val filtered = spec.notMatchedInsertCondition.map(c => novel.filter(expr(c)))
+        .getOrElse(novel)
+      if (filtered.isEmpty) None
+      else Some(filtered.select(
+        targetCols.filter(filtered.columns.contains).map(col): _*))
+    }
+
+    val toStage = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i, allowMissingColumns = true))
+      case (r, i) => r.orElse(i)
+    }
+    if (toStage.isEmpty) return v
+    val staged = stageSized(toStage.get, path, partCols)
+    val newStats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
+      else computeStats(spark, path, staged.map(_._1), statsCols)
+    commit(spark, path, snap.props,
+      prev => snapshotOf(spark, path, prev).stats ++ newStats,
+      newSizes = staged.toMap) { prev =>
+      manifestFiles(spark, path, prev).filterNot(touched.toSet) ++ staged.map(_._1)
+    }
+  }
+
   /** Delete rows matching `condition` as a manifest commit — Delta's
     * copy-on-write DELETE: only files that actually CONTAIN matching rows
     * are rewritten (found by running the stats-pruned [[table]] scan over

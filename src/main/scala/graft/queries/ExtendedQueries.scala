@@ -2627,6 +2627,37 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // MERGE INTO under the oracle gate: one conditional merge against a
+    // range-clustered orders dataset — matched keys (every 3rd) update
+    // their status unless the price crosses the delete threshold, novel
+    // keys insert when cheap enough — and the merged state must aggregate
+    // identically to the oracle's CASE/UNION-simulated merge. Only files
+    // containing matched keys rewrite; inserts stage as new files.
+    QueryDef(
+      "manifest_merge_scan",
+      (s, dir) => {
+        val path = manifestMergeFor(s, dir)
+        Manifest.read(s, path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice <= 150000
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice < 100000)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Version-to-version CDC over the manifest layer: the upsert fixture's
     // v1→v2 delta (every 10th key's status flipped to 'X') recovered by
     // Manifest.changes — which reads only the files churned between the
@@ -2707,6 +2738,31 @@ object ExtendedQueries {
       Manifest.upsert(base.filter(col("o_orderkey") % 2 =!= 0), path,
         Seq("o_orderkey"), "seq", partitionCols = Seq("o_year"))
       Manifest.compact(s, path, targetFileBytes = 4L << 20)
+      path
+    })
+
+  // Fixture for manifest_merge_scan: orders range-clustered with stats,
+  // merged once with conditional update/delete/insert clauses.
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestMergeFor(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    mergeCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfm").toString + "/orders"
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Manifest.appendWithStats(
+        base.repartitionByRange(8, col("o_orderkey")), path, Seq("o_orderkey"))
+      val upd = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+      val ins = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      Manifest.merge(s, path, upd.unionByName(ins), Seq("o_orderkey"),
+        Manifest.MergeSpec(
+          matchedUpdate = Map("o_orderstatus" -> "s.o_orderstatus"),
+          matchedUpdateCondition = Some("s.o_totalprice <= 150000"),
+          matchedDeleteCondition = Some("s.o_totalprice > 150000"),
+          notMatchedInsertCondition = Some("s.o_totalprice < 100000")))
       path
     })
 

@@ -386,6 +386,52 @@ class MaintenanceSpec extends SparkSpec {
       "compacted version lost its file-skipping stats")
   }
 
+  test("merge applies conditional update/delete/insert in one commit") {
+    val dir = java.nio.file.Files.createTempDirectory("mfmerge").toString + "/ds"
+    Manifest.appendWithStats(
+      spark.range(0, 100).toDF("id")
+        .withColumn("status", lit("old")).withColumn("amount", col("id") * 10.0)
+        .repartitionByRange(4, col("id")), dir, Seq("id"))
+    // source: updates for ids 0-19 (but delete those over 150), a fresh
+    // insert (id 1000), and one failing the insert condition (id 2000)
+    val src = Seq(
+      (5L, "upd", 99.0), (15L, "upd", 155.0), (16L, "del", 160.0),
+      (1000L, "new", 42.0), (2000L, "new", -1.0)
+    ).toDF("id", "status", "amount")
+    val before = Manifest.tableInfo(spark, dir).entries.map(_._1).toSet
+    val v = Manifest.merge(spark, dir, src, Seq("id"), Manifest.MergeSpec(
+      matchedUpdate = Map("status" -> "s.status", "amount" -> "s.amount"),
+      matchedUpdateCondition = Some("s.amount < 150"),
+      matchedDeleteCondition = Some("s.amount >= 150"),
+      notMatchedInsert = true,
+      notMatchedInsertCondition = Some("s.amount > 0")))
+    assert(v == 2L)
+    val out = Manifest.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("status"), r.getAs[Double]("amount")))
+      .toMap
+    assert(out(5L) == ("upd", 99.0), "matched + update condition → updated")
+    assert(!out.contains(15L) && !out.contains(16L),
+      "matched rows failing the update condition but hitting delete → gone")
+    assert(out(17L) == ("old", 170.0), "matched-file neighbors carry over")
+    assert(out(1000L) == ("new", 42.0), "unmatched source row → inserted")
+    assert(!out.contains(2000L), "insert condition filters source rows")
+    assert(out.size == 100 - 2 + 1)
+    // only files containing matched keys were rewritten
+    val after = Manifest.tableInfo(spark, dir).entries.map(_._1).toSet
+    assert((before & after).size == 3,
+      s"3 of 4 range-clustered files must carry over: ${before & after}")
+    // a key-duplicated source is rejected (non-deterministic merge)
+    intercept[IllegalArgumentException] {
+      Manifest.merge(spark, dir,
+        Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "status", "amount"),
+        Seq("id"), Manifest.MergeSpec())
+    }
+    // a complete no-op returns the current version without committing
+    assert(Manifest.merge(spark, dir,
+      Seq((5000L, "x", -5.0)).toDF("id", "status", "amount"), Seq("id"),
+      Manifest.MergeSpec(notMatchedInsertCondition = Some("s.amount > 0"))) == 2L)
+  }
+
   test("history lists every version with file churn and props") {
     val dir = java.nio.file.Files.createTempDirectory("mfhist").toString + "/ds"
     Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir,
