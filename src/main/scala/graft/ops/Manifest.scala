@@ -865,6 +865,32 @@ object Manifest {
     }
   }
 
+  /** Roll the dataset back to `version` by RE-COMMITTING its file list as
+    * the next version (Delta RESTORE): nothing moves or rewrites — the old
+    * version's entries, stats, sizes, and props become the new head, and
+    * the rolled-back versions stay readable for audit until vacuumed.
+    * Requires the restored version's files to still exist (i.e. within
+    * vacuum retention).
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val snap = snapshotOf(spark, path, version)
+    commit(spark, path, snap.props + ("restored.from" -> version.toString),
+      _ => snap.stats, newSizes = snap.sizes)(_ => snap.files)
+  }
+
+  /** The version that was current at `tsMillis` — the largest committed
+    * version whose manifest file is not newer than the timestamp
+    * (timestamp-based time travel; commit time = manifest mtime, the same
+    * clock [[history]] reports). 0 when the dataset didn't exist yet.
+    */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val (fs, root) = fsFor(spark, path)
+    versionsOnDisk(fs, root).sorted(Ordering[Long].reverse)
+      .find(v => loadVersion(fs, root, v).isDefined &&
+        fs.getFileStatus(manifestPath(root, v)).getModificationTime <= tsMillis)
+      .getOrElse(0L)
+  }
+
   /** Commit history of a dataset, newest first — Delta's DESCRIBE HISTORY:
     * one row per committed version with its file count, total bytes, file
     * churn vs the previous version, commit timestamp (manifest file

@@ -287,10 +287,44 @@ final class ManifestStreamSource(
   * form is [[ManifestStreamSource]]. Registered via
   * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`.
   */
+/** The streaming SINK side of the format: `df.writeStream
+  * .format("graft-manifest").start(path)` — every micro-batch is one
+  * atomic manifest commit carrying the batchId watermark, so a batch
+  * replayed after a failure between commit and checkpoint is skipped,
+  * not appended twice (the idempotence contract of
+  * `StreamOps.appendIdempotent`, now wired into the standard writer API
+  * instead of requiring foreachBatch).
+  */
+final class ManifestSink(path: String, statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // the incoming frame is streaming-incepted; rebase it onto the
+    // already-computed RDD as a batch plan (the ForeachBatchSink pattern)
+    // so ordinary writers accept it
+    val classicData = data.asInstanceOf[classic.DataFrame]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      rdd = classicData.queryExecution.toRdd,
+      originDataset = classicData, isStreaming = false)
+    val batch = classic.Dataset.ofRows(classicData.sparkSession, node)
+    val committed = graft.ops.Manifest
+      .lastProp(batch.sparkSession, path, "streaming.batchId").map(_.toLong)
+    if (!committed.exists(_ >= batchId)) {
+      val props = Map("streaming.batchId" -> batchId.toString)
+      if (statsCols.nonEmpty)
+        graft.ops.Manifest.appendWithStats(batch, path, statsCols, props): Unit
+      else graft.ops.Manifest.append(batch, path, props): Unit
+    }
+  }
+
+  override def toString: String = s"ManifestSink[$path]"
+}
+
 final class ManifestDataSource
     extends org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
@@ -304,8 +338,20 @@ final class ManifestDataSource
       sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val path = pathOf(parameters)
-    val version = parameters.get("version").map(_.toLong).getOrElse(-1L)
     val spark = sqlContext.sparkSession
+    // time travel: by explicit version, or by timestamp (epoch millis or
+    // 'yyyy-mm-dd hh:mm:ss') resolved against manifest commit times
+    val version = parameters.get("version").map(_.toLong)
+      .orElse(parameters.get("timestampasof").orElse(parameters.get("timestampAsOf"))
+        .map { ts =>
+          val millis =
+            if (ts.forall(_.isDigit)) ts.toLong
+            else java.sql.Timestamp.valueOf(ts).getTime
+          val v = graft.ops.Manifest.versionAsOf(spark, path, millis)
+          require(v > 0, s"no version of $path existed at or before '$ts'")
+          v
+        })
+      .getOrElse(-1L)
     ManifestFileIndex.relation(spark,
       graft.ops.Manifest.tableInfo(spark, path, version))
   }
@@ -380,5 +426,19 @@ final class ManifestDataSource
     new ManifestStreamSource(
       sqlContext.sparkSession.asInstanceOf[classic.SparkSession],
       pathOf(parameters), ignoreChanges, maxVersions, Some(metadataPath))
+  }
+
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-manifest sink supports Append output mode only (got $outputMode)")
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink appends unpartitioned; partition on read via stats.cols")
+    val statsCols = parameters.get("stats.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    new ManifestSink(pathOf(parameters), statsCols)
   }
 }

@@ -449,6 +449,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(h.forall(_.getAs[Long]("total_bytes") > 0))
   }
 
+  test("restore re-commits an old version; timestampAsOf resolves by commit time") {
+    val dir = java.nio.file.Files.createTempDirectory("mfrestore").toString + "/ds"
+    Manifest.append(spark.range(0, 10).toDF("id"), dir)            // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)                                             // mtime granularity
+    Manifest.overwrite(spark.range(100, 120).toDF("id"), dir)      // v2
+    assert(Manifest.read(spark, dir).count() == 20)
+    // restore: v1's file list becomes v3 — no files move
+    val rv = Manifest.restore(spark, dir, 1L)
+    assert(rv == 3L)
+    assert(Manifest.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 10L))
+    assert(Manifest.committedProps(spark, dir).get("restored.from").contains("1"))
+    // the rolled-back version stays readable for audit
+    assert(Manifest.read(spark, dir, version = 2).count() == 20)
+    // timestamp time travel: at t1 the current version was 1
+    assert(Manifest.versionAsOf(spark, dir, t1) == 1L)
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", t1.toString).load(dir).count() == 10)
+    // before the dataset existed → no version
+    assert(Manifest.versionAsOf(spark, dir, 1000L) == 0L)
+  }
+
   test("an append that would change a column's type is rejected at write time") {
     val dir = java.nio.file.Files.createTempDirectory("mftype").toString + "/ds"
     Manifest.append(Seq((1L, "a")).toDF("id", "v"), dir)

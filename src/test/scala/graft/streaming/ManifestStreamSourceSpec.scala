@@ -151,6 +151,42 @@ class ManifestStreamSourceSpec extends SparkSpec {
       == (0L until 100L).map(_ * 2).sum)
   }
 
+  test("writeStream.format(graft-manifest) commits idempotent versioned batches") {
+    val root = tmp("mss_sink")
+    val srcDir = s"$root/files"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val dst = s"$root/ds"
+    spark.range(0, 50).toDF("id").coalesce(1)
+      .write.parquet(s"$srcDir/batch0")
+    val stream = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType))
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val q = stream.withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("stats.cols", "id")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    assert(Manifest.read(spark, dst).count() == 50)
+    // the batchId watermark landed with the commit (replay protection)
+    assert(Manifest.lastProp(spark, dst, "streaming.batchId").contains("0"))
+    // stats recorded → readRange prunes on them
+    assert(Manifest.readRange(spark, dst, "id", 0, 10).count() == 11)
+    // complete-mode output is rejected up front
+    intercept[Exception] {
+      spark.readStream.schema(stream.schema).parquet(srcDir)
+        .groupBy("id").count()
+        .writeStream.format("graft-manifest")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .start(s"$root/ds2")
+    }
+  }
+
   private implicit class QueueOps[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
     def asScala: Iterator[A] = {
       import scala.jdk.CollectionConverters._
