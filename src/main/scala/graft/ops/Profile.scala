@@ -81,6 +81,44 @@ object Profile {
       .select("col_x", "col_y", "r")
   }
 
+  /** Per-group simple linear regression + covariance + correlation of
+    * `yCol` on `xCol`, from ONE aggregation pass of exact-decimal
+    * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy). The closed-form
+    * outputs (slope, intercept, r², covar_pop, covar_samp, corr) are then
+    * evaluated in doubles on the bounded post-agg rows.
+    *
+    * Built-in `regr_slope`/`covar_samp`/`corr` stream co-moments whose
+    * float result depends on partition merge order — not reproducible
+    * across engines or even across partitionings. Decimal sums are exact
+    * under any order, so any engine running the same closed form on them
+    * produces identical bits (the [[correlations]] pattern, grouped).
+    * Scale: a plain partial-aggregated groupBy — one shuffle of six
+    * decimals per group.
+    */
+  def regression(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(15,4)")
+    val prod = (a: String, b: String) => (dec(a) * dec(b)).cast("decimal(31,8)")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(xCol)).cast("double").as("sx"),
+        sum(dec(yCol)).cast("double").as("sy"),
+        sum(prod(xCol, xCol)).cast("double").as("sxx"),
+        sum(prod(yCol, yCol)).cast("double").as("syy"),
+        sum(prod(xCol, yCol)).cast("double").as("sxy"))
+    val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy  = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col(groupCol),
+      col("n").cast("long").as("n"),
+      round(cxy / vx, 6).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")) / vx, 6).as("intercept"),
+      round(cxy * cxy / (vx * vy), 6).as("r2"),
+      round(cxy / (col("n") * col("n")), 6).as("covar_pop"),
+      round(cxy / (col("n") * (col("n") - lit(1.0))), 6).as("covar_samp"),
+      round(cxy / (sqrt(vx) * sqrt(vy)), 6).as("corr_xy"))
+  }
+
   /** Population-stability index between two cohorts of the same table
     * (e.g. last month's orders vs this month's) over fixed-width value
     * buckets: per-bucket shares p (cohort A) and q (cohort B) and the PSI

@@ -46,6 +46,35 @@ object TextAnalysis {
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "in", "to", "is", "it")
 
+  /** RAG-style overlapping token chunking: each document becomes windows of
+    * `size` tokens starting every `step` tokens (overlap = size − step),
+    * with the chunk's token span and rejoined text. The last window is
+    * short when the document doesn't divide evenly; empty documents emit
+    * nothing.
+    *
+    * Scale: tokenize-once + per-row `explode(sequence(...))` — a narrow
+    * per-document transform with NO shuffle and ~n_toks/step output rows
+    * per doc. The token array materializes once per row (not per window),
+    * and window slicing is `slice` on that array inside codegen.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, step: Int): DataFrame = {
+    require(chunkSize > 0 && step > 0 && step <= chunkSize,
+      s"need 0 < step <= chunkSize, got chunkSize=$chunkSize step=$step")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(step))).as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / step).cast("int").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize), col("__n") - col("start_tok")).cast("long")
+          .as("chunk_len"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Language marker words, checked in fixed order; ties resolve to the
     * earlier language. A real pipeline swaps in fastText — the operator
     * shape (per-doc scoring, argmax, no shuffle) is what matters at scale.

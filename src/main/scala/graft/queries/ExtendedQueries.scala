@@ -290,6 +290,28 @@ object ExtendedQueries {
               |ORDER BY doc_id, fp""".stripMargin)
     ),
 
+    // RAG-style overlapping token chunking (16-token windows every 12):
+    // tokenize once, explode(sequence(...)) per doc — narrow, shuffle-free,
+    // ~n_toks/step rows per document at any scale.
+    QueryDef(
+      "text_chunk_overlap",
+      (s, dir) => TextAnalysis.chunkOverlap(
+          Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", chunkSize = 16, step = 12)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 4 = 0),
+              |t AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+              |st AS (SELECT doc_id, toks, n,
+              |         unnest(generate_series(0, n - 1, 12)) AS start_tok FROM t)
+              |SELECT doc_id,
+              |  CAST(floor(CAST(start_tok AS DOUBLE) / 12) AS INTEGER) AS chunk_id,
+              |  start_tok,
+              |  least(16, n - start_tok) AS chunk_len,
+              |  array_to_string(toks[start_tok + 1 : start_tok + 16], ' ') AS chunk_text
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
     // Winnow-fingerprint near-dup candidates: ids sharing ≥3 selected
     // fingerprints — the equi-join-on-fp pair search, same scale shape as
     // the MinHash band join.
@@ -1184,6 +1206,94 @@ object ExtendedQueries {
              |  count(*) AS n_rows FROM lineitem""".stripMargin)
     ),
 
+    // Per-group linear regression + covariance + correlation from ONE pass
+    // of exact-decimal sufficient statistics (built-in regr_*/covar/corr
+    // stream float co-moments — merge-order-dependent, never bit-portable).
+    // Both engines run the identical closed form on identical exact sums.
+    QueryDef(
+      "agg_regression",
+      (s, dir) => Profile.regression(Tables.lineitem(s, dir),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some {
+        def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+        def p(a: String, b: String) = s"CAST(${d(a)} * ${d(b)} AS DECIMAL(38,8))"
+        s"""WITH agg AS (
+           |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+           |    CAST(sum(${d("l_quantity")}) AS DOUBLE) AS sx,
+           |    CAST(sum(${d("l_extendedprice")}) AS DOUBLE) AS sy,
+           |    CAST(sum(${p("l_quantity", "l_quantity")}) AS DOUBLE) AS sxx,
+           |    CAST(sum(${p("l_extendedprice", "l_extendedprice")}) AS DOUBLE) AS syy,
+           |    CAST(sum(${p("l_quantity", "l_extendedprice")}) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+           |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+           |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           |  round((n * sxy - sx * sy) / (n * n), 6) AS covar_pop,
+           |  round((n * sxy - sx * sy) / (n * (n - 1.0)), 6) AS covar_samp,
+           |  round((n * sxy - sx * sy) /
+           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy
+           |FROM agg ORDER BY l_returnflag""".stripMargin
+      }
+    ),
+
+    // Deterministic distributed mode: two partial-aggregated groupBys
+    // (value counts, then min_by over a (−count, value) struct) — the
+    // highest-count value, ties to the smallest. Built-in mode() breaks
+    // ties arbitrarily, so it can never be oracled; this shape is also the
+    // one that scales (post-agg cardinality = distinct values per group,
+    // never the table).
+    QueryDef(
+      "agg_mode",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+          min_by(col("l_quantity"), struct((-col("cnt")).as("nc"),
+            col("l_quantity").as("v"))).as("mode_qty"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy("l_returnflag"),
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (
+             |  SELECT l_returnflag, l_quantity, cnt,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |                       ORDER BY cnt DESC, l_quantity) AS rn
+             |  FROM c)
+             |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Mergeable cardinality sketches — the 100 TB pattern: one Apache
+    // DataSketches HLL per month partition (tiny, mergeable, storable),
+    // union-merged for the global estimate WITHOUT re-touching rows.
+    // Tolerance-oracled like agg_approx_distinct: lgK=12 bounds relative
+    // error ~1.6%, asserted within ±5% of the exact distinct count.
+    QueryDef(
+      "agg_hll_mergeable",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val perMonth = o
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+        val merged = perMonth.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("est"),
+          count(lit(1)).as("n_months"))
+        val exact = o.agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        merged.crossJoin(broadcast(exact)).select(
+          (abs(col("est") - col("exact_custs")) <= col("exact_custs") * 0.05)
+            .as("est_within_tol"),
+          col("n_months"), col("exact_custs"))
+      },
+      Some("""SELECT true AS est_within_tol,
+             |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+             |  count(DISTINCT o_custkey) AS exact_custs FROM orders""".stripMargin)
+    ),
+
     // ─────────────────────── event analytics ─────────────────────────────
     QueryDef(
       "ev_tumbling_1h",
@@ -1212,10 +1322,7 @@ object ExtendedQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val agg = withTs
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
@@ -1316,10 +1423,7 @@ object ExtendedQueries {
           streamDir.resolve("a.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val funnel = graft.streaming.StreamOps.funnelStream(
           withTs.select("event_id", "user_id", "event_type", "value", "ts")
             .as[graft.streaming.StreamOps.Event],
@@ -1520,10 +1624,7 @@ object ExtendedQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val agg = withTs
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
@@ -1579,10 +1680,7 @@ object ExtendedQueries {
           streamDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val agg = graft.streaming.StreamOps.windowedCounts(
           withTs, "ts", "1 hour", "10 minutes")
         val name = s"ev_append_${System.nanoTime()}"
@@ -1614,10 +1712,7 @@ object ExtendedQueries {
             java.nio.file.Paths.get(s"$dir/events.parquet"))
         }
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val dedup = graft.streaming.StreamOps.dedupStream(
           withTs, Seq("event_id"), "ts", "10 minutes")
         val name = s"ev_dedup_${System.nanoTime()}"
@@ -1646,10 +1741,7 @@ object ExtendedQueries {
           streamDir.resolve("a.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        val withTs =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else stream
+        val withTs = Tables.normalizeTs(stream, "ts")
         val sessions = graft.streaming.StreamOps.sessionizeStream(
           withTs.select("event_id", "user_id", "event_type", "value", "ts")
             .as[graft.streaming.StreamOps.Event], gapMinutes = 30)

@@ -106,6 +106,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 1))._1 == "beta")
     assert(out((2L, 2))._1 == "common" && out((2L, 2))._3 == 0.0)
   }
+
+  test("chunkOverlap: stepped windows cover every token; no shuffle") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "only two"),
+      (3L, "   ") // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(df, "doc_id", "text",
+      chunkSize = 4, step = 3)
+    val rows = out.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_len"),
+        r.getAs[String]("chunk_text")))
+    assert(rows.toSeq == Seq(
+      (1L, 0, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2, 6L, 4L, "t7 t8 t9 t10"),
+      (1L, 3, 9L, 1L, "t10"),
+      (2L, 0, 0L, 2L, "only two")))
+    // consecutive full chunks overlap by chunkSize − step = 1 token, and
+    // every token index lands in at least one chunk
+    val covered = rows.filter(_._1 == 1L)
+      .flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
 
 class LineDedupSpec extends SparkSpec {
@@ -702,6 +729,26 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (0, 0.25, 0.5, 0.173287), // (0.25-0.5)*ln(0.5)
       (2, 0.5, 0.5, 0.0)))
+  }
+
+  test("regression: exact lines recover slope/intercept/r2/covar/corr per group") {
+    val df = Seq(
+      ("p", 1.0, 3.0), ("p", 2.0, 5.0), ("p", 3.0, 7.0),  // y = 2x + 1
+      ("q", 1.0, 4.0), ("q", 2.0, 2.0), ("q", 3.0, 0.0)   // y = -2x + 6
+    ).toDF("g", "x", "y")
+    val out = Profile.regression(df, "g", "x", "y").orderBy("g").collect()
+    val p = out(0)
+    assert(p.getAs[Long]("n") == 3 && p.getAs[Double]("slope") == 2.0 &&
+      p.getAs[Double]("intercept") == 1.0 && p.getAs[Double]("r2") == 1.0 &&
+      p.getAs[Double]("covar_pop") == 1.333333 &&
+      p.getAs[Double]("covar_samp") == 2.0 &&
+      p.getAs[Double]("corr_xy") == 1.0)
+    val q = out(1)
+    assert(q.getAs[Double]("slope") == -2.0 &&
+      q.getAs[Double]("intercept") == 6.0 &&
+      q.getAs[Double]("covar_pop") == -1.333333 &&
+      q.getAs[Double]("covar_samp") == -2.0 &&
+      q.getAs[Double]("corr_xy") == -1.0)
   }
 }
 
