@@ -728,10 +728,7 @@ object Manifest {
               keys: Seq[String], fields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromV > 0 && toV > 0, "versions must be committed (≥ 1)")
-    val fromFiles = manifestFiles(spark, path, fromV)
-    val toFiles = manifestFiles(spark, path, toV)
-    val added = toFiles.filterNot(fromFiles.toSet)
-    val removed = fromFiles.filterNot(toFiles.toSet)
+    val (added, removed) = churnedFiles(spark, path, fromV, toV)
     // LIMIT 0 keeps union schemas aligned when one side had no churn
     def side(files: Seq[String], v: Long): DataFrame =
       if (files.isEmpty) read(spark, path, v).limit(0)
@@ -743,6 +740,81 @@ object Manifest {
       .join(newRows.select(keys.map(col): _*), keys, "left_anti")
       .withColumn("diff", lit("d"))
     addedOrChanged.unionByName(deleted)
+  }
+
+  /** Relative data paths ADDED and REMOVED between two committed versions.
+    * Because data files are immutable, this pair is the complete row-level
+    * delta between the versions — the primitive under [[changes]] and
+    * [[maintainAggregate]].
+    */
+  private[ops] def churnedFiles(spark: SparkSession, path: String,
+                                fromV: Long, toV: Long): (Seq[String], Seq[String]) = {
+    val fromFiles = manifestFiles(spark, path, fromV)
+    val toFiles = manifestFiles(spark, path, toV)
+    (toFiles.filterNot(fromFiles.toSet), fromFiles.filterNot(toFiles.toSet))
+  }
+
+  /** Incrementally-maintained aggregate view (count + exact-decimal sums
+    * per group) of a manifest dataset — the materialized-view refresh that
+    * makes a 100 TB dashboard query O(churn), not O(dataset).
+    *
+    * The state at `aggPath` is itself a manifest dataset whose commit
+    * props record the last folded source version. Each call folds ONLY
+    * the files added/removed since then ([[churnedFiles]] — immutable data
+    * files make the churn set exact): added rows aggregate with sign +1,
+    * removed rows with −1, and the signed delta merges into the state by
+    * one more aggregation. Counts and decimal sums are additive and exact,
+    * so removal cancels bit-perfectly and any fold order yields the state
+    * a full recompute would — groups whose count reaches 0 drop out.
+    *
+    * Cost model at scale: an append folds just the appended files; an
+    * upsert/delete folds the rewritten files twice (old −, new +); a
+    * COMPACTION churns every file, so the fold degenerates to a full
+    * re-aggregation — maintain before compacting, or accept a refresh that
+    * costs what the compaction itself already paid to read. The state
+    * rewrite is bounded by the group cardinality, never the source.
+    *
+    * Returns the state's committed version (unchanged when the source
+    * hasn't moved or moved without churn).
+    */
+  def maintainAggregate(spark: SparkSession, srcPath: String, aggPath: String,
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        sumType: String = "decimal(18,4)"): Long = {
+    import org.apache.spark.sql.functions._
+    require(groupCols.nonEmpty, "need at least one group column")
+    val stateType = "decimal(38,6)"
+    val srcV = latestVersion(spark, srcPath)
+    require(srcV > 0, s"source at $srcPath has no committed version")
+    val lastV = lastProp(spark, aggPath, "agg.src.version").map(_.toLong)
+      .getOrElse(0L)
+    if (lastV == srcV) return latestVersion(spark, aggPath)
+    val props = Map("agg.src.version" -> srcV.toString)
+    def aggOf(df: DataFrame, sign: Int): DataFrame = {
+      val aggs = (count(lit(1)) * sign).as("n_rows") +:
+        sumCols.map(c =>
+          (sum(col(c).cast(sumType)) * sign).cast(stateType).as(s"sum_$c"))
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    if (lastV == 0L) {
+      overwrite(aggOf(read(spark, srcPath), 1), aggPath, props)
+    } else {
+      val (added, removed) = churnedFiles(spark, srcPath, lastV, srcV)
+      if (added.isEmpty && removed.isEmpty)
+        return latestVersion(spark, aggPath)
+      def side(files: Seq[String], sign: Int): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(aggOf(
+          spark.read.parquet(files.map(f => s"$srcPath/$f"): _*), sign))
+      val delta = (side(added, 1).toSeq ++ side(removed, -1))
+        .reduce(_ unionByName _)
+      val mergeAggs = sum(col("n_rows")).cast("long").as("n_rows") +:
+        sumCols.map(c => sum(col(s"sum_$c")).cast(stateType).as(s"sum_$c"))
+      val merged = read(spark, aggPath).unionByName(delta)
+        .groupBy(groupCols.map(col): _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .filter(col("n_rows") > 0)
+      overwrite(merged, aggPath, props)
+    }
   }
 
   /** Path segments (`__p_c=v`, writer-escaped) for each touched partition. */

@@ -2567,6 +2567,29 @@ object ExtendedQueries {
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Incrementally-maintained aggregate view under the oracle gate: the
+    // source manifest grows through three appends and a delete, the state
+    // at aggPath folds ONLY each commit's churned files (signed counts +
+    // exact-decimal sums), and the final state must equal a full
+    // aggregation of the final table — the oracle computes exactly that
+    // from the raw rows.
+    QueryDef(
+      "manifest_incr_agg",
+      (s, dir) => {
+        val aggPath = manifestIvmFor(s, dir)
+        Manifest.read(s, aggPath)
+          .select(col("l_returnflag"), col("n_rows"),
+            round(col("sum_l_quantity").cast("double"), 2).as("sum_qty"),
+            round(col("sum_l_extendedprice").cast("double"), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE l_orderkey % 100 <> 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // The transactional manifest layer under the driver's oracle gate:
     // lineitem is published once per JVM as a stats-carrying manifest
     // dataset (range-clustered on l_orderkey, per-file bounds recorded),
@@ -2856,6 +2879,32 @@ object ExtendedQueries {
           matchedDeleteCondition = Some("s.o_totalprice > 150000"),
           notMatchedInsertCondition = Some("s.o_totalprice < 100000")))
       path
+    })
+
+  // Fixture for manifest_incr_agg: lineitem published in three appends plus
+  // a delete, with the aggregate view incrementally maintained after every
+  // commit — the final state must equal one full aggregation of the final
+  // table, which is exactly what the oracle asserts.
+  private val ivmCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestIvmFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    ivmCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+      val src = tmp + "/li"
+      val agg = tmp + "/agg"
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      def maintain(): Unit = Manifest.maintainAggregate(s, src, agg,
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+      Manifest.overwrite(li.filter(col("l_orderkey") % 3 === 0), src)
+      maintain()
+      Manifest.append(li.filter(col("l_orderkey") % 3 === 1), src)
+      maintain()
+      Manifest.append(li.filter(col("l_orderkey") % 3 === 2), src)
+      maintain()
+      Manifest.delete(s, src, col("l_orderkey") % 100 === 7)
+      maintain()
+      agg
     })
 
   private val upsertCache = new java.util.concurrent.ConcurrentHashMap[String, String]()

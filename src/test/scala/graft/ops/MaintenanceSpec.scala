@@ -526,4 +526,61 @@ class MaintenanceSpec extends SparkSpec {
       Manifest.vacuum(spark, dir, keepVersions = 0)
     }.getMessage.contains("retain"))
   }
+
+  test("maintainAggregate: incremental state == full recompute through " +
+    "append/upsert/delete/compact; folds only churn") {
+    val tmp = java.nio.file.Files.createTempDirectory("mfivm").toString
+    val src = s"$tmp/src"
+    val agg = s"$tmp/agg"
+
+    def recompute() = Manifest.read(spark, src)
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(38,6)").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSet
+    def state() = Manifest.read(spark, agg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSet
+    def maintain() = Manifest.maintainAggregate(
+      spark, src, agg, Seq("g"), Seq("v"))
+
+    // bootstrap: full aggregate, source version recorded
+    Manifest.overwrite(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      .toDF("g", "v"), src)
+    maintain()
+    assert(state() == recompute())
+    assert(Manifest.lastProp(spark, agg, "agg.src.version").contains("1"))
+
+    // append: only the appended files churn, and the fold matches
+    val vBefore = Manifest.latestVersion(spark, src)
+    Manifest.append(Seq(("b", 5.0), ("c", 7.0)).toDF("g", "v"), src)
+    val (added, removed) = Manifest.churnedFiles(
+      spark, src, vBefore, Manifest.latestVersion(spark, src))
+    assert(added.nonEmpty && removed.isEmpty,
+      "append churn must be add-only")
+    maintain()
+    assert(state() == recompute())
+
+    // upsert rewrites some rows (old files −, new files +)
+    Manifest.upsert(Seq(("a", 100.0)).toDF("g", "v"), src, Seq("g"), "v")
+    maintain()
+    assert(state() == recompute())
+
+    // delete an entire group → its state row disappears (count 0 dropped)
+    Manifest.delete(spark, src, col("g") === "c")
+    maintain()
+    assert(state() == recompute())
+    assert(!state().exists(_._1 == "c"))
+
+    // compaction churns every file but the net fold is a no-op
+    Manifest.compact(spark, src)
+    val stBefore = state()
+    maintain()
+    assert(state() == stBefore && state() == recompute())
+
+    // source unchanged → no new state commit
+    val aggV = Manifest.latestVersion(spark, agg)
+    assert(maintain() == aggV)
+    assert(Manifest.latestVersion(spark, agg) == aggV)
+  }
 }
