@@ -32,7 +32,10 @@ object Explain {
       "ev_resample_gapfill",                                   // 1-row min/max grid-bounds broadcast
       "profile_drift_psi",                                     // 1-row cohort-totals broadcast
       "text_unigram_score",                                    // 1-row corpus-total broadcast
-      "dedup_semantic")                                        // k-centroid broadcast assign
+      "dedup_semantic",                                        // k-centroid broadcast assign
+      // sketch-vs-exact tolerance verdicts: the estimate row (1 row) is
+      // crossed with the exact-answer row (1 row) to form the verdict
+      "agg_hll_mergeable", "agg_kll_mergeable", "agg_hll_intersection")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers

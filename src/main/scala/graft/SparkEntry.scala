@@ -34,7 +34,8 @@ object SparkEntry {
   }
 
   private def allQueries: Seq[QueryDef] =
-    CoreQueries.all ++ ExtendedQueries.all ++ SqlSurfaceQueries.all
+    CoreQueries.all ++ ExtendedQueries.all ++ SqlSurfaceQueries.all ++
+      SketchStreamQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
