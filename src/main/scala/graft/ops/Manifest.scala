@@ -54,7 +54,8 @@ object Manifest {
     */
   final case class Snapshot(files: Seq[String], props: Map[String, String],
                             stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-                            sizes: Map[String, Long] = Map.empty)
+                            sizes: Map[String, Long] = Map.empty,
+                            rows: Map[String, Long] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -68,7 +69,8 @@ object Manifest {
 
   private def render(files: Seq[String], props: Map[String, String],
                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-                     sizes: Map[String, Long] = Map.empty): String = {
+                     sizes: Map[String, Long] = Map.empty,
+                     rows: Map[String, Long] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -78,8 +80,10 @@ object Manifest {
     }
     val sizeLines = sizes.toSeq.sortBy(_._1)
       .map { case (f, n) => s"#size ${enc(f)} $n" }
-    ((Header +: propLines) ++ statLines ++ sizeLines ++ files :+ footer(files.size))
-      .mkString("\n")
+    val rowLines = rows.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"#rows ${enc(f)} $n" }
+    ((Header +: propLines) ++ statLines ++ sizeLines ++ rowLines ++
+      files :+ footer(files.size)).mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -110,7 +114,13 @@ object Manifest {
         case _ => None
       }
     }.toMap
-    Some(Snapshot(files, props, stats, sizes))
+    val rows = lines.filter(_.startsWith("#rows ")).flatMap { l =>
+      l.stripPrefix("#rows ").split(' ') match {
+        case Array(f, n) => scala.util.Try(dec(f) -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes, rows))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -230,6 +240,9 @@ object Manifest {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
     var attempts = 0
+    // footer reads memoized across retry attempts: a commit collision
+    // re-resolves the file LIST, but a file's row count is immutable
+    val footerCache = scala.collection.mutable.HashMap.empty[String, Option[Long]]
     while (true) {
       // claim the next version ON DISK, not just the next complete one —
       // a crashed writer's torn manifest occupies its number forever
@@ -242,12 +255,23 @@ object Manifest {
       // sizes are per-file FACTS (not version state): carried-over files
       // keep the previous version's recorded size, staged files bring
       // their own — no call-site plumbing needed
-      val sizes = ((if (latestComplete == 0) Map.empty[String, Long]
-        else loadVersion(fs, root, latestComplete).map(_.sizes).getOrElse(Map.empty))
+      val prevSnap = if (latestComplete == 0) None
+        else loadVersion(fs, root, latestComplete)
+      val sizes = (prevSnap.map(_.sizes).getOrElse(Map.empty)
         ++ newSizes).view.filterKeys(files.toSet).toMap
+      // per-file row counts are the same kind of fact: carried files keep
+      // theirs, files without one (just staged, or legacy) get it from the
+      // parquet footer — a driver-side metadata read bounded by the batch.
+      // They make `SELECT count(*)` (countRows) a manifest-only answer.
+      val prevRows = prevSnap.map(_.rows).getOrElse(Map.empty)
+      val rowCounts = files.flatMap { f =>
+        prevRows.get(f).orElse(footerCache.getOrElseUpdate(f,
+          scala.util.Try(footerRowCount(spark, new Path(root, f))).toOption))
+          .map(f -> _)
+      }.toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props, stats, sizes).getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, props, stats, sizes, rowCounts).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -379,6 +403,177 @@ object Manifest {
     val pred = enc >= lo && enc <= hi
     if (keep.isEmpty) src.filter(org.apache.spark.sql.functions.lit(false) && pred)
     else src.filter(pred)
+  }
+
+  /** Exact row count of one parquet file from its footer — a driver-side
+    * metadata read (no task, no data pages), the source of the manifest's
+    * per-file `#rows` facts.
+    */
+  private def footerRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** `SELECT count(*)` answered from the manifest alone: every commit
+    * records each file's exact row count (carried with the file across
+    * appends/upserts/compactions), so counting a 100 TB dataset is one
+    * small-file read — no scan, no job. Files without a recorded count
+    * (manifests written before this fact existed) are counted by reading
+    * just those files.
+    */
+  def countRows(spark: SparkSession, path: String, version: Long = -1L): Long = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val (have, missing) = snap.files.partition(snap.rows.contains)
+    have.map(snap.rows).sum + (if (missing.isEmpty) 0L
+      else spark.read.parquet(missing.map(f => s"$path/$f"): _*).count())
+  }
+
+  // ── point lookups: per-file bloom-filter sidecars ────────────────────────
+
+  private def bloomSidecar(f: String, c: String): String = s"$f.bloom.${enc(c)}"
+
+  /** [[append]] that also builds a per-file Bloom filter over each of
+    * `bloomCols`, written as a sidecar next to the data file. Min/max
+    * bounds ([[appendWithStats]]) prune range scans on CLUSTERED columns;
+    * blooms prune POINT lookups on columns the layout is not sorted by —
+    * the "find one id in 100 TB" shape where every file's [min,max]
+    * overlaps but almost no file actually holds the key. Sidecars are
+    * immutable facts of their data file: appends and upserts carry them
+    * implicitly (files never move), compaction's rewritten files simply
+    * have none (read, not pruned — correctness over pruning), and vacuum
+    * removes them with their file. One distributed pass over ONLY the
+    * staged batch builds all blooms (capacity = the file's exact footer
+    * row count, so fpp holds regardless of file sizing).
+    */
+  def appendWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                      fpp: Double = 0.01,
+                      props: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageSized(df, path)
+    writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp)
+    commit(spark, path, props + ("bloom.cols" -> bloomCols.mkString(",")),
+      prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats,
+      newSizes = staged.toMap) { prev =>
+      (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
+    }
+  }
+
+  private def writeBlooms(spark: SparkSession, path: String,
+                          files: Seq[String], cols: Seq[String],
+                          fpp: Double): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.types._
+    if (files.isEmpty || cols.isEmpty) return
+    val (fs, root) = fsFor(spark, path)
+    val capacity = files.map(f => f -> footerRowCount(spark, new Path(root, f))).toMap
+    val src = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    // integral keys hash as long, strings as UTF-8 — the two point-lookup
+    // key shapes; anything else should be bucketed/sorted instead
+    val isLong: Seq[Boolean] = cols.map { c =>
+      src.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case StringType => false
+        case dt => throw new IllegalArgumentException(
+          s"bloom column '$c' must be integral or string, found ${dt.sql}")
+      }
+    }
+    val keyed = cols.zip(isLong).map { case (c, l) =>
+      if (l) col(c).cast("long") else col(c)
+    }
+    val filesB = spark.sparkContext.broadcast(files.toVector)
+    val capB = spark.sparkContext.broadcast(capacity)
+    val nCols = cols.size
+    val blooms = src.select(input_file_name() +: keyed: _*).rdd
+      .mapPartitions { it =>
+        // per-partition builders keyed by (file, col); same capacity per
+        // file on every partition, so partial blooms merge bit-for-bit
+        val local = scala.collection.mutable.HashMap
+          .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+        val uriToRel = scala.collection.mutable.HashMap.empty[String, String]
+        it.foreach { r =>
+          val uri = r.getString(0)
+          val rel = uriToRel.getOrElseUpdate(uri,
+            filesB.value.find(uri.endsWith).getOrElse(uri))
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(i + 1)) {
+              val bf = local.getOrElseUpdate((rel, i),
+                org.apache.spark.util.sketch.BloomFilter.create(
+                  math.max(capB.value.getOrElse(rel, 1L), 1L), fpp))
+              if (isLong(i)) bf.putLong(r.getLong(i + 1))
+              else bf.putString(r.getString(i + 1))
+            }
+            i += 1
+          }
+        }
+        local.iterator
+      }
+      .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+      .collect()
+    blooms.foreach { case ((rel, i), bf) =>
+      val out = fs.create(new Path(root, bloomSidecar(rel, cols(i))), true)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** The file subset a point lookup must read: min/max-pruned (when bounds
+    * are recorded) then bloom-pruned (when a sidecar exists). Exposed for
+    * tests; [[readPoint]] is the query-facing form.
+    */
+  private[graft] def pointCandidates(spark: SparkSession, path: String,
+                                     column: String, value: Any,
+                                     version: Long = -1L): Seq[String] = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val (fs, root) = fsFor(spark, path)
+    val numeric: Option[Double] = value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    snap.files.filter { f =>
+      val inRange = (snap.stats.get(f).flatMap(_.get(column)), numeric) match {
+        case (Some((lo, hi)), Some(d)) => d >= lo && d <= hi
+        case _ => true
+      }
+      inRange && {
+        val sp = new Path(root, bloomSidecar(f, column))
+        if (!fs.exists(sp)) true // no sidecar → must read (never unsound)
+        else {
+          val in = fs.open(sp)
+          val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          value match {
+            case n: java.lang.Number => bf.mightContainLong(n.longValue())
+            case s: String => bf.mightContainString(s)
+            case _ => true
+          }
+        }
+      }
+    }
+  }
+
+  /** Rows of the current (or given) version with `column` = `value`,
+    * reading only the files whose bloom admits the key (plus any without a
+    * sidecar). At 100 TB a point lookup on a bloom-indexed column opens a
+    * handful of files instead of the dataset; the row-level equality
+    * filter still applies, so a bloom false-positive costs one extra file
+    * scan, never a wrong row.
+    */
+  def readPoint(spark: SparkSession, path: String, column: String,
+                value: Any, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version < 0) latestVersion(spark, path) else version
+    val keep = pointCandidates(spark, path, column, value, v)
+    val snap = snapshotOf(spark, path, v)
+    val pred = col(column) === lit(value)
+    if (keep.isEmpty)
+      spark.read.parquet(s"$path/${snap.files.head}").filter(lit(false) && pred)
+    else spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
   }
 
   /** The numeric encoding a column's bounds are recorded in: dates as
@@ -1019,8 +1214,15 @@ object Manifest {
         while (it.hasNext) {
           val f = it.next()
           val rel = fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
-          if (f.getPath.getName.endsWith(".parquet") && !retained.contains(rel))
-            fs.delete(f.getPath, false)
+          // a bloom sidecar lives and dies with its data file: it is
+          // deletable exactly when `<file>.parquet` is not retained
+          val dataRel = if (rel.contains(".parquet.bloom."))
+            rel.substring(0, rel.indexOf(".parquet.bloom.")) + ".parquet"
+          else rel
+          val deletable = (f.getPath.getName.endsWith(".parquet") ||
+            f.getPath.getName.contains(".parquet.bloom.")) &&
+            !retained.contains(dataRel)
+          if (deletable) fs.delete(f.getPath, false)
         }
       }
     }

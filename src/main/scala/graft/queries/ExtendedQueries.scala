@@ -2590,6 +2590,49 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Bloom-sidecar point lookup under the oracle gate: orders is
+    // published HASH-scattered on o_orderkey (every file spans the whole
+    // key range, so min/max bounds cannot prune anything) with per-file
+    // bloom filters; readPoint opens only the file(s) whose bloom admits
+    // the key — the "find one id in 100 TB" shape. The oracle is the
+    // plain equality SELECT over the same source.
+    QueryDef(
+      "manifest_point_scan",
+      (s, dir) => {
+        val path = manifestBloomFor(s, dir)
+        val key = Tables.orders(s, dir)
+          .agg(max(col("o_orderkey"))).head.getAs[Number](0).longValue()
+        Manifest.readPoint(s, path, "o_orderkey", key)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // Manifest-only count: every commit records each file's exact footer
+    // row count, so count(*) — current version AND time-travel — is
+    // answered from the manifest file alone: no scan, no job, at any data
+    // size. The oracle recomputes both counts from the raw table.
+    QueryDef(
+      "manifest_count_scan",
+      (s, dir) => {
+        val path = manifestCountFor(s, dir)
+        val v1 = Manifest.countRows(s, path, version = 1)
+        val v2 = Manifest.countRows(s, path)
+        import s.implicits._
+        Seq((1L, v1), (2L, v2)).toDF("version", "n_rows").orderBy("version")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version,
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT),
+             |  (SELECT count(*) FROM orders)
+             |ORDER BY version""".stripMargin)
+    ),
+
     // The transactional manifest layer under the driver's oracle gate:
     // lineitem is published once per JVM as a stats-carrying manifest
     // dataset (range-clustered on l_orderkey, per-file bounds recorded),
@@ -2805,6 +2848,35 @@ object ExtendedQueries {
         .select(col("l_orderkey"), col("l_extendedprice"))
         .repartitionByRange(8, col("l_orderkey"))
       Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      path
+    })
+
+  // orders hash-scattered across 8 files with blooms on o_orderkey: the
+  // fixture where bounds-based skipping is useless and bloom skipping is
+  // the only thing between a point lookup and a full scan
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestBloomFor(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    bloomCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfb").toString + "/orders"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .repartition(8, col("o_orderkey"))
+      Manifest.appendWithBloom(o, path, Seq("o_orderkey"))
+      path
+    })
+
+  // orders split into two appends (even keys, then odd) so countRows has
+  // a real multi-version history to answer from
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestCountFor(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    countCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfc").toString + "/orders"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      Manifest.append(o.filter(col("o_orderkey") % 2 === 0), path)
+      Manifest.append(o.filter(col("o_orderkey") % 2 =!= 0), path)
       path
     })
 
