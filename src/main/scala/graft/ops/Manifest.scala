@@ -42,6 +42,10 @@ object Manifest {
   private val Header = "#graft-manifest 1"
   private def footer(n: Int): String = s"#end $n"
   private val MaxCommitAttempts = 50
+  // how long a claimed-but-incomplete manifest is presumed to be an
+  // ACTIVE writer mid-publish (commit waits for it) before being treated
+  // as a crashed writer whose version number is simply burned
+  private val TornManifestGraceMs = 5000L
 
   /** Parsed manifest: file list + commit properties (`#prop k=v` lines,
     * URL-encoded) + optional per-file column bounds (`#filestat` lines)
@@ -55,7 +59,8 @@ object Manifest {
   final case class Snapshot(files: Seq[String], props: Map[String, String],
                             stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
-                            rows: Map[String, Long] = Map.empty)
+                            rows: Map[String, Long] = Map.empty,
+                            blooms: Map[String, Seq[String]] = Map.empty)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -70,7 +75,8 @@ object Manifest {
   private def render(files: Seq[String], props: Map[String, String],
                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                      sizes: Map[String, Long] = Map.empty,
-                     rows: Map[String, Long] = Map.empty): String = {
+                     rows: Map[String, Long] = Map.empty,
+                     blooms: Map[String, Seq[String]] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -82,8 +88,12 @@ object Manifest {
       .map { case (f, n) => s"#size ${enc(f)} $n" }
     val rowLines = rows.toSeq.sortBy(_._1)
       .map { case (f, n) => s"#rows ${enc(f)} $n" }
+    val bloomLines = blooms.toSeq.sortBy(_._1).collect {
+      case (f, cs) if cs.nonEmpty =>
+        s"#bloom ${enc(f)} ${cs.map(enc).mkString(",")}"
+    }
     ((Header +: propLines) ++ statLines ++ sizeLines ++ rowLines ++
-      files :+ footer(files.size)).mkString("\n")
+      bloomLines ++ files :+ footer(files.size)).mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -120,7 +130,14 @@ object Manifest {
         case _ => None
       }
     }.toMap
-    Some(Snapshot(files, props, stats, sizes, rows))
+    val blooms = lines.filter(_.startsWith("#bloom ")).flatMap { l =>
+      l.stripPrefix("#bloom ").split(' ') match {
+        case Array(f, cs) =>
+          Some(dec(f) -> cs.split(',').toSeq.filter(_.nonEmpty).map(dec))
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes, rows, blooms))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -235,7 +252,8 @@ object Manifest {
                      props: Map[String, String],
                      statsFor: Long => Map[String, Map[String, (Double, Double)]] =
                        _ => Map.empty,
-                     newSizes: Map[String, Long] = Map.empty)
+                     newSizes: Map[String, Long] = Map.empty,
+                     newBlooms: Map[String, Seq[String]] = Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -247,8 +265,21 @@ object Manifest {
       // claim the next version ON DISK, not just the next complete one —
       // a crashed writer's torn manifest occupies its number forever
       val latestComplete = latestVersion(spark, path)
-      val next = math.max(latestComplete,
-        versionsOnDisk(fs, root).foldLeft(0L)(math.max)) + 1
+      val onDisk = versionsOnDisk(fs, root)
+      // Lost-update guard: a version above latestComplete that is still
+      // being WRITTEN (claimed, content in flight) must not be rebased
+      // past — building our file list from latestComplete would silently
+      // drop the in-flight writer's files once it completes. Fresh
+      // incomplete manifests get a beat to finish (a manifest write is
+      // one small file — milliseconds); ones older than the grace window
+      // are crashed writers, their number stays burned and we proceed.
+      val inFlight = onDisk.filter(_ > latestComplete).exists { v =>
+        scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
+          .toOption.exists(_ > System.currentTimeMillis() - TornManifestGraceMs)
+      }
+      if (inFlight) { Thread.sleep(20) }
+      else {
+      val next = math.max(latestComplete, onDisk.foldLeft(0L)(math.max)) + 1
       val files = filesFor(latestComplete)
       // stats only for files that made it into this version's list
       val stats = statsFor(latestComplete).view.filterKeys(files.toSet).toMap
@@ -269,9 +300,15 @@ object Manifest {
           scala.util.Try(footerRowCount(spark, new Path(root, f))).toOption))
           .map(f -> _)
       }.toMap
+      // which sidecar blooms exist is a per-file fact too: carried files
+      // keep their declaration, staged files bring theirs — readers learn
+      // bloom availability from the manifest, no filesystem probing
+      val bloomDecls = (prevSnap.map(_.blooms).getOrElse(Map.empty)
+        ++ newBlooms).view.filterKeys(files.toSet).toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props, stats, sizes, rowCounts).getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, props, stats, sizes, rowCounts, bloomDecls)
+          .getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -279,6 +316,7 @@ object Manifest {
           attempts += 1
           if (attempts >= MaxCommitAttempts) throw new java.io.IOException(
             s"could not commit to $path after $MaxCommitAttempts attempts")
+      }
       }
     }
     -1L // unreachable
@@ -436,6 +474,18 @@ object Manifest {
 
   private def bloomSidecar(f: String, c: String): String = s"$f.bloom.${enc(c)}"
 
+  /** Load one bloom sidecar, None when absent/unreadable (internal surface
+    * for the point-lookup path and the declarative FileIndex — a missing
+    * or corrupt sidecar degrades to "read the file", never to wrong rows).
+    */
+  def readBloomSidecar(spark: SparkSession, root: Path, rel: String,
+                       c: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    scala.util.Try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new Path(root, bloomSidecar(rel, c)))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    }.toOption
+
   /** [[append]] that also builds a per-file Bloom filter over each of
     * `bloomCols`, written as a sidecar next to the data file. Min/max
     * bounds ([[appendWithStats]]) prune range scans on CLUSTERED columns;
@@ -451,13 +501,19 @@ object Manifest {
     */
   def appendWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
                       fpp: Double = 0.01,
-                      props: Map[String, String] = Map.empty): Long = {
+                      props: Map[String, String] = Map.empty,
+                      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
     writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp)
-    commit(spark, path, props + ("bloom.cols" -> bloomCols.mkString(",")),
-      prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats,
-      newSizes = staged.toMap) { prev =>
+    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
+    val allProps = props + ("bloom.cols" -> bloomCols.mkString(",")) ++
+      (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
+    commit(spark, path, allProps,
+      prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
+        else snapshotOf(spark, path, prev).stats) ++ newStats,
+      newSizes = staged.toMap,
+      newBlooms = staged.map(_._1 -> bloomCols).toMap) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -530,7 +586,7 @@ object Manifest {
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
-    val (fs, root) = fsFor(spark, path)
+    val (_, root) = fsFor(spark, path)
     val numeric: Option[Double] = value match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _ => None
@@ -541,13 +597,12 @@ object Manifest {
         case _ => true
       }
       inRange && {
-        val sp = new Path(root, bloomSidecar(f, column))
-        if (!fs.exists(sp)) true // no sidecar → must read (never unsound)
-        else {
-          val in = fs.open(sp)
-          val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-            finally in.close()
-          value match {
+        // the manifest says which files carry a bloom for this column —
+        // no filesystem probing; undeclared files must be read
+        if (!snap.blooms.get(f).exists(_.contains(column))) true
+        else readBloomSidecar(spark, root, f, column) match {
+          case None => true // unreadable sidecar → read the file
+          case Some(bf) => value match {
             case n: java.lang.Number => bf.mightContainLong(n.longValue())
             case s: String => bf.mightContainString(s)
             case _ => true
@@ -661,7 +716,8 @@ object Manifest {
       stats: Map[String, Map[String, (Double, Double)]],
       partCols: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
-      options: Map[String, String])
+      options: Map[String, String],
+      blooms: Map[String, Seq[String]] = Map.empty)
 
   def tableInfo(spark: SparkSession, path: String, version: Long = -1L): TableInfo = {
     val v = if (version < 0) latestVersion(spark, path) else version
@@ -685,7 +741,8 @@ object Manifest {
     val partCols = snap.props.get("part.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     TableInfo(qroot, entries, snap.stats, partCols, dataSchema,
-      if (merge) Map("mergeSchema" -> "true") else Map.empty)
+      if (merge) Map("mergeSchema" -> "true") else Map.empty,
+      snap.blooms)
   }
 
   /** Read only the files of the partitions matching `values` (col→value,

@@ -39,7 +39,8 @@ final class ManifestFileIndex(
     root: Path,
     entries: Seq[(String, FileStatus)],
     stats: Map[String, Map[String, (Double, Double)]],
-    partCols: Seq[String]) extends FileIndex {
+    partCols: Seq[String],
+    blooms: Map[String, Seq[String]] = Map.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -90,7 +91,32 @@ final class ManifestFileIndex(
 
   private def pointAllows(rel: String, c: String, v: Any): Boolean =
     boundsAllow(rel, c, v)((lo, hi, d) => d >= lo && d <= hi) &&
-      segmentAllows(rel, c, v)
+      segmentAllows(rel, c, v) && bloomAllows(rel, c, v)
+
+  // sidecar blooms, loaded lazily once per (file, column) per scan — the
+  // manifest's #bloom declarations say which loads can succeed, so files
+  // without a bloom cost nothing
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  /** Equality/IN literals checked against the file's bloom sidecar: the
+    * pruning min/max bounds can't do on hash-scattered keys. Conservative
+    * like everything here — no declared bloom, unreadable sidecar, or a
+    * non-long/string literal all mean "read the file".
+    */
+  private def bloomAllows(rel: String, c: String, v: Any): Boolean = {
+    if (!blooms.get(rel).exists(_.contains(c))) return true
+    bloomCache.computeIfAbsent((rel, c), { key =>
+      graft.ops.Manifest.readBloomSidecar(spark, root, key._1, key._2)
+    }) match {
+      case None => true
+      case Some(bf) => v match {
+        case n: java.lang.Number => bf.mightContainLong(n.longValue())
+        case s: String => bf.mightContainString(s)
+        case _ => true
+      }
+    }
+  }
 
   /** Check `v` against the file's recorded [lo, hi] for column `c`;
     * files or columns without bounds (and non-numeric literals) pass.
@@ -153,7 +179,7 @@ object ManifestFileIndex {
                info: graft.ops.Manifest.TableInfo): HadoopFsRelation = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val index = new ManifestFileIndex(cs, info.root, info.entries,
-      info.stats, info.partCols)
+      info.stats, info.partCols, info.blooms)
     HadoopFsRelation(index, new StructType(), info.dataSchema,
       None, new ParquetFileFormat, info.options)(cs)
   }
@@ -258,7 +284,8 @@ final class ManifestStreamSource(
           "source is append-only; pass ignoreChanges=true to re-deliver rewrites")
     val addedSet = added.map(_._1).toSet
     val info = full.copy(entries = added,
-      stats = full.stats.view.filterKeys(addedSet).toMap)
+      stats = full.stats.view.filterKeys(addedSet).toMap,
+      blooms = full.blooms.view.filterKeys(addedSet).toMap)
     classic.Dataset.ofRows(spark,
       LogicalRelation(ManifestFileIndex.relation(spark, info), isStreaming = true))
   }
@@ -371,8 +398,14 @@ final class ManifestDataSource
     val spark = sqlContext.sparkSession
     val statsCols = parameters.get("stats.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val bloomCols = parameters.get("bloom.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     def append(): Unit =
-      if (statsCols.nonEmpty) graft.ops.Manifest.appendWithStats(data, path, statsCols)
+      if (bloomCols.nonEmpty)
+        graft.ops.Manifest.appendWithBloom(data, path, bloomCols,
+          statsCols = statsCols)
+      else if (statsCols.nonEmpty)
+        graft.ops.Manifest.appendWithStats(data, path, statsCols)
       else graft.ops.Manifest.append(data, path)
     val exists = graft.ops.Manifest.latestVersion(spark, path) > 0
     mode match {

@@ -59,6 +59,54 @@ class ManifestBloomSpec extends SparkSpec {
     assert(Manifest.readPoint(spark, dir, "id", 500L).count() == 1)
   }
 
+  /** Files the executed plan's parquet scan actually read (fresh Dataset
+    * required — listing is cached per plan instance).
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case p if p.nodeName.startsWith("Scan") && p.metrics.contains("numFiles") => p
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("a plain equality filter on table() prunes files through blooms") {
+    val dir = tmp("mfb_decl")
+    Manifest.appendWithBloom(scattered(5000, 8), dir, Seq("id"))
+    // hash-scattered: every file's [min,max] spans the domain, so this
+    // pruning can only come from the bloom sidecars
+    val pruned = scannedFiles(
+      Manifest.table(spark, dir).filter(col("id") === 1234L))
+    assert(pruned <= 2, s"bloom should prune ~7 of 8 files, scanned $pruned")
+    val full = scannedFiles(Manifest.table(spark, dir).filter(col("v") === 3L))
+    assert(full == 8, "no bloom on v → no pruning")
+    // IN-lists prune to the union of admitted files
+    val inPruned = scannedFiles(
+      Manifest.table(spark, dir).filter(col("id").isin(10L, 4321L)))
+    assert(inPruned <= 4, s"IN (2 keys) should keep ≲2 files, scanned $inPruned")
+    // and the rows are right
+    assert(Manifest.table(spark, dir).filter(col("id") === 1234L).count() == 1)
+  }
+
+  test("SQL through the graft-manifest format bloom-prunes equality predicates") {
+    val dir = tmp("mfb_sql")
+    Manifest.appendWithBloom(scattered(3000, 6), dir, Seq("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mfb_sql_v " +
+      s"USING `graft-manifest` OPTIONS (path '$dir')")
+    val df = spark.sql("SELECT id, v FROM mfb_sql_v WHERE id = 777")
+    assert(scannedFiles(df) <= 2)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(777L))
+  }
+
+  test("writer API: bloom.cols option builds sidecars through the format") {
+    val dir = tmp("mfb_writer")
+    scattered(2000, 5).write.format("graft-manifest")
+      .option("bloom.cols", "id").option("stats.cols", "v")
+      .mode("append").save(dir)
+    val pruned = scannedFiles(Manifest.table(spark, dir).filter(col("id") === 42L))
+    assert(pruned <= 2, s"writer-built blooms should prune, scanned $pruned")
+    assert(Manifest.table(spark, dir).filter(col("id") === 42L).count() == 1)
+  }
+
   test("countRows answers from the manifest without scanning") {
     val dir = tmp("mfb_count")
     Manifest.append(scattered(3000, 4), dir)
