@@ -1142,10 +1142,18 @@ object Manifest {
         computeStats(spark, path, staged.map(_._1), cs.split(',').toSeq)
       case _ => Map.empty[String, Map[String, (Double, Double)]]
     }
+    // a bloom-indexed dataset keeps its point-lookup power too: rebuild
+    // sidecars for the rewritten files (cost bounded by the rewrite batch,
+    // which the compaction already paid to write)
+    val bloomCols = props.get("bloom.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (bloomCols.nonEmpty)
+      writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp = 0.01)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
        else snapshotOf(spark, path, prev).stats) ++ newStats,
-      newSizes = staged.toMap) { prev =>
+      newSizes = staged.toMap,
+      newBlooms = staged.map(_._1 -> bloomCols).toMap.filter(_ => bloomCols.nonEmpty)) { prev =>
       if (prev == v) staged.map(_._1)
       else {
         // an append landed while we compacted: keep its files alongside
@@ -1180,10 +1188,16 @@ object Manifest {
     val staged = stageSized(
       ZOrder.cluster(read(spark, path, v), zCols, nFiles), path, zPartCols)
     val newStats = computeStats(spark, path, staged.map(_._1), zCols)
+    // same bloom preservation as compact()
+    val zBloomCols = props.get("bloom.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (zBloomCols.nonEmpty)
+      writeBlooms(spark, path, staged.map(_._1), zBloomCols, fpp = 0.01)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
        else snapshotOf(spark, path, prev).stats) ++ newStats,
-      newSizes = staged.toMap) { prev =>
+      newSizes = staged.toMap,
+      newBlooms = staged.map(_._1 -> zBloomCols).toMap.filter(_ => zBloomCols.nonEmpty)) { prev =>
       if (prev == v) staged.map(_._1)
       else staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
     }
@@ -1199,7 +1213,8 @@ object Manifest {
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val snap = snapshotOf(spark, path, version)
     commit(spark, path, snap.props + ("restored.from" -> version.toString),
-      _ => snap.stats, newSizes = snap.sizes)(_ => snap.files)
+      _ => snap.stats, newSizes = snap.sizes,
+      newBlooms = snap.blooms)(_ => snap.files)
   }
 
   /** The version that was current at `tsMillis` — the largest committed

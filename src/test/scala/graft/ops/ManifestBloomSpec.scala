@@ -120,6 +120,22 @@ class ManifestBloomSpec extends SparkSpec {
       Manifest.read(spark, dir).count())
   }
 
+  test("compaction rebuilds blooms for its rewritten files") {
+    val dir = tmp("mfb_compact")
+    Manifest.appendWithBloom(scattered(1500, 5), dir, Seq("id"))
+    Manifest.appendWithBloom(scattered(1500, 5).withColumn("id", col("id") + 10000), dir, Seq("id"))
+    Manifest.compact(spark, dir, targetFileBytes = 1L << 30) // → 1 file
+    // the compacted file is the only file, and it must carry a bloom again
+    val keepHit = Manifest.pointCandidates(spark, dir, "id", 10042L)
+    assert(keepHit.size == 1)
+    // absent keys: the rebuilt bloom rejects all but ~fpp of them (a
+    // single-key assert would flake on the 1% false-positive rate)
+    val fpKept = (0 until 100).map(i => 500000L + i * 13)
+      .count(k => Manifest.pointCandidates(spark, dir, "id", k).nonEmpty)
+    assert(fpKept <= 10, s"rebuilt bloom kept $fpKept/100 absent keys (fpp=0.01)")
+    assert(Manifest.readPoint(spark, dir, "id", 10042L).count() == 1)
+  }
+
   test("vacuum removes dropped files' bloom sidecars with them") {
     val dir = tmp("mfb_vac")
     Manifest.appendWithBloom(scattered(500, 2), dir, Seq("id"))
