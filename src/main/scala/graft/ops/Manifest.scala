@@ -717,7 +717,16 @@ object Manifest {
       partCols: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType,
       options: Map[String, String],
-      blooms: Map[String, Seq[String]] = Map.empty)
+      blooms: Map[String, Seq[String]] = Map.empty,
+      rows: Map[String, Long] = Map.empty) {
+    /** Exact table row count, known iff every file has a recorded count —
+      * what lets `SELECT count(*)` skip the scan entirely.
+      */
+    def knownRowCount: Option[Long] =
+      if (entries.forall { case (rel, _) => rows.contains(rel) })
+        Some(entries.map { case (rel, _) => rows(rel) }.sum)
+      else None
+  }
 
   def tableInfo(spark: SparkSession, path: String, version: Long = -1L): TableInfo = {
     val v = if (version < 0) latestVersion(spark, path) else version
@@ -742,7 +751,7 @@ object Manifest {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     TableInfo(qroot, entries, snap.stats, partCols, dataSchema,
       if (merge) Map("mergeSchema" -> "true") else Map.empty,
-      snap.blooms)
+      snap.blooms, snap.rows)
   }
 
   /** Read only the files of the partitions matching `values` (col→value,

@@ -2633,6 +2633,25 @@ object ExtendedQueries {
              |ORDER BY version""".stripMargin)
     ),
 
+    // The same metadata-only count through CATALYST: the
+    // MetadataOnlyCount optimizer rule (injectable via
+    // spark.sql.extensions=graft.plans.GraftSparkExtensions) collapses an
+    // ungrouped, unfiltered SQL count(*) over a manifest relation into a
+    // LocalRelation carrying the manifest's recorded row total — no scan
+    // in the plan at all (plan pinned by MetadataOnlyCountSpec). The
+    // oracle recounts the raw table.
+    QueryDef(
+      "manifest_meta_count_sql",
+      (s, dir) => {
+        graft.plans.MetadataOnlyCount.install(s)
+        val path = manifestCountFor(s, dir)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_meta_cnt " +
+          s"USING `graft-manifest` OPTIONS (path '$path')")
+        s.sql("SELECT count(*) AS n_rows FROM graft_meta_cnt")
+      },
+      Some("SELECT count(*) AS n_rows FROM orders")
+    ),
+
     // The transactional manifest layer under the driver's oracle gate:
     // lineitem is published once per JVM as a stats-carrying manifest
     // dataset (range-clustered on l_orderkey, per-file bounds recorded),

@@ -40,7 +40,8 @@ final class ManifestFileIndex(
     entries: Seq[(String, FileStatus)],
     stats: Map[String, Map[String, (Double, Double)]],
     partCols: Seq[String],
-    blooms: Map[String, Seq[String]] = Map.empty) extends FileIndex {
+    blooms: Map[String, Seq[String]] = Map.empty,
+    val knownRowCount: Option[Long] = None) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -179,7 +180,7 @@ object ManifestFileIndex {
                info: graft.ops.Manifest.TableInfo): HadoopFsRelation = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val index = new ManifestFileIndex(cs, info.root, info.entries,
-      info.stats, info.partCols, info.blooms)
+      info.stats, info.partCols, info.blooms, info.knownRowCount)
     HadoopFsRelation(index, new StructType(), info.dataSchema,
       None, new ParquetFileFormat, info.options)(cs)
   }
@@ -285,7 +286,8 @@ final class ManifestStreamSource(
     val addedSet = added.map(_._1).toSet
     val info = full.copy(entries = added,
       stats = full.stats.view.filterKeys(addedSet).toMap,
-      blooms = full.blooms.view.filterKeys(addedSet).toMap)
+      blooms = full.blooms.view.filterKeys(addedSet).toMap,
+      rows = full.rows.view.filterKeys(addedSet).toMap)
     classic.Dataset.ofRows(spark,
       LogicalRelation(ManifestFileIndex.relation(spark, info), isStreaming = true))
   }

@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.Manifest
+import org.apache.spark.sql.functions._
+
+/** The metadata-only count(*) rule: the optimized plan must contain NO
+  * file scan (the aggregate collapses to a LocalRelation carrying the
+  * manifest's recorded row total), the value must match a real scan, and
+  * anything the rule cannot prove — filters, grouping, count(col) —
+  * must be left alone.
+  */
+class MetadataOnlyCountSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ds"
+
+  private def fixture(): String = {
+    val dir = tmp("metacount")
+    Manifest.append(spark.range(0, 700).toDF("id")
+      .withColumn("v", col("id") % 5).repartition(3), dir)
+    Manifest.append(spark.range(700, 1000).toDF("id")
+      .withColumn("v", col("id") % 5).repartition(2), dir)
+    dir
+  }
+
+  private def hasScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+
+  test("count(*) over a manifest table collapses to the manifest's row facts") {
+    MetadataOnlyCount.install(spark)
+    val dir = fixture()
+    val cnt = Manifest.table(spark, dir).agg(count(lit(1)).as("n"))
+    assert(!hasScan(cnt), "count(*) should not plan a scan:\n" +
+      cnt.queryExecution.optimizedPlan)
+    assert(cnt.head.getLong(0) == 1000L)
+    // SQL through the format too, including time travel
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_cnt_v " +
+      s"USING `graft-manifest` OPTIONS (path '$dir')")
+    val sqlCnt = spark.sql("SELECT count(*) AS n FROM meta_cnt_v")
+    assert(!hasScan(sqlCnt) && sqlCnt.head.getLong(0) == 1000L)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_cnt_v1 " +
+      s"USING `graft-manifest` OPTIONS (path '$dir', version '1')")
+    val v1Cnt = spark.sql("SELECT count(*) AS n FROM meta_cnt_v1")
+    assert(!hasScan(v1Cnt) && v1Cnt.head.getLong(0) == 700L)
+  }
+
+  test("filters, grouping, and count(col) keep their scans") {
+    MetadataOnlyCount.install(spark)
+    val dir = fixture()
+    val t = Manifest.table(spark, dir)
+    val filtered = t.filter(col("id") < 10).agg(count(lit(1)).as("n"))
+    assert(hasScan(filtered) && filtered.head.getLong(0) == 10L)
+    val grouped = t.groupBy("v").agg(count(lit(1)).as("n"))
+    assert(hasScan(grouped) && grouped.count() == 5)
+    val countCol = t.agg(count(col("id")).as("n"))
+    assert(hasScan(countCol) && countCol.head.getLong(0) == 1000L)
+  }
+
+  test("the SparkSessionExtensions entry point registers the rule") {
+    // `spark.sql.extensions` is a STATIC conf — it applies only at the
+    // first session creation in a JVM, so an end-to-end check would need
+    // a fresh SparkContext. Verify the injection itself via the
+    // same-package shim instead; rule behavior is covered above through
+    // the install() path (the identical Rule object).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    val rules = org.apache.spark.sql.GraftShim.injectedOptimizerRules(ext, spark)
+    assert(rules.exists(_ eq MetadataOnlyCount))
+  }
+}
