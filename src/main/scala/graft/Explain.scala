@@ -36,6 +36,10 @@ object Explain {
       // sketch-vs-exact tolerance verdicts: the estimate row (1 row) is
       // crossed with the exact-answer row (1 row) to form the verdict
       "agg_hll_mergeable", "agg_kll_mergeable", "agg_hll_intersection")
+    // Queries whose plan is METADATA-ONLY by design: the optimizer
+    // collapses the scan+aggregate to a LocalRelation, so "no
+    // WholeStageCodegen" means "no work", not "interpreted work".
+    val intentionalNoCodegen = Set("manifest_meta_count_sql")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers
@@ -50,7 +54,9 @@ object Explain {
             !intentionalBnlj.contains(name)),
           "BNLJ(intentional)" -> (plan.contains("BroadcastNestedLoopJoin") &&
             intentionalBnlj.contains(name)),
-          "no-codegen" -> !(plan.contains("WholeStageCodegen") || plan.contains("*("))
+          "no-codegen" -> (!(plan.contains("WholeStageCodegen") || plan.contains("*(")) &&
+            !intentionalNoCodegen.contains(name)),
+          "metadata-only" -> intentionalNoCodegen.contains(name)
         ).collect { case (s, true) => s }
         println(s"\n===== $name ${if (smells.nonEmpty) "SMELLS: " + smells.mkString(",") else ""}")
         println(df.queryExecution.explainString(

@@ -68,6 +68,18 @@ final class ManifestFileIndex(
       kept.map { case (_, st) => FileStatusWithMetadata(st) }))
   }
 
+  /** Table-wide [min, max] of `c` in the stats encoding, known iff EVERY
+    * file records bounds for it (a file whose column is all-null records
+    * none, which soundly disables the metadata answer — min/max ignore
+    * nulls only when at least one value exists per file).
+    */
+  def knownBounds(c: String): Option[(Double, Double)] = {
+    if (entries.isEmpty) return None
+    val bs = entries.map { case (rel, _) => stats.get(rel).flatMap(_.get(c)) }
+    if (bs.exists(_.isEmpty)) None
+    else Some((bs.map(_.get._1).min, bs.map(_.get._2).max))
+  }
+
   /** Conservative three-valued pruning: false ONLY when the filter
     * provably matches no row of the file.
     */

@@ -48,6 +48,30 @@ class MetadataOnlyCountSpec extends SparkSpec {
     assert(!hasScan(v1Cnt) && v1Cnt.head.getLong(0) == 700L)
   }
 
+  test("min/max over recorded bounds answer from metadata; gaps keep the scan") {
+    MetadataOnlyCount.install(spark)
+    val dir = tmp("metaminmax")
+    Manifest.appendWithStats(spark.range(0, 400).toDF("id")
+      .withColumn("v", col("id") % 5).repartition(3), dir, Seq("id"))
+    Manifest.appendWithStats(spark.range(400, 900).toDF("id")
+      .withColumn("v", col("id") % 5).repartition(2), dir, Seq("id"))
+    val t = Manifest.table(spark, dir)
+    val mm = t.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      count(lit(1)).as("n"))
+    assert(!hasScan(mm), "min/max/count should be metadata-only:\n" +
+      mm.queryExecution.optimizedPlan)
+    val r = mm.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 899L && r.getLong(2) == 900L)
+    // v has no recorded bounds → scan stays, values still right
+    val noStats = t.agg(min(col("v")).as("lo"))
+    assert(hasScan(noStats) && noStats.head.getLong(0) == 0L)
+    // a computed alias REUSING a stats column's name must not read its
+    // bounds: -id aliased as "id"
+    val trap = t.select((-col("id")).as("id")).agg(min(col("id")).as("lo"))
+    assert(hasScan(trap), "aliased expression must not hit column bounds")
+    assert(trap.head.getLong(0) == -899L)
+  }
+
   test("filters, grouping, and count(col) keep their scans") {
     MetadataOnlyCount.install(spark)
     val dir = fixture()
