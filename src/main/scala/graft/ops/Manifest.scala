@@ -60,7 +60,20 @@ object Manifest {
                             stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                             sizes: Map[String, Long] = Map.empty,
                             rows: Map[String, Long] = Map.empty,
-                            blooms: Map[String, Seq[String]] = Map.empty)
+                            blooms: Map[String, Seq[String]] = Map.empty,
+                            strs: Map[String, Map[String, StrBound]] = Map.empty,
+                            nulls: Map[String, Map[String, Long]] = Map.empty)
+
+  /** Per-file string bounds (`#filestr` lines). `lo`/`hi` are VALID bounds
+    * (lo ≤ every value ≤ hi in code-point order) but possibly inexact:
+    * values longer than [[StrBoundCap]] code points are truncated — the
+    * lower bound by plain prefix (a prefix sorts ≤ the original), the
+    * upper bound Iceberg-style (truncate, then increment the last code
+    * point so the result sorts ≥ the original). `exact` is true only when
+    * BOTH bounds are the untruncated min/max, which is what lets a
+    * metadata-only `min(col)`/`max(col)` answer be exact.
+    */
+  final case class StrBound(lo: String, hi: String, exact: Boolean)
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -76,7 +89,9 @@ object Manifest {
                      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                      sizes: Map[String, Long] = Map.empty,
                      rows: Map[String, Long] = Map.empty,
-                     blooms: Map[String, Seq[String]] = Map.empty): String = {
+                     blooms: Map[String, Seq[String]] = Map.empty,
+                     strs: Map[String, Map[String, StrBound]] = Map.empty,
+                     nulls: Map[String, Map[String, Long]] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -92,8 +107,17 @@ object Manifest {
       case (f, cs) if cs.nonEmpty =>
         s"#bloom ${enc(f)} ${cs.map(enc).mkString(",")}"
     }
-    ((Header +: propLines) ++ statLines ++ sizeLines ++ rowLines ++
-      bloomLines ++ files :+ footer(files.size)).mkString("\n")
+    val strLines = strs.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"#filestr ${enc(f)} ${enc(c)} ${enc(b.lo)} ${enc(b.hi)} ${if (b.exact) "e" else "t"}"
+      }
+    }
+    val nullLines = nulls.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, n) => s"#nulls ${enc(f)} ${enc(c)} $n" }
+    }
+    ((Header +: propLines) ++ statLines ++ strLines ++ nullLines ++
+      sizeLines ++ rowLines ++ bloomLines ++ files :+ footer(files.size))
+      .mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -137,7 +161,26 @@ object Manifest {
         case _ => None
       }
     }.toMap
-    Some(Snapshot(files, props, stats, sizes, rows, blooms))
+    val strs = lines.filter(_.startsWith("#filestr ")).flatMap { l =>
+      l.stripPrefix("#filestr ").split(' ') match {
+        case Array(f, c, lo, hi, ex) =>
+          scala.util.Try(
+            (dec(f), dec(c), StrBound(dec(lo), dec(hi), ex == "e"))).toOption
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> r._3).toMap
+    }
+    val nulls = lines.filter(_.startsWith("#nulls ")).flatMap { l =>
+      l.stripPrefix("#nulls ").split(' ') match {
+        case Array(f, c, n) =>
+          scala.util.Try((dec(f), dec(c), n.toLong)).toOption
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> r._3).toMap
+    }
+    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -253,7 +296,9 @@ object Manifest {
                      statsFor: Long => Map[String, Map[String, (Double, Double)]] =
                        _ => Map.empty,
                      newSizes: Map[String, Long] = Map.empty,
-                     newBlooms: Map[String, Seq[String]] = Map.empty)
+                     newBlooms: Map[String, Seq[String]] = Map.empty,
+                     newStrs: Map[String, Map[String, StrBound]] = Map.empty,
+                     newNulls: Map[String, Map[String, Long]] = Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -305,10 +350,17 @@ object Manifest {
       // bloom availability from the manifest, no filesystem probing
       val bloomDecls = (prevSnap.map(_.blooms).getOrElse(Map.empty)
         ++ newBlooms).view.filterKeys(files.toSet).toMap
+      // string bounds and null counts are per-file facts like sizes:
+      // carried files keep the previous version's, staged files bring
+      // their own — no call-site plumbing for carry-over
+      val strBounds = (prevSnap.map(_.strs).getOrElse(Map.empty)
+        ++ newStrs).view.filterKeys(files.toSet).toMap
+      val nullCounts = (prevSnap.map(_.nulls).getOrElse(Map.empty)
+        ++ newNulls).view.filterKeys(files.toSet).toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props, stats, sizes, rowCounts, bloomDecls)
-          .getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, props, stats, sizes, rowCounts, bloomDecls,
+          strBounds, nullCounts).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -339,9 +391,10 @@ object Manifest {
                          props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
-    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
+    val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, props + ("stats.cols" -> statsCols.mkString(",")),
-      _ => newStats, newSizes = staged.toMap)(_ => staged.map(_._1))
+      _ => facts.nums, newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls)(_ => staged.map(_._1))
   }
 
   /** Publish `df` as the next version APPENDED to the current one: the
@@ -403,12 +456,13 @@ object Manifest {
                       props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
-    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
+    val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("stats.cols" -> statsCols.mkString(","))
     commit(spark, path, allProps,
       prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
-        else snapshotOf(spark, path, prev).stats) ++ newStats,
-      newSizes = staged.toMap) { prev =>
+        else snapshotOf(spark, path, prev).stats) ++ facts.nums,
+      newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -506,14 +560,15 @@ object Manifest {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
     writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp)
-    val newStats = computeStats(spark, path, staged.map(_._1), statsCols)
+    val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("bloom.cols" -> bloomCols.mkString(",")) ++
       (if (statsCols.nonEmpty) Map("stats.cols" -> statsCols.mkString(",")) else Map.empty)
     commit(spark, path, allProps,
       prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
-        else snapshotOf(spark, path, prev).stats) ++ newStats,
+        else snapshotOf(spark, path, prev).stats) ++ facts.nums,
       newSizes = staged.toMap,
-      newBlooms = staged.map(_._1 -> bloomCols).toMap) { prev =>
+      newBlooms = staged.map(_._1 -> bloomCols).toMap,
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -647,33 +702,114 @@ object Manifest {
     }
   }
 
-  /** Per-file [min, max] of `cols` over exactly the given files: one
-    * aggregation grouped by `input_file_name()` — cost bounded by the
+  /** Longest string bound recorded verbatim; longer values are truncated
+    * (Iceberg's binary-truncate idea, at code-point granularity).
+    */
+  private[graft] val StrBoundCap = 64
+
+  /** Compare two strings in CODE POINT order — the order Spark's own
+    * min/max uses (UTF8String comparison is unsigned byte order over
+    * UTF-8, which coincides with code-point lexicographic order). Java's
+    * `String.compareTo` does NOT (UTF-16 code units put U+E000..U+FFFF
+    * above supplementary characters), so pruning decisions against
+    * recorded string bounds must go through this.
+    */
+  def cpCompare(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val x = ai.nextInt(); val y = bi.nextInt()
+      if (x != y) return Integer.compare(x, y)
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  /** Smallest string strictly greater than every string with prefix `s`:
+    * increment the last incrementable code point (skipping the surrogate
+    * hole). None when no position can be incremented — the caller must
+    * then treat the upper side as unbounded.
+    */
+  def cpSuccessor(s: String): Option[String] = {
+    var i = s.codePointCount(0, s.length) - 1
+    while (i >= 0) {
+      val off = s.offsetByCodePoints(0, i)
+      val cp = s.codePointAt(off)
+      if (cp < Character.MAX_CODE_POINT && !Character.isSurrogate(s.charAt(off))) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+        return Some(s.substring(0, off) + new String(Character.toChars(next)))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Truncate to a LOWER bound: a strict prefix sorts ≤ the original. */
+  private def truncLo(s: String): (String, Boolean) =
+    if (s.codePointCount(0, s.length) <= StrBoundCap) (s, true)
+    else (s.substring(0, s.offsetByCodePoints(0, StrBoundCap)), false)
+
+  /** Truncate to an UPPER bound: cut to the cap, then take the successor
+    * of the prefix so the result sorts ≥ every string it bounded. None
+    * when no valid successor exists (give up — record no bound).
+    */
+  private def truncHi(s: String): Option[(String, Boolean)] =
+    if (s.codePointCount(0, s.length) <= StrBoundCap) Some((s, true))
+    else cpSuccessor(s.substring(0, s.offsetByCodePoints(0, StrBoundCap)))
+      .map(h => (h, false))
+
+  private[ops] final case class FileFacts(
+      nums: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      strs: Map[String, Map[String, StrBound]] = Map.empty,
+      nulls: Map[String, Map[String, Long]] = Map.empty)
+
+  /** Per-file facts for `cols` over exactly the given files — min/max
+    * bounds (numeric encoding for numerics/dates, code-point-ordered
+    * truncated bounds for strings) and a null count per column — from ONE
+    * aggregation grouped by `input_file_name()`: cost bounded by the
     * batch being committed, never the dataset.
     */
-  private def computeStats(spark: SparkSession, path: String, files: Seq[String],
-                           cols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+  private def computeFacts(spark: SparkSession, path: String, files: Seq[String],
+                           cols: Seq[String]): FileFacts = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty || cols.isEmpty) return Map.empty
+    if (files.isEmpty || cols.isEmpty) return FileFacts()
     val src = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val isStr = cols.map(c =>
+      c -> (src.schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
     val aggs = cols.flatMap { c =>
-      Seq(min(statEncode(src, c)).as(s"lo__$c"),
-        max(statEncode(src, c)).as(s"hi__$c"))
+      val bound = if (isStr(c)) col(c) else statEncode(src, c)
+      Seq(min(bound).as(s"lo__$c"), max(bound).as(s"hi__$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn__$c"))
     }
     val rows = src
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    rows.toSeq.flatMap { r =>
+    val perFile = rows.toSeq.flatMap { r =>
       val uri = r.getString(0)
       files.find(f => uri.endsWith(f)).map { rel =>
-        rel -> cols.flatMap { c =>
+        val nums = cols.filterNot(isStr).flatMap { c =>
           val lo = r.getAs[java.lang.Double](s"lo__$c")
           val hi = r.getAs[java.lang.Double](s"hi__$c")
           if (lo == null || hi == null) None
           else Some(c -> (lo.doubleValue(), hi.doubleValue()))
         }.toMap
+        val strBounds = cols.filter(isStr).flatMap { c =>
+          val lo = r.getAs[String](s"lo__$c")
+          val hi = r.getAs[String](s"hi__$c")
+          if (lo == null || hi == null) None
+          else {
+            val (l, le) = truncLo(lo)
+            truncHi(hi).map { case (h, he) => c -> StrBound(l, h, le && he) }
+          }
+        }.toMap
+        val nullCounts = cols.flatMap { c =>
+          Option(r.getAs[java.lang.Long](s"nn__$c")).map(c -> _.longValue())
+        }.toMap
+        (rel, nums, strBounds, nullCounts)
       }
-    }.toMap
+    }
+    FileFacts(
+      perFile.map(p => p._1 -> p._2).filter(_._2.nonEmpty).toMap,
+      perFile.map(p => p._1 -> p._3).filter(_._2.nonEmpty).toMap,
+      perFile.map(p => p._1 -> p._4).filter(_._2.nonEmpty).toMap)
   }
 
   /** Read a version (default: latest) as a DataFrame — an explicit file
@@ -718,7 +854,9 @@ object Manifest {
       dataSchema: org.apache.spark.sql.types.StructType,
       options: Map[String, String],
       blooms: Map[String, Seq[String]] = Map.empty,
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      strs: Map[String, Map[String, StrBound]] = Map.empty,
+      nulls: Map[String, Map[String, Long]] = Map.empty) {
     /** Exact table row count, known iff every file has a recorded count —
       * what lets `SELECT count(*)` skip the scan entirely.
       */
@@ -751,7 +889,7 @@ object Manifest {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     TableInfo(qroot, entries, snap.stats, partCols, dataSchema,
       if (merge) Map("mergeSchema" -> "true") else Map.empty,
-      snap.blooms, snap.rows)
+      snap.blooms, snap.rows, snap.strs, snap.nulls)
   }
 
   /** Read only the files of the partitions matching `values` (col→value,
@@ -920,12 +1058,13 @@ object Manifest {
     }
     if (toStage.isEmpty) return v
     val staged = stageSized(toStage.get, path, partCols)
-    val newStats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
-      else computeStats(spark, path, staged.map(_._1), statsCols)
+    val facts =
+      if (statsCols.isEmpty) FileFacts()
+      else computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, snap.props,
-      prev => snapshotOf(spark, path, prev).stats ++ newStats,
-      newSizes = staged.toMap) { prev =>
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
       manifestFiles(spark, path, prev).filterNot(touched.toSet) ++ staged.map(_._1)
     }
   }
@@ -961,12 +1100,13 @@ object Manifest {
     val kept = spark.read.parquet(touched.map(f => s"$path/$f"): _*)
       .filter(!condition)
     val staged = stageSized(kept, path, partCols)
-    val newStats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, (Double, Double)]]
-      else computeStats(spark, path, staged.map(_._1), statsCols)
+    val facts =
+      if (statsCols.isEmpty) FileFacts()
+      else computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, snap.props,
-      prev => snapshotOf(spark, path, prev).stats ++ newStats,
-      newSizes = staged.toMap) { prev =>
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
       // rebase-safe: a concurrent append's files aren't in `touched` and
       // survive; concurrent writers of the SAME files last-writer-win at
       // the version level (the documented upsert semantics)
@@ -1146,10 +1286,10 @@ object Manifest {
     val staged = stageSized(compacted, path, partCols)
     // a stats-carrying dataset keeps its file-skipping power through the
     // rewrite: recompute bounds for the compacted files
-    val newStats = props.get("stats.cols") match {
+    val facts = props.get("stats.cols") match {
       case Some(cs) if cs.nonEmpty =>
-        computeStats(spark, path, staged.map(_._1), cs.split(',').toSeq)
-      case _ => Map.empty[String, Map[String, (Double, Double)]]
+        computeFacts(spark, path, staged.map(_._1), cs.split(',').toSeq)
+      case _ => FileFacts()
     }
     // a bloom-indexed dataset keeps its point-lookup power too: rebuild
     // sidecars for the rewritten files (cost bounded by the rewrite batch,
@@ -1160,9 +1300,10 @@ object Manifest {
       writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp = 0.01)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
-       else snapshotOf(spark, path, prev).stats) ++ newStats,
+       else snapshotOf(spark, path, prev).stats) ++ facts.nums,
       newSizes = staged.toMap,
-      newBlooms = staged.map(_._1 -> bloomCols).toMap.filter(_ => bloomCols.nonEmpty)) { prev =>
+      newBlooms = staged.map(_._1 -> bloomCols).toMap.filter(_ => bloomCols.nonEmpty),
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
       if (prev == v) staged.map(_._1)
       else {
         // an append landed while we compacted: keep its files alongside
@@ -1170,6 +1311,94 @@ object Manifest {
         val baseline = files.toSet
         staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(baseline)
       }
+    }
+  }
+
+  /** Backfill per-file facts (min/max bounds, string bounds, null
+    * counts) for `cols` — ANALYZE TABLE for the manifest layer: a
+    * dataset created by plain appends (or before stats existed) gains
+    * file skipping and metadata-only aggregates retroactively, in ONE
+    * commit, without rewriting a byte of data. Costs one scan of only
+    * the files MISSING facts (the null-count fact is the completeness
+    * marker: [[computeFacts]] always records one per column), so
+    * re-running after an append analyzes just the new files. Returns the
+    * current version unchanged when nothing is missing.
+    */
+  def analyze(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val snap = snapshotOf(spark, path, v)
+    val missing = snap.files.filter(f =>
+      cols.exists(c => !snap.nulls.get(f).exists(_.contains(c))))
+    if (missing.isEmpty) return v
+    val facts = computeFacts(spark, path, missing, cols)
+    commit(spark, path, snap.props + ("stats.cols" -> cols.mkString(",")),
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newStrs = facts.strs, newNulls = facts.nulls)(
+      prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Bin-packing compaction (Delta OPTIMIZE's file-selection semantics):
+    * coalesce only files SMALLER than `minFileBytes` into
+    * ~`targetFileBytes` outputs, leaving every right-sized file untouched
+    * — path-identical manifest entries keep their recorded bounds, null
+    * counts, row counts, and bloom sidecars. This, not [[compact]]'s full
+    * rewrite, is the steady-state maintenance op at 100 TB: streaming
+    * appends leave a small-file tail, and picking up ONLY that tail costs
+    * the tail, never the table. Partitioned layouts restage through the
+    * partitioned writer, so packed rows land back in their `__p_c=v`
+    * dirs (files of different partitions merge only at the task level,
+    * never in one output file). Returns the current version unchanged
+    * when fewer than two small files exist — nothing worth packing.
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        minFileBytes: Long = 32L * 1024 * 1024,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    def sizeOf(f: String): Long =
+      snap.sizes.getOrElse(f, fs.getFileStatus(new Path(root, f)).getLen)
+    val small = snap.files.filter(f => sizeOf(f) < minFileBytes)
+    if (small.size < 2) return v
+    val smallBytes = small.map(sizeOf).sum
+    val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val reader =
+      if (snap.props.get("merge.schema").contains("true"))
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+    val src = reader.parquet(small.map(f => s"$path/$f"): _*)
+    // keep the dataset's clustering discipline for the packed outputs:
+    // range on the stats columns when declared, plain coalesce otherwise
+    val packed = snap.props.get("stats.cols") match {
+      case Some(cs) if cs.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        src.repartitionByRange(nFiles, cs.split(',').map(col).toSeq: _*)
+      case _ => src.repartition(nFiles)
+    }
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val staged = stageSized(packed, path, partCols)
+    val facts = snap.props.get("stats.cols") match {
+      case Some(cs) if cs.nonEmpty =>
+        computeFacts(spark, path, staged.map(_._1), cs.split(',').toSeq)
+      case _ => FileFacts()
+    }
+    val bloomCols = snap.props.get("bloom.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    if (bloomCols.nonEmpty)
+      writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp = 0.01)
+    val smallSet = small.toSet
+    commit(spark, path, snap.props + ("packed.from" -> v.toString),
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newSizes = staged.toMap,
+      newBlooms = staged.map(_._1 -> bloomCols).toMap.filter(_ => bloomCols.nonEmpty),
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
+      // rebase-safe: a concurrent append's files aren't in smallSet and
+      // carry over untouched
+      manifestFiles(spark, path, prev).filterNot(smallSet) ++ staged.map(_._1)
     }
   }
 
@@ -1196,7 +1425,7 @@ object Manifest {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val staged = stageSized(
       ZOrder.cluster(read(spark, path, v), zCols, nFiles), path, zPartCols)
-    val newStats = computeStats(spark, path, staged.map(_._1), zCols)
+    val zFacts = computeFacts(spark, path, staged.map(_._1), zCols)
     // same bloom preservation as compact()
     val zBloomCols = props.get("bloom.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
@@ -1204,9 +1433,10 @@ object Manifest {
       writeBlooms(spark, path, staged.map(_._1), zBloomCols, fpp = 0.01)
     commit(spark, path, props, prev =>
       (if (prev == v) Map.empty[String, Map[String, (Double, Double)]]
-       else snapshotOf(spark, path, prev).stats) ++ newStats,
+       else snapshotOf(spark, path, prev).stats) ++ zFacts.nums,
       newSizes = staged.toMap,
-      newBlooms = staged.map(_._1 -> zBloomCols).toMap.filter(_ => zBloomCols.nonEmpty)) { prev =>
+      newBlooms = staged.map(_._1 -> zBloomCols).toMap.filter(_ => zBloomCols.nonEmpty),
+      newStrs = zFacts.strs, newNulls = zFacts.nulls) { prev =>
       if (prev == v) staged.map(_._1)
       else staged.map(_._1) ++ manifestFiles(spark, path, prev).filterNot(files.toSet)
     }
@@ -1223,7 +1453,8 @@ object Manifest {
     val snap = snapshotOf(spark, path, version)
     commit(spark, path, snap.props + ("restored.from" -> version.toString),
       _ => snap.stats, newSizes = snap.sizes,
-      newBlooms = snap.blooms)(_ => snap.files)
+      newBlooms = snap.blooms,
+      newStrs = snap.strs, newNulls = snap.nulls)(_ => snap.files)
   }
 
   /** The version that was current at `tsMillis` — the largest committed

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types._
   * and it composes with time travel, since the facts come from whichever
   * version the relation was resolved at.
   *
-  * Strictly conservative: any grouping, any filter, count(col) (null
-  * semantics), DISTINCT, a file without the needed fact, a bounds
-  * encoding the column type can't round-trip exactly (timestamps,
-  * longs beyond 2^53), or a min/max argument that isn't literally a
-  * relation column leaves the plan untouched.
+  * Answerable shapes: `count(*)` from `#rows` facts; `count(col)` from
+  * `#rows` minus the column's `#nulls` fact; numeric/date `min`/`max`
+  * from `#filestat` bounds; string `min`/`max` from EXACT (untruncated)
+  * `#filestr` bounds. Strictly conservative: any grouping, any filter,
+  * DISTINCT, a file without the needed fact, a bounds encoding the
+  * column type can't round-trip exactly (timestamps, longs beyond 2^53,
+  * truncated string bounds), or an aggregate argument that isn't
+  * literally a relation column leaves the plan untouched.
   *
   * Production registration is [[GraftSparkExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftSparkExtensions`);
@@ -36,15 +39,83 @@ import org.apache.spark.sql.types._
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+    case agg @ Aggregate(groupExprs, aggExprs, child, _)
+        if aggExprs.nonEmpty &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
       manifestOf(child) match {
         case Some((idx, relOutput)) =>
-          val vals = aggExprs.map(metaValue(_, idx, relOutput))
-          if (vals.forall(_.isDefined))
-            LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get))))
-          else agg
+          answer(agg, groupExprs.map(_.asInstanceOf[AttributeReference]),
+            aggExprs, idx, relOutput).getOrElse(agg)
         case None => agg
       }
+  }
+
+  /** The whole aggregate as LocalRelation rows, when the manifest can
+    * answer it. Ungrouped → one row over every file. Grouped → the
+    * grouping attributes must all be PARTITION columns whose per-file
+    * `__p_c=v` segments parse and whose string renderings round-trip the
+    * column type exactly; each partition's row is then answered over just
+    * that partition's files (the Iceberg partition-stats idea: `GROUP BY
+    * lang` over 100 TB costs one manifest read).
+    */
+  private def answer(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                     aggExprs: Seq[NamedExpression], idx: ManifestFileIndex,
+                     relOutput: Seq[AttributeReference]): Option[LogicalPlan] = {
+    def relCol(a: AttributeReference): Boolean =
+      relOutput.exists(_.exprId == a.exprId)
+    if (!groupAttrs.forall(relCol)) return None
+    if (groupAttrs.isEmpty) {
+      val vals = aggExprs.map(metaValue(_, idx, idx.relFiles, relOutput))
+      if (vals.forall(_.isDefined))
+        Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals.map(_.get)))))
+      else None
+    } else idx.filesByPartition(groupAttrs.map(_.name)).flatMap { groups =>
+      val rows = groups.toSeq.flatMap { case (key, files) =>
+        idx.knownRowCountOf(files) match {
+          // an all-empty partition produces NO group row under real
+          // execution — emit none; unknown sizes decline the rewrite
+          case Some(0L) => Nil
+          case None => Seq(None)
+          case _ =>
+            val keyVals: Map[Long, Option[Any]] = groupAttrs.zip(key).map {
+              case (a, s) => a.exprId.id -> partInternalValue(a.dataType, s)
+            }.toMap
+            def groupVal(a: AttributeReference): Option[Any] =
+              keyVals.getOrElse(a.exprId.id, None)
+            val vals = aggExprs.map {
+              case a: AttributeReference if keyVals.contains(a.exprId.id) =>
+                groupVal(a)
+              case Alias(a: AttributeReference, _) if keyVals.contains(a.exprId.id) =>
+                groupVal(a)
+              case e => metaValue(e, idx, files, relOutput)
+            }
+            Seq(
+              if (vals.forall(_.isDefined)) Some(InternalRow.fromSeq(vals.map(_.get)))
+              else None)
+        }
+      }
+      if (rows.forall(_.isDefined)) Some(LocalRelation(agg.output, rows.map(_.get)))
+      else None
+    }
+  }
+
+  /** A partition segment's string rendering decoded to the column type's
+    * INTERNAL value — only where `cast(x AS STRING)` provably round-trips
+    * (the rendering the partitioned writer produced). Floats, timestamps,
+    * and decimals render ambiguously and are declined.
+    */
+  private def partInternalValue(dt: DataType, s: String): Option[Any] = dt match {
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case LongType => s.toLongOption.filter(_.toString == s).map(v => v: java.lang.Long)
+    case IntegerType => s.toIntOption.filter(_.toString == s).map(v => v: java.lang.Integer)
+    case ShortType => s.toShortOption.filter(_.toString == s).map(v => v: java.lang.Short)
+    case ByteType => s.toByteOption.filter(_.toString == s).map(v => v: java.lang.Byte)
+    case BooleanType => s.toBooleanOption.filter(_.toString == s).map(v => v: java.lang.Boolean)
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(s)).toOption
+        .filter(_.toString == s)
+        .map(d => d.toEpochDay.toInt: java.lang.Integer)
+    case _ => None
   }
 
   /** The internal-row value of one output aggregate, when the manifest can
@@ -54,6 +125,7 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     * exactly). count(col), DISTINCT, and everything else → None.
     */
   private def metaValue(e: NamedExpression, idx: ManifestFileIndex,
+                        files: Seq[String],
                         relOutput: Seq[AttributeReference]): Option[Any] = {
     // a min/max argument must BE a relation column (matched by exprId —
     // a Project alias that merely REUSES a stats column's name must not
@@ -62,13 +134,28 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
       relOutput.exists(_.exprId == a.exprId)
     e match {
       case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
-        idx.knownRowCount.map(n => n: java.lang.Long)
+        idx.knownRowCountOf(files).map(n => n: java.lang.Long)
+      // count(col) counts NON-NULL rows: answerable when every file
+      // records both its row count and the column's null count
+      case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if relCol(a) =>
+        idx.knownNonNullCountOf(files, a.name).map(n => n: java.lang.Long)
+      case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
+          if relCol(a) && a.dataType == StringType =>
+        idx.knownStrBoundsOf(files, a.name).map { case (lo, _) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(lo) }
+      case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
+          if relCol(a) && a.dataType == StringType =>
+        idx.knownStrBoundsOf(files, a.name).map { case (_, hi) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(hi) }
       case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _)
           if relCol(a) =>
-        idx.knownBounds(a.name).flatMap { case (lo, _) => internalValue(a.dataType, lo) }
+        idx.knownBoundsOf(files, a.name).flatMap { case (lo, _) =>
+          internalValue(a.dataType, lo) }
       case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _)
           if relCol(a) =>
-        idx.knownBounds(a.name).flatMap { case (_, hi) => internalValue(a.dataType, hi) }
+        idx.knownBoundsOf(files, a.name).flatMap { case (_, hi) =>
+          internalValue(a.dataType, hi) }
       case _ => None
     }
   }

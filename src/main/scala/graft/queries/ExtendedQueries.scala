@@ -2724,6 +2724,75 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // STRING file skipping under the oracle gate: documents published
+    // range-clustered on (lang, doc_id) with `#filestr` bounds recorded
+    // (Iceberg's truncated string bounds, code-point ordered), and a
+    // plain declarative equality on the string column prunes whole files
+    // off the manifest list before Spark plans the scan — the rows must
+    // match ordinary SQL over the raw table.
+    QueryDef(
+      "manifest_string_scan",
+      (s, dir) => {
+        val path = manifestStrFor(s, dir)
+        Manifest.table(s, path)
+          .filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang = 'en'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Metadata-only aggregates over STRING facts through pure SQL: with
+    // per-file `#rows`, `#nulls`, and exact `#filestr` bounds recorded,
+    // the MetadataOnlyCount rule answers count(*), count(col), and
+    // string min/max from the manifest alone — no scan in the plan
+    // (pinned by ManifestStringStatsSpec) — and the values must equal
+    // DuckDB's full-table answers.
+    QueryDef(
+      "manifest_meta_agg_sql",
+      (s, dir) => {
+        graft.plans.MetadataOnlyCount.install(s)
+        val path = manifestStrFor(s, dir)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_meta_agg " +
+          s"USING `graft-manifest` OPTIONS (path '$path')")
+        s.sql("""SELECT count(*) AS n_rows, count(lang) AS n_lang,
+                |  min(lang) AS min_lang, max(lang) AS max_lang,
+                |  min(source) AS min_source, max(source) AS max_source
+                |FROM graft_meta_agg""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_rows, count(lang) AS n_lang,
+             |  min(lang) AS min_lang, max(lang) AS max_lang,
+             |  min(source) AS min_source, max(source) AS max_source
+             |FROM documents""".stripMargin)
+    ),
+
+    // Partition-grouped METADATA aggregation under the oracle gate:
+    // documents is published partitioned by lang and analyzed (facts
+    // backfilled in one commit, no data rewrite), and `GROUP BY lang`
+    // with count(*)/count(col)/min/max collapses to the manifest's
+    // per-partition facts — the Iceberg partition-stats idea: this
+    // query over 100 TB costs one manifest read. Values must equal
+    // DuckDB's full-scan answers.
+    QueryDef(
+      "manifest_meta_group_sql",
+      (s, dir) => {
+        graft.plans.MetadataOnlyCount.install(s)
+        val path = manifestPartFor(s, dir)
+        Manifest.table(s, path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), count(col("source")).as("n_src"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, count(source) AS n_src,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Copy-on-write DELETE under the oracle gate: lineitem published
     // range-clustered with stats, a key range deleted through
     // Manifest.delete — only the files whose bounds intersect the range
@@ -2896,6 +2965,36 @@ object ExtendedQueries {
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
       Manifest.append(o.filter(col("o_orderkey") % 2 === 0), path)
       Manifest.append(o.filter(col("o_orderkey") % 2 =!= 0), path)
+      path
+    })
+
+  // documents clustered by (lang, doc_id) with string + numeric bounds
+  // and null counts recorded — the fixture for string file skipping and
+  // the metadata-only string aggregates
+  private val strCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestStrFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    strCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mstr").toString + "/documents"
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartitionByRange(8, col("lang"), col("doc_id"))
+      Manifest.appendWithStats(d, path, Seq("lang", "source", "doc_id"))
+      path
+    })
+
+  // documents partitioned by lang, facts backfilled via analyze — the
+  // fixture for partition-grouped metadata aggregation
+  private val partGroupCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestPartFor(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    partGroupCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mpart").toString + "/documents"
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      Manifest.upsert(d, path, keys = Seq("doc_id"), orderCol = "doc_id",
+        partitionCols = Seq("lang"))
+      Manifest.analyze(s, path, Seq("doc_id", "source"))
       path
     })
 

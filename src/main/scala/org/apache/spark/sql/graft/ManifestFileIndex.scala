@@ -41,7 +41,12 @@ final class ManifestFileIndex(
     stats: Map[String, Map[String, (Double, Double)]],
     partCols: Seq[String],
     blooms: Map[String, Seq[String]] = Map.empty,
-    val knownRowCount: Option[Long] = None) extends FileIndex {
+    val knownRowCount: Option[Long] = None,
+    strs: Map[String, Map[String, graft.ops.Manifest.StrBound]] = Map.empty,
+    nulls: Map[String, Map[String, Long]] = Map.empty,
+    rowsPerFile: Map[String, Long] = Map.empty) extends FileIndex {
+
+  import graft.ops.Manifest.{cpCompare, cpSuccessor}
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -68,16 +73,91 @@ final class ManifestFileIndex(
       kept.map { case (_, st) => FileStatusWithMetadata(st) }))
   }
 
-  /** Table-wide [min, max] of `c` in the stats encoding, known iff EVERY
-    * file records bounds for it (a file whose column is all-null records
-    * none, which soundly disables the metadata answer — min/max ignore
-    * nulls only when at least one value exists per file).
+  /** Every file of the snapshot, by manifest-relative path. */
+  def relFiles: Seq[String] = entries.map(_._1)
+
+  /** [min, max] of `c` in the stats encoding over a file subset, known
+    * iff EVERY file records bounds for it (a file whose column is
+    * all-null records none, which soundly disables the metadata answer —
+    * min/max ignore nulls only when at least one value exists per file).
     */
-  def knownBounds(c: String): Option[(Double, Double)] = {
-    if (entries.isEmpty) return None
-    val bs = entries.map { case (rel, _) => stats.get(rel).flatMap(_.get(c)) }
+  def knownBoundsOf(files: Seq[String], c: String): Option[(Double, Double)] = {
+    if (files.isEmpty) return None
+    val bs = files.map(rel => stats.get(rel).flatMap(_.get(c)))
     if (bs.exists(_.isEmpty)) None
     else Some((bs.map(_.get._1).min, bs.map(_.get._2).max))
+  }
+
+  def knownBounds(c: String): Option[(Double, Double)] =
+    knownBoundsOf(relFiles, c)
+
+  /** (min, max) of STRING column `c` over a file subset, known iff EVERY
+    * file records bounds for it and every bound is EXACT (untruncated) —
+    * a truncated bound is valid for pruning but is not the actual value,
+    * so it cannot answer a metadata-only min/max.
+    */
+  def knownStrBoundsOf(files: Seq[String], c: String): Option[(String, String)] = {
+    if (files.isEmpty) return None
+    val bs = files.map(rel => strs.get(rel).flatMap(_.get(c)))
+    if (bs.exists(b => b.isEmpty || !b.get.exact)) None
+    else {
+      val ord = new Ordering[String] {
+        def compare(a: String, b: String): Int = graft.ops.Manifest.cpCompare(a, b)
+      }
+      Some((bs.map(_.get.lo).min(ord), bs.map(_.get.hi).max(ord)))
+    }
+  }
+
+  def knownStrBounds(c: String): Option[(String, String)] =
+    knownStrBoundsOf(relFiles, c)
+
+  /** Exact row count of a file subset, known iff every file has a
+    * recorded `#rows` fact.
+    */
+  def knownRowCountOf(files: Seq[String]): Option[Long] = {
+    val per = files.map(rowsPerFile.get)
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
+  }
+
+  /** Count of NON-NULL values of `c` over a file subset — what
+    * `count(col)` computes — known iff every file records both its row
+    * count and its null count for the column.
+    */
+  def knownNonNullCountOf(files: Seq[String], c: String): Option[Long] = {
+    val per = files.map { rel =>
+      for { r <- rowsPerFile.get(rel); n <- nulls.get(rel).flatMap(_.get(c)) }
+      yield r - n
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get).sum)
+  }
+
+  def knownNonNullCount(c: String): Option[Long] =
+    knownNonNullCountOf(relFiles, c)
+
+  /** The STRING rendering of partition column `c`'s value for one file,
+    * parsed from its `__p_c=v` path segment; None when the file has no
+    * such segment (mixed lineage) or the value is the hive null marker.
+    */
+  def partitionValueOf(rel: String, c: String): Option[String] = {
+    val pfx = s"__p_$c="
+    rel.split('/').find(_.startsWith(pfx))
+      .map(seg => ExternalCatalogUtils.unescapePathName(seg.stripPrefix(pfx)))
+      .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+  }
+
+  /** Files grouped by the string-rendered values of partition columns
+    * `cs` — defined only when every column is a declared partition column
+    * and EVERY file carries a parseable, non-null segment for each (so a
+    * metadata-grouped answer can never silently drop rows).
+    */
+  def filesByPartition(cs: Seq[String]): Option[Map[Seq[String], Seq[String]]] = {
+    if (cs.isEmpty || !cs.forall(partCols.contains)) return None
+    val keyed = relFiles.map { rel =>
+      val vs = cs.map(c => partitionValueOf(rel, c))
+      if (vs.exists(_.isEmpty)) return None
+      rel -> vs.map(_.get)
+    }
+    Some(keyed.groupBy(_._2).view.mapValues(_.map(_._1)).toMap)
   }
 
   /** Conservative three-valued pruning: false ONLY when the filter
@@ -89,22 +169,52 @@ final class ManifestFileIndex(
     case sources.EqualTo(c, v) => pointAllows(rel, c, v)
     case sources.EqualNullSafe(c, v) if v != null => pointAllows(rel, c, v)
     case sources.GreaterThan(c, v) =>
-      boundsAllow(rel, c, v)((lo, hi, d) => hi > d)
+      boundsAllow(rel, c, v)((lo, hi, d) => hi > d) &&
+        strBoundsAllow(rel, c, v)((lo, hi, s) => cpCompare(hi, s) > 0)
     case sources.GreaterThanOrEqual(c, v) =>
-      boundsAllow(rel, c, v)((lo, hi, d) => hi >= d)
+      boundsAllow(rel, c, v)((lo, hi, d) => hi >= d) &&
+        strBoundsAllow(rel, c, v)((lo, hi, s) => cpCompare(hi, s) >= 0)
     case sources.LessThan(c, v) =>
-      boundsAllow(rel, c, v)((lo, hi, d) => lo < d)
+      boundsAllow(rel, c, v)((lo, hi, d) => lo < d) &&
+        strBoundsAllow(rel, c, v)((lo, hi, s) => cpCompare(lo, s) < 0)
     case sources.LessThanOrEqual(c, v) =>
-      boundsAllow(rel, c, v)((lo, hi, d) => lo <= d)
+      boundsAllow(rel, c, v)((lo, hi, d) => lo <= d) &&
+        strBoundsAllow(rel, c, v)((lo, hi, s) => cpCompare(lo, s) <= 0)
     case sources.In(c, vs) =>
       if (vs == null || vs.isEmpty) false // IN () matches nothing
       else vs.exists(v => v == null || pointAllows(rel, c, v))
-    case _ => true // IsNull/StringStartsWith/Not/…: no sound file-level proof
+    // a file whose recorded null count is 0 has no NULL to contribute
+    case sources.IsNull(c) =>
+      !nulls.get(rel).flatMap(_.get(c)).contains(0L)
+    // a file that is ALL nulls in c (null count == row count) has no
+    // non-NULL row; both facts must be recorded to prove it
+    case sources.IsNotNull(c) =>
+      !(for { n <- nulls.get(rel).flatMap(_.get(c)); r <- rowsPerFile.get(rel) }
+        yield n == r).contains(true)
+    // strings with prefix p occupy [p, successor(p)): the file may hold
+    // one iff hi ≥ p and (when the successor exists) lo < successor(p)
+    case sources.StringStartsWith(c, p) if p != null =>
+      strBoundsAllow(rel, c, p)((lo, hi, s) =>
+        cpCompare(hi, s) >= 0 && cpSuccessor(s).forall(n => cpCompare(lo, n) < 0))
+    case _ => true // Not/StringEndsWith/…: no sound file-level proof
   }
 
   private def pointAllows(rel: String, c: String, v: Any): Boolean =
     boundsAllow(rel, c, v)((lo, hi, d) => d >= lo && d <= hi) &&
+      strBoundsAllow(rel, c, v)((lo, hi, s) =>
+        cpCompare(s, lo) >= 0 && cpCompare(s, hi) <= 0) &&
       segmentAllows(rel, c, v) && bloomAllows(rel, c, v)
+
+  /** Check a STRING literal against the file's recorded (possibly
+    * truncated, always valid) code-point-ordered bounds; files or columns
+    * without string bounds, and non-string literals, pass.
+    */
+  private def strBoundsAllow(rel: String, c: String, v: Any)
+                            (pred: (String, String, String) => Boolean): Boolean =
+    (strs.get(rel).flatMap(_.get(c)), v) match {
+      case (Some(b), s: String) => pred(b.lo, b.hi, s)
+      case _ => true
+    }
 
   // sidecar blooms, loaded lazily once per (file, column) per scan — the
   // manifest's #bloom declarations say which loads can succeed, so files
@@ -192,7 +302,8 @@ object ManifestFileIndex {
                info: graft.ops.Manifest.TableInfo): HadoopFsRelation = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val index = new ManifestFileIndex(cs, info.root, info.entries,
-      info.stats, info.partCols, info.blooms, info.knownRowCount)
+      info.stats, info.partCols, info.blooms, info.knownRowCount,
+      info.strs, info.nulls, info.rows)
     HadoopFsRelation(index, new StructType(), info.dataSchema,
       None, new ParquetFileFormat, info.options)(cs)
   }
@@ -299,7 +410,9 @@ final class ManifestStreamSource(
     val info = full.copy(entries = added,
       stats = full.stats.view.filterKeys(addedSet).toMap,
       blooms = full.blooms.view.filterKeys(addedSet).toMap,
-      rows = full.rows.view.filterKeys(addedSet).toMap)
+      rows = full.rows.view.filterKeys(addedSet).toMap,
+      strs = full.strs.view.filterKeys(addedSet).toMap,
+      nulls = full.nulls.view.filterKeys(addedSet).toMap)
     classic.Dataset.ofRows(spark,
       LogicalRelation(ManifestFileIndex.relation(spark, info), isStreaming = true))
   }

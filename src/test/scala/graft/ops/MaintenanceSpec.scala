@@ -362,6 +362,63 @@ class MaintenanceSpec extends SparkSpec {
     assert(ys.filter(col("k") === 1L).head.getAs[String]("v") == "v1b")
   }
 
+  test("compactSmallFiles packs only the small-file tail; big files carry over") {
+    val dir = java.nio.file.Files.createTempDirectory("mfpack").toString + "/ds"
+    // one "big" file plus a streaming-append tail of tiny ones
+    Manifest.appendWithStats(spark.range(0, 5000).toDF("id").coalesce(1),
+      dir, Seq("id"))
+    (0 until 4).foreach { i =>
+      Manifest.appendWithStats(
+        spark.range(5000 + i * 10, 5000 + (i + 1) * 10).toDF("id").coalesce(1),
+        dir, Seq("id"))
+    }
+    val before = manifestEntries(dir, 5L)
+    assert(before.size == 5)
+    val bigFile = before.head // first append's file
+    val bigLen = new java.io.File(dir, bigFile).length()
+    // threshold between the tail (~hundreds of bytes) and the big file
+    val cv = Manifest.compactSmallFiles(spark, dir, minFileBytes = bigLen,
+      targetFileBytes = 1L << 30)
+    assert(cv == 6L)
+    val after = manifestEntries(dir, cv)
+    assert(after.contains(bigFile), "the big file must carry over path-identical")
+    assert(after.size == 2, s"4 small files should pack into 1: $after")
+    assert(Manifest.read(spark, dir).count() == 5040)
+    assert(Manifest.read(spark, dir, version = 5L).count() == 5040) // time travel
+    // the carried big file kept its bounds; the packed file got fresh ones
+    // — a range filter on either side prunes to one file
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case p if p.nodeName.startsWith("Scan") && p.metrics.contains("numFiles") =>
+          p.metrics("numFiles").value
+      }.sum
+    }
+    def t = Manifest.table(spark, dir)
+    assert(t.filter(col("id") >= 5000).count() == 40)
+    assert(scanned(t.filter(col("id") >= 5000)) == 1)
+    assert(scanned(t.filter(col("id") < 100)) == 1)
+    // fewer than two small files → no-op, same version
+    assert(Manifest.compactSmallFiles(spark, dir, minFileBytes = bigLen) == cv)
+  }
+
+  test("compactSmallFiles restages packed rows into their partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("mfpackp").toString + "/ds"
+    val rows = (1L to 20L).map(i => (i, i, if (i % 2 == 0) "x" else "y"))
+    Manifest.upsert(rows.toDF("k", "seq", "p"), dir, Seq("k"), "seq",
+      partitionCols = Seq("p"))
+    Manifest.upsert(Seq((21L, 1L, "x"), (22L, 1L, "y")).toDF("k", "seq", "p"),
+      dir, Seq("k"), "seq", partitionCols = Seq("p"))
+    val cv = Manifest.compactSmallFiles(spark, dir,
+      minFileBytes = 1L << 20, targetFileBytes = 1L << 30)
+    // every packed file still lives under a __p_p= dir…
+    assert(manifestEntries(dir, cv).forall(_.contains("__p_p=")))
+    // …and partition pruning still sees every row
+    val xs = Manifest.table(spark, dir).filter(col("p") === "x")
+    assert(xs.collect().map(_.getAs[Long]("k")).sorted.toSeq
+      == ((2L to 20L by 2) :+ 21L).sorted)
+  }
+
   test("file stats in the manifest skip non-matching files in readRange") {
     val dir = java.nio.file.Files.createTempDirectory("mfstats").toString + "/ds"
     // three appends with disjoint id ranges → per-file bounds in the manifest

@@ -29,6 +29,12 @@ class ManifestTableSpec extends SparkSpec {
     scans.map(_.metrics("numFiles").value).sum
   }
 
+  private def hasScan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/ds"
 
@@ -213,6 +219,38 @@ class ManifestTableSpec extends SparkSpec {
       && span.filter(col("diff") === "n").count() == 10)
     // identical versions → empty feed
     assert(Manifest.changes(spark, dir, 5, 5, Seq("id"), Seq("v")).isEmpty)
+  }
+
+  test("analyze backfills facts without rewriting data; incremental re-run") {
+    graft.plans.MetadataOnlyCount.install(spark)
+    val dir = tmp("mft_analyze")
+    // plain appends: no facts beyond #rows/#size
+    for (lo <- Seq(0L, 100L, 200L))
+      Manifest.append(spark.range(lo, lo + 100).toDF("id")
+        .withColumn("s", concat(lit("k"), lpad(col("id").cast("string"), 4, "0")))
+        .coalesce(1), dir)
+    def t = Manifest.table(spark, dir)
+    assert(scannedFiles(t.filter(col("id") >= 250)) == 3, "no facts yet → no pruning")
+    val before = Manifest.tableInfo(spark, dir).entries.map(_._1)
+    val av = Manifest.analyze(spark, dir, Seq("id", "s"))
+    assert(av == 4)
+    // same data files, new facts
+    assert(Manifest.tableInfo(spark, dir).entries.map(_._1) == before)
+    assert(scannedFiles(t.filter(col("id") >= 250)) == 1)
+    assert(scannedFiles(t.filter(col("s") >= "k0250")) == 1)
+    // metadata-only aggregates now answerable
+    val agg = t.agg(count(col("s")).as("n"), min(col("s")).as("lo"),
+      max(col("id")).as("hi"))
+    assert(!hasScan(agg))
+    val r = agg.head
+    assert(r.getLong(0) == 300L && r.getString(1) == "k0000" && r.getLong(2) == 299L)
+    // nothing missing → no-op; a new append is analyzed incrementally
+    assert(Manifest.analyze(spark, dir, Seq("id", "s")) == 4)
+    Manifest.append(spark.range(300, 400).toDF("id")
+      .withColumn("s", concat(lit("k"), lpad(col("id").cast("string"), 4, "0")))
+      .coalesce(1), dir)
+    assert(Manifest.analyze(spark, dir, Seq("id", "s")) == 6)
+    assert(scannedFiles(Manifest.table(spark, dir).filter(col("id") >= 350)) == 1)
   }
 
   test("commits record per-file sizes; planning needs no filesystem listing") {

@@ -84,6 +84,57 @@ class MetadataOnlyCountSpec extends SparkSpec {
     assert(hasScan(countCol) && countCol.head.getLong(0) == 1000L)
   }
 
+  test("GROUP BY a partition column answers from per-partition row facts") {
+    MetadataOnlyCount.install(spark)
+    import spark.implicits._
+    val dir = tmp("metagroup")
+    val df = Seq.tabulate(90)(i =>
+      (i.toLong, Seq("en", "fr", "de")(i % 3), if (i % 9 == 0) null else s"s$i"))
+      .toDF("id", "lang", "tag")
+    Manifest.upsert(df, dir, keys = Seq("id"), orderCol = "id",
+      partitionCols = Seq("lang"))
+    // partition-scoped append keeps the layout; facts stay per-file
+    Manifest.upsert(Seq((100L, "en", "x")).toDF("id", "lang", "tag"), dir,
+      keys = Seq("id"), orderCol = "id", partitionCols = Seq("lang"))
+    val t = Manifest.table(spark, dir)
+    val grouped = t.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(!hasScan(grouped), "partition-grouped count should be metadata-only:\n"
+      + grouped.queryExecution.optimizedPlan)
+    val got = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 31L, "fr" -> 30L, "de" -> 30L))
+    // count(col) per partition needs the #nulls fact → absent here: scan
+    val nullCounted = t.groupBy("lang").agg(count(col("tag")).as("n"))
+    assert(hasScan(nullCounted))
+    // grouping by a NON-partition column keeps its scan
+    val nonPart = t.groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(hasScan(nonPart))
+  }
+
+  test("partition-grouped count(col)/min/max answer when facts are recorded") {
+    MetadataOnlyCount.install(spark)
+    import spark.implicits._
+    val dir = tmp("metagroup2")
+    val df = Seq.tabulate(60)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", if (i % 10 == 0) null else s"v$i"))
+      .toDF("id", "p", "s")
+    // stage partitioned WITH stats: upsert writes the layout, then a
+    // stats-recording compaction (partition layout preserved) attaches
+    // bounds and null counts to every live file
+    Manifest.upsert(df, dir, keys = Seq("id"), orderCol = "id",
+      partitionCols = Seq("p"),
+      extraProps = Map("stats.cols" -> "id,s"))
+    Manifest.compact(spark, dir)
+    val t = Manifest.table(spark, dir)
+    val agg = t.groupBy("p").agg(count(lit(1)).as("n"), count(col("s")).as("n_s"),
+      min(col("id")).as("lo"), max(col("id")).as("hi"))
+    assert(!hasScan(agg), "grouped facts should be metadata-only:\n"
+      + agg.queryExecution.optimizedPlan)
+    val got = agg.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // evens are p=a (ids 0..58); i%10==0 nulls are all even
+    assert(got("a") == ((30L, 24L, 0L, 58L)) && got("b") == ((30L, 30L, 1L, 59L)))
+  }
+
   test("the SparkSessionExtensions entry point registers the rule") {
     // `spark.sql.extensions` is a STATIC conf — it applies only at the
     // first session creation in a JVM, so an end-to-end check would need
