@@ -62,7 +62,8 @@ object Manifest {
                             rows: Map[String, Long] = Map.empty,
                             blooms: Map[String, Seq[String]] = Map.empty,
                             strs: Map[String, Map[String, StrBound]] = Map.empty,
-                            nulls: Map[String, Map[String, Long]] = Map.empty)
+                            nulls: Map[String, Map[String, Long]] = Map.empty,
+                            dvs: Map[String, (String, Long)] = Map.empty)
 
   /** Per-file string bounds (`#filestr` lines). `lo`/`hi` are VALID bounds
     * (lo ≤ every value ≤ hi in code-point order) but possibly inexact:
@@ -91,7 +92,8 @@ object Manifest {
                      rows: Map[String, Long] = Map.empty,
                      blooms: Map[String, Seq[String]] = Map.empty,
                      strs: Map[String, Map[String, StrBound]] = Map.empty,
-                     nulls: Map[String, Map[String, Long]] = Map.empty): String = {
+                     nulls: Map[String, Map[String, Long]] = Map.empty,
+                     dvs: Map[String, (String, Long)] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -115,9 +117,12 @@ object Manifest {
     val nullLines = nulls.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, n) => s"#nulls ${enc(f)} ${enc(c)} $n" }
     }
+    val dvLines = dvs.toSeq.sortBy(_._1).map { case (f, (sidecar, n)) =>
+      s"#dv ${enc(f)} ${enc(sidecar)} $n"
+    }
     ((Header +: propLines) ++ statLines ++ strLines ++ nullLines ++
-      sizeLines ++ rowLines ++ bloomLines ++ files :+ footer(files.size))
-      .mkString("\n")
+      sizeLines ++ rowLines ++ bloomLines ++ dvLines ++ files :+
+      footer(files.size)).mkString("\n")
   }
 
   /** None when the text is not a complete committed manifest (in-flight or
@@ -180,7 +185,14 @@ object Manifest {
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map(r => r._2 -> r._3).toMap
     }
-    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls))
+    val dvs = lines.filter(_.startsWith("#dv ")).flatMap { l =>
+      l.stripPrefix("#dv ").split(' ') match {
+        case Array(f, sidecar, n) =>
+          scala.util.Try(dec(f) -> (dec(sidecar), n.toLong)).toOption
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls, dvs))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -298,7 +310,9 @@ object Manifest {
                      newSizes: Map[String, Long] = Map.empty,
                      newBlooms: Map[String, Seq[String]] = Map.empty,
                      newStrs: Map[String, Map[String, StrBound]] = Map.empty,
-                     newNulls: Map[String, Map[String, Long]] = Map.empty)
+                     newNulls: Map[String, Map[String, Long]] = Map.empty,
+                     newDvs: Map[String, (String, Long)] = Map.empty,
+                     carryDvs: Boolean = true)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -357,10 +371,18 @@ object Manifest {
         ++ newStrs).view.filterKeys(files.toSet).toMap
       val nullCounts = (prevSnap.map(_.nulls).getOrElse(Map.empty)
         ++ newNulls).view.filterKeys(files.toSet).toMap
+      // a file's deletion vector is per-file state: carried files keep
+      // theirs unless the call site supersedes it; rewritten files (new
+      // paths) start clean — the rewrite applied the DV while reading.
+      // carryDvs=false makes newDvs the COMPLETE state (restore, which
+      // must resurrect rows the current version has vectored out)
+      val dvState = ((if (carryDvs) prevSnap.map(_.dvs).getOrElse(Map.empty)
+        else Map.empty[String, (String, Long)])
+        ++ newDvs).view.filterKeys(files.toSet).toMap
       try {
         val out = fs.create(manifestPath(root, next), false)
         try out.write(render(files, props, stats, sizes, rowCounts, bloomDecls,
-          strBounds, nullCounts).getBytes("UTF-8")) finally out.close()
+          strBounds, nullCounts, dvState).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -490,7 +512,7 @@ object Manifest {
     // by scanning the (tiny) first file with an always-false residual
     val src =
       if (keep.isEmpty) spark.read.parquet(s"$path/${snap.files.head}")
-      else spark.read.parquet(keep.map(f => s"$path/$f"): _*)
+      else readFilesWithDv(spark, path, snap, keep)
     val enc = statEncode(src, column)
     val pred = enc >= lo && enc <= hi
     if (keep.isEmpty) src.filter(org.apache.spark.sql.functions.lit(false) && pred)
@@ -520,8 +542,11 @@ object Manifest {
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
     val (have, missing) = snap.files.partition(snap.rows.contains)
-    have.map(snap.rows).sum + (if (missing.isEmpty) 0L
-      else spark.read.parquet(missing.map(f => s"$path/$f"): _*).count())
+    // merge-on-read deletes subtract exactly: each `#dv` line carries the
+    // file's cumulative deleted-row count
+    val deleted = have.flatMap(snap.dvs.get).map(_._2).sum
+    have.map(snap.rows).sum - deleted + (if (missing.isEmpty) 0L
+      else readFilesWithDv(spark, path, snap, missing).count())
   }
 
   // ── point lookups: per-file bloom-filter sidecars ────────────────────────
@@ -683,7 +708,7 @@ object Manifest {
     val pred = col(column) === lit(value)
     if (keep.isEmpty)
       spark.read.parquet(s"$path/${snap.files.head}").filter(lit(false) && pred)
-    else spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
+    else readFilesWithDv(spark, path, snap, keep).filter(pred)
   }
 
   /** The numeric encoding a column's bounds are recorded in: dates as
@@ -825,7 +850,20 @@ object Manifest {
       if (snap.props.get("merge.schema").contains("true"))
         spark.read.option("mergeSchema", "true")
       else spark.read
-    reader.parquet(snap.files.map(f => s"$path/$f"): _*)
+    val base = reader.parquet(snap.files.map(f => s"$path/$f"): _*)
+    if (!snap.files.exists(snap.dvs.contains)) base
+    else {
+      import org.apache.spark.sql.functions._
+      val prefix = qualifiedPrefix(spark, path)
+      val dv = dvPairs(spark, path, snap, snap.files).get
+        .withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri")
+      base
+        .withColumn("__gf",
+          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+        .withColumn("__gri", col("_metadata.row_index"))
+        .join(dv, Seq("__gf", "__gri"), "left_anti")
+        .drop("__gf", "__gri")
+    }
   }
 
   /** Read a version (default: latest) through a manifest-backed
@@ -838,8 +876,30 @@ object Manifest {
     * manifest read plus one schema footer. Equivalent rows to [[read]];
     * prefer this for analytical scans with selective predicates.
     */
-  def table(spark: SparkSession, path: String, version: Long = -1L): DataFrame =
-    org.apache.spark.sql.graft.ManifestFileIndex.dataFrame(spark, tableInfo(spark, path, version))
+  def table(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val base = org.apache.spark.sql.graft.ManifestFileIndex
+      .dataFrame(spark, tableInfo(spark, path, version))
+    val v = if (version < 0) latestVersion(spark, path) else version
+    val snap = snapshotOf(spark, path, v)
+    if (snap.dvs.isEmpty) base
+    else {
+      // merge-on-read: anti-join the deletion vectors on (file, row
+      // index). Filters on data columns still push through the join's
+      // left side into manifest-level pruning; metadata-only rewrites
+      // correctly decline (the aggregate no longer sits on a bare
+      // relation, and DV counts would falsify the facts).
+      import org.apache.spark.sql.functions._
+      val prefix = qualifiedPrefix(spark, path)
+      val dv = dvPairs(spark, path, snap, snap.files).get
+        .withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri")
+      base
+        .withColumn("__gf",
+          expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+        .withColumn("__gri", col("_metadata.row_index"))
+        .join(dv, Seq("__gf", "__gri"), "left_anti")
+        .drop("__gf", "__gri")
+    }
+  }
 
   /** Everything a relation over a manifest snapshot needs — shared by
     * [[table]] and the `graft-manifest` data source format
@@ -903,9 +963,10 @@ object Manifest {
     require(v > 0, s"dataset at $path has no committed version")
     val spec = values.toSeq.map { case (c, x) =>
       s"${partDirCol(c)}=${escapePathSegment(x)}" }
-    val files = manifestFiles(spark, path, v).filter(f => fileInSpec(f, spec))
+    val snap = snapshotOf(spark, path, v)
+    val files = snap.files.filter(f => fileInSpec(f, spec))
     require(files.nonEmpty, s"no files match partition spec $values at $path v$v")
-    spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    readFilesWithDv(spark, path, snap, files)
   }
 
   /** Keyed upsert as a manifest commit: last-writer-wins within the batch
@@ -944,12 +1005,13 @@ object Manifest {
       // names partition directories (bounded driver-side metadata: one
       // row per touched partition, not per data row)
       val touched = touchedSpecs(latest, partitionCols)
-      val prevFiles = manifestFiles(spark, path, prevV)
+      val prevSnap = snapshotOf(spark, path, prevV)
+      val prevFiles = prevSnap.files
       val (touchedFiles, untouchedFiles) =
         prevFiles.partition(f => touched.exists(spec => fileInSpec(f, spec)))
       val merged =
         if (touchedFiles.isEmpty) latest
-        else spark.read.parquet(touchedFiles.map(f => s"$path/$f"): _*)
+        else readFilesWithDv(spark, path, prevSnap, touchedFiles)
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest, allowMissingColumns = true)
       val staged = stageSized(merged, path, partitionCols)
@@ -1013,17 +1075,18 @@ object Manifest {
     // files holding at least one matched key — the only rewrite set; the
     // probe scan is pruned by the manifest's recorded bounds
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-    // project the file name BEFORE the join: input_file_name() is only
-    // defined over a single source
-    val hit = table(spark, path, v)
-      .select((keys.map(col) :+ input_file_name().as("__f")): _*).alias("t")
+    // project the file identity BEFORE the join (from `_metadata`, which
+    // stays defined under the DV anti-join; deleted rows can't drag
+    // their file into the rewrite set)
+    val hit = liveWithFileId(spark, path, v, snap)
+      .select((keys.map(col) :+ col("__gf")): _*).alias("t")
       .join(source.select(keys.map(col): _*).alias("s"), keyCond, "left_semi")
-      .select("__f").distinct()
+      .select("__gf").distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = snap.files.filter(f => hit.exists(_.endsWith("/" + f)))
+    val touched = snap.files.filter(hit.contains)
 
     val rewritten: Option[DataFrame] = if (touched.isEmpty) None else {
-      val t = spark.read.parquet(touched.map(f => s"$path/$f"): _*).alias("t")
+      val t = readFilesWithDv(spark, path, snap, touched).alias("t")
       val joined = t.join(source.alias("s"), keyCond, "left")
       val matched = col(s"s.${keys.head}").isNotNull
       val updCond = matched &&
@@ -1087,17 +1150,21 @@ object Manifest {
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
     // files with at least one matching row — the scan itself is pruned by
-    // the manifest's bounds, and returns one row per FILE, not per match
-    val hit = table(spark, path, v).filter(condition)
-      .select(input_file_name().as("__f")).distinct()
+    // the manifest's bounds, and returns one row per FILE, not per match.
+    // Row identity comes from the `_metadata` column (not
+    // input_file_name(), which is undefined over the DV anti-join), and
+    // existing deletion vectors are applied so a fully-deleted row can't
+    // drag its file into the rewrite set.
+    val hit = liveWithFileId(spark, path, v, snap).filter(condition)
+      .select("__gf").distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = snap.files.filter(f => hit.exists(_.endsWith("/" + f)))
+    val touched = snap.files.filter(hit.contains)
     if (touched.isEmpty) return v
     val partCols = snap.props.get("part.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val statsCols = snap.props.get("stats.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val kept = spark.read.parquet(touched.map(f => s"$path/$f"): _*)
+    val kept = readFilesWithDv(spark, path, snap, touched)
       .filter(!condition)
     val staged = stageSized(kept, path, partCols)
     val facts =
@@ -1129,18 +1196,62 @@ object Manifest {
               keys: Seq[String], fields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromV > 0 && toV > 0, "versions must be committed (≥ 1)")
+    val snapFrom = snapshotOf(spark, path, fromV)
+    val snapTo = snapshotOf(spark, path, toV)
     val (added, removed) = churnedFiles(spark, path, fromV, toV)
-    // LIMIT 0 keeps union schemas aligned when one side had no churn
-    def side(files: Seq[String], v: Long): DataFrame =
+    // LIMIT 0 keeps union schemas aligned when one side had no churn;
+    // each side reads under ITS version's deletion vectors
+    def side(files: Seq[String], snap: Snapshot, v: Long): DataFrame =
       if (files.isEmpty) read(spark, path, v).limit(0)
-      else spark.read.parquet(files.map(f => s"$path/$f"): _*)
-    val newRows = side(added, toV)
-    val oldRows = side(removed, fromV)
+      else readFilesWithDv(spark, path, snap, files)
+    val newRows = side(added, snapTo, toV)
+    val oldRows = side(removed, snapFrom, fromV)
     val addedOrChanged = Diff.tableDiffRows(newRows, oldRows, keys, fields)
     val deleted = oldRows
       .join(newRows.select(keys.map(col): _*), keys, "left_anti")
       .withColumn("diff", lit("d"))
-    addedOrChanged.unionByName(deleted)
+    // merge-on-read deletes change rows WITHOUT changing the file list:
+    // the delta of deletion-vector pairs on files common to both
+    // versions is deletions (pairs added) and — after a restore —
+    // resurrections (pairs removed)
+    val (dvDeleted, dvRestored) = dvDeltaRows(spark, path, snapFrom, snapTo)
+    val base = addedOrChanged.unionByName(deleted)
+    val withDel = dvDeleted.map(d => base.unionByName(
+      d.withColumn("diff", lit("d")))).getOrElse(base)
+    dvRestored.map(r => withDel.unionByName(
+      r.withColumn("diff", lit("n")))).getOrElse(withDel)
+  }
+
+  /** Rows whose liveness changed between two versions through DELETION
+    * VECTORS alone (files present in both manifests, vectors differing):
+    * (_1 = newly deleted rows, _2 = resurrected rows — possible after a
+    * [[restore]]). Cost ∝ the pair deltas plus a scan of only the
+    * affected files.
+    */
+  private def dvDeltaRows(spark: SparkSession, path: String,
+                          snapFrom: Snapshot, snapTo: Snapshot)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val fromSet = snapFrom.files.toSet
+    val changed = snapTo.files.filter(f =>
+      fromSet(f) && snapTo.dvs.get(f) != snapFrom.dvs.get(f))
+    if (changed.isEmpty) return (None, None)
+    val toPairs = dvPairs(spark, path, snapTo, changed)
+    val fromPairs = dvPairs(spark, path, snapFrom, changed)
+    def minus(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+      (a, b) match {
+        case (None, _) => None
+        case (Some(x), None) => Some(x)
+        case (Some(x), Some(y)) =>
+          Some(x.join(y, Seq("file", "row_index"), "left_anti"))
+      }
+    def rowsOf(delta: Option[DataFrame]): Option[DataFrame] = delta.map { d =>
+      readWithRowId(spark, path, changed)
+        .join(d.withColumnRenamed("file", "__gf")
+          .withColumnRenamed("row_index", "__gri"),
+          Seq("__gf", "__gri"), "left_semi")
+        .drop("__gf", "__gri")
+    }
+    (rowsOf(minus(toPairs, fromPairs)), rowsOf(minus(fromPairs, toPairs)))
   }
 
   /** Relative data paths ADDED and REMOVED between two committed versions.
@@ -1199,14 +1310,20 @@ object Manifest {
     if (lastV == 0L) {
       overwrite(aggOf(read(spark, srcPath), 1), aggPath, props)
     } else {
+      val snapFrom = snapshotOf(spark, srcPath, lastV)
+      val snapTo = snapshotOf(spark, srcPath, srcV)
       val (added, removed) = churnedFiles(spark, srcPath, lastV, srcV)
-      if (added.isEmpty && removed.isEmpty)
+      // merge-on-read deletes churn ROWS without churning files: fold
+      // the deletion-vector delta too (deleted −1, restored +1)
+      val (dvDeleted, dvRestored) = dvDeltaRows(spark, srcPath, snapFrom, snapTo)
+      if (added.isEmpty && removed.isEmpty
+          && dvDeleted.isEmpty && dvRestored.isEmpty)
         return latestVersion(spark, aggPath)
-      def side(files: Seq[String], sign: Int): Option[DataFrame] =
+      def side(files: Seq[String], snap: Snapshot, sign: Int): Option[DataFrame] =
         if (files.isEmpty) None
-        else Some(aggOf(
-          spark.read.parquet(files.map(f => s"$srcPath/$f"): _*), sign))
-      val delta = (side(added, 1).toSeq ++ side(removed, -1))
+        else Some(aggOf(readFilesWithDv(spark, srcPath, snap, files), sign))
+      val delta = (side(added, snapTo, 1).toSeq ++ side(removed, snapFrom, -1)
+        ++ dvDeleted.map(aggOf(_, -1)) ++ dvRestored.map(aggOf(_, 1)))
         .reduce(_ unionByName _)
       val mergeAggs = sum(col("n_rows")).cast("long").as("n_rows") +:
         sumCols.map(c => sum(col(s"sum_$c")).cast(stateType).as(s"sum_$c"))
@@ -1339,6 +1456,176 @@ object Manifest {
       prev => manifestFiles(spark, path, prev))
   }
 
+  // ── merge-on-read deletes: per-file deletion-vector sidecars ─────────────
+
+  private def qualifiedPrefix(spark: SparkSession, path: String): String = {
+    val (fs, root) = fsFor(spark, path)
+    fs.makeQualified(root).toString + "/"
+  }
+
+  /** Union of `(file, row_index)` pairs from the DV sidecars of whichever
+    * of `files` carry one; None when none do. Each sidecar is a small
+    * parquet dir, so this is a metadata-bounded read — the pairs scale
+    * with DELETED rows, never the dataset.
+    */
+  private def dvPairs(spark: SparkSession, path: String, snap: Snapshot,
+                      files: Seq[String]): Option[DataFrame] = {
+    val dirs = files.flatMap(f => snap.dvs.get(f).map(_._1)).distinct
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+      .select("file", "row_index"))
+  }
+
+  /** Scan of `files` with each row tagged `__gf` (manifest-relative data
+    * file) and `__gri` (row index within it) from the parquet reader's
+    * `_metadata` column — the row identity DV semantics key on.
+    */
+  private def readWithRowId(spark: SparkSession, path: String,
+                            files: Seq[String],
+                            mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val prefix = qualifiedPrefix(spark, path)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(files.map(f => s"$path/$f"): _*)
+      .withColumn("__gf",
+        expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+      .withColumn("__gri", col("_metadata.row_index"))
+  }
+
+  /** Rows of `files` under snapshot `snap` with MERGE-ON-READ deletes
+    * applied: when any of the files carries a deletion vector, the scan
+    * anti-joins its DV pairs on (file, row_index) — Delta's deletion-
+    * vector read path. Files without DVs cost nothing extra (the common
+    * case short-circuits to a plain scan), and Catalyst still pushes
+    * data-column filters into the left side of the anti-join, so file
+    * skipping and footer pushdown survive.
+    */
+  private[ops] def readFilesWithDv(spark: SparkSession, path: String,
+                                   snap: Snapshot, files: Seq[String],
+                                   mergeSchema: Boolean = false): DataFrame = {
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    if (!files.exists(snap.dvs.contains))
+      return reader.parquet(files.map(f => s"$path/$f"): _*)
+    val dv = dvPairs(spark, path, snap, files).get
+      .withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri")
+    val keep = readWithRowId(spark, path, files, mergeSchema)
+      .join(dv, Seq("__gf", "__gri"), "left_anti")
+    keep.drop("__gf", "__gri")
+  }
+
+  /** The declarative (manifest-pruned) scan of version `v` with each row
+    * tagged `__gf` (its manifest-relative data file) and existing
+    * deletion vectors applied — the probe shape [[merge]] and [[delete]]
+    * use to find their rewrite sets.
+    */
+  private def liveWithFileId(spark: SparkSession, path: String, v: Long,
+                             snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val prefix = qualifiedPrefix(spark, path)
+    val base = org.apache.spark.sql.graft.ManifestFileIndex
+      .dataFrame(spark, tableInfo(spark, path, v))
+      .withColumn("__gf",
+        expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+      .withColumn("__gri", col("_metadata.row_index"))
+    val live =
+      if (snap.dvs.isEmpty) base
+      else base.join(
+        dvPairs(spark, path, snap, snap.files).get
+          .withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri"),
+        Seq("__gf", "__gri"), "left_anti")
+    live.drop("__gri")
+  }
+
+  /** Delete rows matching `condition` WITHOUT rewriting any data file —
+    * Delta's merge-on-read DELETE via deletion vectors: matched rows'
+    * (file, row index) pairs are written as per-file sidecars (one
+    * distributed partitioned write, cost ∝ matched rows), and the commit
+    * just points each touched file at its vector. At 100 TB a delete
+    * touching half the files costs the matched row IDs, not a rewrite of
+    * half the table; the price is a small anti-join at read time, paid
+    * until [[purgeDeletes]] or a compaction folds the vectors in. Returns
+    * the current version when nothing matches.
+    *
+    * Reads through [[read]]/[[table]]/[[readRange]]/[[readPartitions]]
+    * and every rewrite path (upsert, merge, COW delete, compaction)
+    * apply vectors transparently. The `graft-manifest` SQL relation and
+    * streaming source cannot — they fail loudly on a vectored dataset
+    * rather than resurrect deleted rows.
+    */
+  def deleteMergeOnRead(spark: SparkSession, path: String,
+                        condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val (fs, root) = fsFor(spark, path)
+    // matched rows' identities, with EXISTING vectors applied — an
+    // already-deleted row can never re-match, so new pairs are disjoint
+    // from old ones and counts stay exact
+    val live = readWithRowId(spark, path, snap.files)
+    val withDv = dvPairs(spark, path, snap, snap.files) match {
+      case Some(dv) => live.join(
+        dv.withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri"),
+        Seq("__gf", "__gri"), "left_anti")
+      case None => live
+    }
+    val hits = withDv.filter(condition)
+      .select(col("__gf").as("file"), col("__gri").as("row_index"))
+    // per-file counts: bounded by the number of touched FILES
+    val freshCounts = hits.groupBy("file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freshCounts.isEmpty) return v
+    val touched = snap.files.filter(freshCounts.contains)
+    // the new sidecar per touched file supersedes its old one, so fold
+    // the old pairs in (files untouched by this delete keep theirs)
+    val oldPairs = dvPairs(spark, path, snap, touched)
+    val allPairs = oldPairs.map(p => hits.unionByName(p)).getOrElse(hits)
+    val setDir = "dv/" + java.util.UUID.randomUUID().toString
+    allPairs.withColumn("__pf", col("file"))
+      .repartition(col("__pf"))
+      .write.partitionBy("__pf").parquet(new Path(root, setDir).toString)
+    val newDvs = touched.map { f =>
+      val cumulative = freshCounts(f) + snap.dvs.get(f).map(_._2).getOrElse(0L)
+      f -> (s"$setDir/__pf=${escapePathSegment(f)}", cumulative)
+    }.toMap
+    commit(spark, path, snap.props + ("dv.delete.from" -> v.toString),
+      prev => snapshotOf(spark, path, prev).stats,
+      newDvs = newDvs)(prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Fold every deletion vector into its data file — file-scoped
+    * copy-on-write limited to EXACTLY the vectored files: each is
+    * rewritten without its deleted rows (fresh facts recomputed when the
+    * dataset records stats), every clean file carries over
+    * path-identical, and the new version has no vectors — restoring SQL
+    * relation and streaming-source eligibility. No-op without vectors.
+    */
+  def purgeDeletes(spark: SparkSession, path: String): Long = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val touched = snap.files.filter(snap.dvs.contains)
+    if (touched.isEmpty) return v
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val kept = readFilesWithDv(spark, path, snap, touched)
+    val staged = stageSized(kept, path, partCols)
+    val facts = snap.props.get("stats.cols") match {
+      case Some(cs) if cs.nonEmpty =>
+        computeFacts(spark, path, staged.map(_._1), cs.split(',').toSeq)
+      case _ => FileFacts()
+    }
+    val touchedSet = touched.toSet
+    commit(spark, path, snap.props + ("dv.purged.from" -> v.toString),
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
+      manifestFiles(spark, path, prev).filterNot(touchedSet) ++ staged.map(_._1)
+    }
+  }
+
   /** Bin-packing compaction (Delta OPTIMIZE's file-selection semantics):
     * coalesce only files SMALLER than `minFileBytes` into
     * ~`targetFileBytes` outputs, leaving every right-sized file untouched
@@ -1365,11 +1652,8 @@ object Manifest {
     if (small.size < 2) return v
     val smallBytes = small.map(sizeOf).sum
     val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
-    val reader =
-      if (snap.props.get("merge.schema").contains("true"))
-        spark.read.option("mergeSchema", "true")
-      else spark.read
-    val src = reader.parquet(small.map(f => s"$path/$f"): _*)
+    val src = readFilesWithDv(spark, path, snap, small,
+      mergeSchema = snap.props.get("merge.schema").contains("true"))
     // keep the dataset's clustering discipline for the packed outputs:
     // range on the stats columns when declared, plain coalesce otherwise
     val packed = snap.props.get("stats.cols") match {
@@ -1454,7 +1738,8 @@ object Manifest {
     commit(spark, path, snap.props + ("restored.from" -> version.toString),
       _ => snap.stats, newSizes = snap.sizes,
       newBlooms = snap.blooms,
-      newStrs = snap.strs, newNulls = snap.nulls)(_ => snap.files)
+      newStrs = snap.strs, newNulls = snap.nulls,
+      newDvs = snap.dvs, carryDvs = false)(_ => snap.files)
   }
 
   /** The version that was current at `tsMillis` — the largest committed
@@ -1494,6 +1779,28 @@ object Manifest {
     rows.toDF("version", "n_files", "total_bytes", "n_added_files",
         "n_removed_files", "committed_at", "props")
       .orderBy(org.apache.spark.sql.functions.desc("version"))
+  }
+
+  /** True when the dataset carries merge-on-read deletion vectors at the
+    * given version (default: latest) — surfaces that cannot apply them
+    * (the SQL relation, the streaming source) use this to fail loudly
+    * instead of silently resurrecting deleted rows.
+    */
+  def hasDeletionVectors(spark: SparkSession, path: String,
+                         version: Long = -1L): Boolean = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    v > 0 && snapshotOf(spark, path, v).dvs.nonEmpty
+  }
+
+  /** True when per-file deletion-vector state differs between two
+    * versions (version 0 = no vectors) — a row-level change the
+    * streaming source's file-set diff cannot see.
+    */
+  def dvStateDiffers(spark: SparkSession, path: String,
+                     fromV: Long, toV: Long): Boolean = {
+    def dvOf(v: Long): Map[String, (String, Long)] =
+      if (v <= 0) Map.empty else snapshotOf(spark, path, v).dvs
+    dvOf(fromV) != dvOf(toV)
   }
 
   /** Drop data files no retained manifest references, and manifests older
@@ -1537,6 +1844,20 @@ object Manifest {
           if (deletable) fs.delete(f.getPath, false)
         }
       }
+    }
+    // deletion-vector sets: a dv/<uuid> dir is collectable when no
+    // RETAINED version references a sidecar under it (superseded by a
+    // later delete, purged, or aged out with its versions) and it is
+    // older than the grace window (an in-flight deleteMergeOnRead's
+    // just-written set survives until its commit)
+    val retainedSets = (keepFrom to latest)
+      .flatMap(v => loadVersion(fs, root, v).map(_.dvs.values.map(_._1)).getOrElse(Nil))
+      .map(_.split('/').take(2).mkString("/")).toSet
+    val dvRoot = new Path(root, "dv")
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { d =>
+      if (d.isDirectory && d.getModificationTime <= cutoff &&
+          !retainedSets.contains("dv/" + d.getPath.getName))
+        fs.delete(d.getPath, true): Unit
     }
     versionsOnDisk(fs, root).filter(_ < keepFrom).foreach { v =>
       fs.delete(manifestPath(root, v), false)

@@ -2815,6 +2815,30 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // MERGE-ON-READ delete under the oracle gate: lineitem published
+    // range-clustered with stats, then two deletes recorded as DELETION
+    // VECTORS — no data file rewritten; the read applies the vectors as
+    // an anti-join on (file, row index). The surviving rows must
+    // aggregate identically to SQL's double-NOT over the raw table.
+    QueryDef(
+      "manifest_mor_delete_scan",
+      (s, dir) => {
+        val path = manifestMorFor(s, dir)
+        Manifest.table(s, path)
+          .groupBy((col("l_orderkey") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT l_orderkey % 7 AS bucket, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem
+             |WHERE NOT (l_orderkey BETWEEN 2000 AND 6000)
+             |  AND NOT (l_orderkey % 97 = 0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // The streaming manifest SOURCE under the oracle gate: events are
     // published as a TWO-append manifest lineage (so delivery spans
     // versions), tailed with spark.readStream.format("graft-manifest") —
@@ -2995,6 +3019,22 @@ object ExtendedQueries {
       Manifest.upsert(d, path, keys = Seq("doc_id"), orderCol = "doc_id",
         partitionCols = Seq("lang"))
       Manifest.analyze(s, path, Seq("doc_id", "source"))
+      path
+    })
+
+  // lineitem with two merge-on-read deletes recorded as deletion vectors
+  private val morCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestMorFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    morCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfm").toString + "/lineitem"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+      Manifest.appendWithStats(li, path, Seq("l_orderkey"))
+      Manifest.deleteMergeOnRead(s, path,
+        col("l_orderkey") >= 2000 && col("l_orderkey") <= 6000)
+      Manifest.deleteMergeOnRead(s, path, col("l_orderkey") % 97 === 0)
       path
     })
 

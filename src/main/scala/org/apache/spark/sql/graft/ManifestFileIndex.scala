@@ -406,6 +406,14 @@ final class ManifestStreamSource(
       throw new IllegalStateException(
         s"version $toV of $path removed ${removed.size} file(s) — the stream " +
           "source is append-only; pass ignoreChanges=true to re-deliver rewrites")
+    // merge-on-read deletes change rows without changing the file list —
+    // invisible to this source's file-set diff, so refuse them like any
+    // other non-append change (ignoreChanges opts into delivering the
+    // files' full contents, vectors unapplied — Delta's semantics)
+    if (graft.ops.Manifest.dvStateDiffers(spark, path, fromV, toV) && !ignoreChanges)
+      throw new IllegalStateException(
+        s"versions $fromV..$toV of $path changed deletion vectors — the stream " +
+          "source is append-only; purge vectors or pass ignoreChanges=true")
     val addedSet = added.map(_._1).toSet
     val info = full.copy(entries = added,
       stats = full.stats.view.filterKeys(addedSet).toMap,
@@ -506,6 +514,14 @@ final class ManifestDataSource
           v
         })
       .getOrElse(-1L)
+    // a BaseRelation cannot apply merge-on-read deletion vectors (row
+    // filtering needs a plan above the scan) — fail loudly rather than
+    // resurrect deleted rows into SQL results
+    if (graft.ops.Manifest.hasDeletionVectors(spark, path, version))
+      throw new IllegalStateException(
+        s"dataset at $path carries merge-on-read deletion vectors, which the " +
+          "SQL relation cannot apply — read via Manifest.read/Manifest.table, " +
+          "or fold them in with Manifest.purgeDeletes/compact first")
     ManifestFileIndex.relation(spark,
       graft.ops.Manifest.tableInfo(spark, path, version))
   }
