@@ -63,7 +63,8 @@ object Manifest {
                             blooms: Map[String, Seq[String]] = Map.empty,
                             strs: Map[String, Map[String, StrBound]] = Map.empty,
                             nulls: Map[String, Map[String, Long]] = Map.empty,
-                            dvs: Map[String, (String, Long)] = Map.empty)
+                            dvs: Map[String, (String, Long)] = Map.empty,
+                            ndvs: Map[String, Seq[String]] = Map.empty)
 
   /** Per-file string bounds (`#filestr` lines). `lo`/`hi` are VALID bounds
     * (lo ≤ every value ≤ hi in code-point order) but possibly inexact:
@@ -93,7 +94,8 @@ object Manifest {
                      blooms: Map[String, Seq[String]] = Map.empty,
                      strs: Map[String, Map[String, StrBound]] = Map.empty,
                      nulls: Map[String, Map[String, Long]] = Map.empty,
-                     dvs: Map[String, (String, Long)] = Map.empty): String = {
+                     dvs: Map[String, (String, Long)] = Map.empty,
+                     ndvs: Map[String, Seq[String]] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -120,8 +122,12 @@ object Manifest {
     val dvLines = dvs.toSeq.sortBy(_._1).map { case (f, (sidecar, n)) =>
       s"#dv ${enc(f)} ${enc(sidecar)} $n"
     }
+    val ndvLines = ndvs.toSeq.sortBy(_._1).collect {
+      case (f, cs) if cs.nonEmpty =>
+        s"#ndv ${enc(f)} ${cs.map(enc).mkString(",")}"
+    }
     ((Header +: propLines) ++ statLines ++ strLines ++ nullLines ++
-      sizeLines ++ rowLines ++ bloomLines ++ dvLines ++ files :+
+      sizeLines ++ rowLines ++ bloomLines ++ ndvLines ++ dvLines ++ files :+
       footer(files.size)).mkString("\n")
   }
 
@@ -192,7 +198,14 @@ object Manifest {
         case _ => None
       }
     }.toMap
-    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls, dvs))
+    val ndvs = lines.filter(_.startsWith("#ndv ")).flatMap { l =>
+      l.stripPrefix("#ndv ").split(' ') match {
+        case Array(f, cs) =>
+          Some(dec(f) -> cs.split(',').toSeq.filter(_.nonEmpty).map(dec))
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls, dvs, ndvs))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -312,7 +325,8 @@ object Manifest {
                      newStrs: Map[String, Map[String, StrBound]] = Map.empty,
                      newNulls: Map[String, Map[String, Long]] = Map.empty,
                      newDvs: Map[String, (String, Long)] = Map.empty,
-                     carryDvs: Boolean = true)
+                     carryDvs: Boolean = true,
+                     newNdvs: Map[String, Seq[String]] = Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -379,10 +393,21 @@ object Manifest {
       val dvState = ((if (carryDvs) prevSnap.map(_.dvs).getOrElse(Map.empty)
         else Map.empty[String, (String, Long)])
         ++ newDvs).view.filterKeys(files.toSet).toMap
+      // NDV sketch availability is a per-file fact like bloom declarations
+      val ndvDecls = (prevSnap.map(_.ndvs).getOrElse(Map.empty)
+        ++ newNdvs).view.filterKeys(files.toSet).toMap
+      // constraint props are DATASET state, not per-commit metadata: carry
+      // them from the previous version into every commit unless the caller
+      // explicitly clears one (empty value = drop tombstone, never written)
+      val carriedConstraints = prevSnap.map(_.props).getOrElse(Map.empty)
+        .filter { case (k, _) => k.startsWith("constraint.") }
+      val effProps = (carriedConstraints ++ props).filter { case (k, pv) =>
+        !(k.startsWith("constraint.") && pv.isEmpty)
+      }
       try {
         val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, props, stats, sizes, rowCounts, bloomDecls,
-          strBounds, nullCounts, dvState).getBytes("UTF-8")) finally out.close()
+        try out.write(render(files, effProps, stats, sizes, rowCounts, bloomDecls,
+          strBounds, nullCounts, dvState, ndvDecls).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -402,6 +427,7 @@ object Manifest {
   def overwrite(df: DataFrame, path: String,
                 props: Map[String, String] = Map.empty): Long = {
     val staged = stageSized(df, path)
+    requireStagedConstraints(df.sparkSession, path, staged.map(_._1))
     commit(df.sparkSession, path, props,
       newSizes = staged.toMap)(_ => staged.map(_._1))
   }
@@ -413,6 +439,7 @@ object Manifest {
                          props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
+    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, props + ("stats.cols" -> statsCols.mkString(",")),
       _ => facts.nums, newSizes = staged.toMap,
@@ -456,6 +483,7 @@ object Manifest {
     }
     val allProps = if (evolved) props + ("merge.schema" -> "true") else props
     val staged = stageSized(df, path)
+    requireStagedConstraints(spark, path, staged.map(_._1))
     // carried-over files keep their recorded bounds (commit intersects
     // the stats map with the final file list)
     commit(spark, path, allProps,
@@ -478,6 +506,7 @@ object Manifest {
                       props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
+    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("stats.cols" -> statsCols.mkString(","))
     commit(spark, path, allProps,
@@ -584,6 +613,7 @@ object Manifest {
                       statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
+    requireStagedConstraints(spark, path, staged.map(_._1))
     writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp)
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("bloom.cols" -> bloomCols.mkString(",")) ++
@@ -709,6 +739,119 @@ object Manifest {
     if (keep.isEmpty)
       spark.read.parquet(s"$path/${snap.files.head}").filter(lit(false) && pred)
     else readFilesWithDv(spark, path, snap, keep).filter(pred)
+  }
+
+  // ── per-file cardinality sketches: metadata-only approximate NDV ─────────
+
+  private def ndvSidecar(f: String, c: String): String = s"$f.ndv.${enc(c)}"
+
+  /** Record a per-file HLL cardinality sketch for each of `cols` as
+    * sidecar files (Iceberg's puffin-sketch idea, kept per DATA FILE so
+    * file churn composes exactly: an append sketches only the new files,
+    * a compaction drops rewritten files' sketches with the files). One
+    * pass over ONLY the files missing a sketch (re-running after an
+    * append analyzes just the new files); declarations (`#ndv` lines)
+    * carry through commits like bloom declarations. HLL sketches are
+    * union-mergeable without error growth, so [[approxDistinct]] later
+    * answers "how many distinct X in 100 TB" from the sidecars alone —
+    * no scan. Returns the version (new, or current when nothing was
+    * missing).
+    */
+  def analyzeNdv(spark: SparkSession, path: String, cols: Seq[String],
+                 lgK: Int = 12): Long = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    require(cols.nonEmpty, "analyzeNdv needs at least one column")
+    val snap = snapshotOf(spark, path, v)
+    val missing = snap.files.filter(f =>
+      cols.exists(c => !snap.ndvs.get(f).exists(_.contains(c))))
+    if (missing.isEmpty) return v
+    writeNdvSketches(spark, path, missing, cols, lgK)
+    commit(spark, path, snap.props + ("ndv.cols" -> cols.mkString(",")),
+      prev => snapshotOf(spark, path, prev).stats,
+      newNdvs = missing.map(_ -> cols).toMap)(
+      prev => manifestFiles(spark, path, prev))
+  }
+
+  /** One distributed pass: per-(file, col) HLL sketches via Spark's own
+    * `hll_sketch_agg` (DataSketches binary — driver-heapifiable), written
+    * as `<file>.ndv.<col>` sidecars. An all-null file records an EMPTY
+    * sketch, so its declaration is still truthful.
+    */
+  private def writeNdvSketches(spark: SparkSession, path: String,
+                               files: Seq[String], cols: Seq[String],
+                               lgK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || cols.isEmpty) return
+    val (fs, root) = fsFor(spark, path)
+    val src = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val aggs = cols.map(c => hll_sketch_agg(col(c), lit(lgK)).as(s"sk__$c"))
+    val rows = src.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    rows.foreach { r =>
+      val uri = r.getString(0)
+      files.find(uri.endsWith).foreach { rel =>
+        seen += rel
+        cols.zipWithIndex.foreach { case (c, i) =>
+          val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(
+            new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray)
+          val out = fs.create(new Path(root, ndvSidecar(rel, c)), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
+    // a zero-row file produces no aggregation row at all — empty sketches
+    files.filterNot(seen).foreach { rel =>
+      cols.foreach { c =>
+        val out = fs.create(new Path(root, ndvSidecar(rel, c)), true)
+        try out.write(
+          new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray)
+        finally out.close()
+      }
+    }
+  }
+
+  /** Approximate distinct count of `column` over a version (default:
+    * latest), answered from the per-file sketches: each declared sidecar
+    * heapifies and unions driver-side (bounded metadata — no task, no
+    * scan); files WITHOUT a sketch (staged after the last [[analyzeNdv]],
+    * or compaction rewrites) are sketched on the fly in one pass over
+    * just those files. HLL unions are lossless over merges, so the result
+    * equals a single global sketch at the same lgK — relative standard
+    * error ≈ 1.04/√(2^lgK) (±1.6% at the default lgK=12). Under
+    * merge-on-read deletes the estimate ignores deletion vectors (a
+    * sketch cannot subtract) — an upper bound until purge/compaction.
+    */
+  def approxDistinct(spark: SparkSession, path: String, column: String,
+                     version: Long = -1L, lgK: Int = 12): Double = {
+    // selective import: functions.version/functions.column would shadow
+    // the parameters under a wildcard
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, lit}
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val (fs, root) = fsFor(spark, path)
+    val union = new org.apache.datasketches.hll.Union(lgK)
+    val (declared, undeclared) = snap.files.partition(f =>
+      snap.ndvs.get(f).exists(_.contains(column)))
+    val unreadable = declared.filterNot { f =>
+      scala.util.Try {
+        val in = fs.open(new Path(root, ndvSidecar(f, column)))
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+      }.isSuccess
+    }
+    val fallback = undeclared ++ unreadable
+    if (fallback.nonEmpty) {
+      val bytes = spark.read.parquet(fallback.map(f => s"$path/$f"): _*)
+        .agg(hll_sketch_agg(col(column), lit(lgK)).as("sk"))
+        .head.getAs[Array[Byte]](0)
+      if (bytes != null)
+        union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+    }
+    union.getResult.getEstimate
   }
 
   /** The numeric encoding a column's bounds are recorded in: dates as
@@ -1015,6 +1158,7 @@ object Manifest {
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest, allowMissingColumns = true)
       val staged = stageSized(merged, path, partitionCols)
+      requireStagedConstraints(spark, path, staged.map(_._1))
       commit(spark, path, props,
         prev => snapshotOf(spark, path, prev).stats,
         newSizes = staged.toMap) { prev =>
@@ -1121,6 +1265,7 @@ object Manifest {
     }
     if (toStage.isEmpty) return v
     val staged = stageSized(toStage.get, path, partCols)
+    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts =
       if (statsCols.isEmpty) FileFacts()
       else computeFacts(spark, path, staged.map(_._1), statsCols)
@@ -1456,6 +1601,90 @@ object Manifest {
       prev => manifestFiles(spark, path, prev))
   }
 
+  // ── CHECK constraints: writer-enforced data-quality invariants ───────────
+
+  /** Add a named CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`)
+    * as one metadata-only commit. Existing data is validated first with
+    * one scan — a dataset that already violates the predicate rejects it.
+    * From then on every append/overwrite/upsert/merge validates its
+    * staged rows (ONE extra aggregation over only the staged files, all
+    * constraints together) and refuses to commit on violation: the staged
+    * files stay invisible and age into vacuum, so a bad batch can never
+    * publish — the transactional form of the quality gate ([[Checks]]).
+    * SQL CHECK semantics: a row violates only when the predicate is FALSE
+    * (NULL passes). Constraints are dataset state: they carry through
+    * every later commit (including compactions and restores) until
+    * [[dropConstraint]].
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    predicateSql: String): Long = {
+    import org.apache.spark.sql.functions._
+    require(name.nonEmpty && !name.exists(c => c == '=' || c.isWhitespace),
+      s"constraint name '$name' must be non-empty without '=' or whitespace")
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val bad = read(spark, path, v)
+      .filter(not(coalesce(expr(predicateSql), lit(true)))).count()
+    require(bad == 0,
+      s"cannot add constraint '$name': $bad existing row(s) violate ($predicateSql)")
+    commit(spark, path, snap.props + (s"constraint.$name" -> predicateSql),
+      prev => snapshotOf(spark, path, prev).stats)(
+      prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit; the empty value is
+    * the drop tombstone commit() honors against its auto-carry).
+    */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    commit(spark, path, snap.props + (s"constraint.$name" -> ""),
+      prev => snapshotOf(spark, path, prev).stats)(
+      prev => manifestFiles(spark, path, prev))
+  }
+
+  /** The dataset's CHECK constraints (name → predicate SQL) at a version. */
+  def constraints(spark: SparkSession, path: String,
+                  version: Long = -1L): Map[String, String] =
+    constraintsOf(committedProps(spark, path, version))
+
+  private def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith("constraint.") && v.nonEmpty =>
+        k.stripPrefix("constraint.") -> v
+    }
+
+  /** Validate just-staged (not yet committed) files against the dataset's
+    * CHECK constraints: one aggregation over ONLY the staged files counts
+    * violations of every constraint together. Throws before any version
+    * is claimed — the staged files stay invisible and vacuumable. Reading
+    * the staged parquet back (instead of re-evaluating the input frame)
+    * means the upstream plan is never recomputed and the validated bytes
+    * are exactly the bytes that would publish.
+    */
+  private def requireStagedConstraints(spark: SparkSession, path: String,
+                                       stagedFiles: Seq[String],
+                                       mergeSchema: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions._
+    val cs = constraintsOf(committedProps(spark, path))
+    if (cs.isEmpty || stagedFiles.isEmpty) return
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val src = reader.parquet(stagedFiles.map(f => s"$path/$f"): _*)
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      sum(when(not(coalesce(expr(cs(n)), lit(true))), 1L).otherwise(0L)).as(n))
+    val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad != 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' (${cs(n)}) violated by $bad staged row(s) — " +
+          "commit refused; staged files remain uncommitted")
+    }
+  }
+
   // ── merge-on-read deletes: per-file deletion-vector sidecars ─────────────
 
   private def qualifiedPrefix(spark: SparkSession, path: String): String = {
@@ -1560,39 +1789,124 @@ object Manifest {
     val v = latestVersion(spark, path)
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
-    val (fs, root) = fsFor(spark, path)
-    // matched rows' identities, with EXISTING vectors applied — an
-    // already-deleted row can never re-match, so new pairs are disjoint
-    // from old ones and counts stay exact
-    val live = readWithRowId(spark, path, snap.files)
-    val withDv = dvPairs(spark, path, snap, snap.files) match {
+    val hits = liveRowIds(spark, path, snap).filter(condition)
+      .select(col("__gf").as("file"), col("__gri").as("row_index"))
+    val newDvs = stageDvSidecars(spark, path, snap, hits)
+    if (newDvs.isEmpty) return v
+    commit(spark, path, snap.props + ("dv.delete.from" -> v.toString),
+      prev => snapshotOf(spark, path, prev).stats,
+      newDvs = newDvs)(prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Scan of the snapshot's files with `__gf`/`__gri` row identities and
+    * EXISTING deletion vectors applied — an already-deleted row can never
+    * re-match a delete or upsert, so new pairs stay disjoint from old ones
+    * and cumulative counts stay exact.
+    */
+  private def liveRowIds(spark: SparkSession, path: String,
+                         snap: Snapshot): DataFrame = {
+    val live = readWithRowId(spark, path, snap.files,
+      mergeSchema = snap.props.get("merge.schema").contains("true"))
+    dvPairs(spark, path, snap, snap.files) match {
       case Some(dv) => live.join(
         dv.withColumnRenamed("file", "__gf").withColumnRenamed("row_index", "__gri"),
         Seq("__gf", "__gri"), "left_anti")
       case None => live
     }
-    val hits = withDv.filter(condition)
-      .select(col("__gf").as("file"), col("__gri").as("row_index"))
+  }
+
+  /** Write `hits` (live `(file, row_index)` pairs) as per-file deletion-
+    * vector sidecars, folding in the old pairs of each touched file (a
+    * file's new sidecar SUPERSEDES its old one; untouched files keep
+    * theirs via commit()'s carry). One distributed partitioned write, cost
+    * ∝ the cumulative deleted rows of touched files. Returns the per-file
+    * dv state to commit — empty when nothing matched.
+    */
+  private def stageDvSidecars(spark: SparkSession, path: String,
+                              snap: Snapshot,
+                              hits: DataFrame): Map[String, (String, Long)] = {
+    import org.apache.spark.sql.functions._
+    val (_, root) = fsFor(spark, path)
     // per-file counts: bounded by the number of touched FILES
     val freshCounts = hits.groupBy("file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (freshCounts.isEmpty) return v
+    if (freshCounts.isEmpty) return Map.empty
     val touched = snap.files.filter(freshCounts.contains)
-    // the new sidecar per touched file supersedes its old one, so fold
-    // the old pairs in (files untouched by this delete keep theirs)
     val oldPairs = dvPairs(spark, path, snap, touched)
     val allPairs = oldPairs.map(p => hits.unionByName(p)).getOrElse(hits)
     val setDir = "dv/" + java.util.UUID.randomUUID().toString
     allPairs.withColumn("__pf", col("file"))
       .repartition(col("__pf"))
       .write.partitionBy("__pf").parquet(new Path(root, setDir).toString)
-    val newDvs = touched.map { f =>
+    touched.map { f =>
       val cumulative = freshCounts(f) + snap.dvs.get(f).map(_._2).getOrElse(0L)
       f -> (s"$setDir/__pf=${escapePathSegment(f)}", cumulative)
     }.toMap
-    commit(spark, path, snap.props + ("dv.delete.from" -> v.toString),
-      prev => snapshotOf(spark, path, prev).stats,
-      newDvs = newDvs)(prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Keyed upsert WITHOUT rewriting any data file — the merge-on-read form
+    * of [[upsert]]: rows whose keys match the batch are vectored out
+    * (per-file deletion-vector sidecars, exactly [[deleteMergeOnRead]]'s
+    * mechanism) and the batch stages as NEW files in the same commit. At
+    * 100 TB an upsert touching keys scattered across every file costs the
+    * matched row IDs plus the batch — never a rewrite of the touched
+    * files, which is what makes high-frequency CDC apply affordable; the
+    * price is the read-time anti-join until a compaction or
+    * [[purgeDeletes]] folds the vectors in. Within the batch, last writer
+    * wins by `orderCol` (the [[upsert]] contract). Stats-carrying datasets
+    * get bounds for the new files; partitioned layouts stage into their
+    * `__p_c=v` dirs.
+    */
+  def upsertMergeOnRead(batch: DataFrame, path: String, keys: Seq[String],
+                        orderCol: String,
+                        extraProps: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version — " +
+      "publish the initial contents with append/overwrite/upsert first")
+    val snap = snapshotOf(spark, path, v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(desc(orderCol))
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // the batch stages as plain data files the committed reader must
+    // resolve, so its schema must MATCH the committed one (the orderCol
+    // is therefore a real data column, like upsert's) — a mismatch would
+    // silently drop or smear columns depending on footer resolution order
+    val committed = read(spark, path, v).schema
+    require(latest.schema.fieldNames.sorted.toSeq == committed.fieldNames.sorted.toSeq,
+      s"upsertMergeOnRead batch columns ${latest.schema.fieldNames.sorted.mkString(",")} " +
+        s"must equal the committed schema ${committed.fieldNames.sorted.mkString(",")}")
+    committed.fields.foreach { pf =>
+      val nf = latest.schema(pf.name)
+      require(nf.dataType == pf.dataType,
+        s"upsertMergeOnRead would change column '${pf.name}' from " +
+          s"${pf.dataType.sql} to ${nf.dataType.sql} — cast the batch")
+    }
+    // replaced rows' identities: a semi-join of the live scan against the
+    // batch keys (the batch is the small side at CDC rates — broadcast)
+    val hits = liveRowIds(spark, path, snap)
+      .join(broadcast(latest.select(keys.map(col): _*)), keys, "left_semi")
+      .select(col("__gf").as("file"), col("__gri").as("row_index"))
+    val newDvs = stageDvSidecars(spark, path, snap, hits)
+    val partCols = snap.props.get("part.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val statsCols = snap.props.get("stats.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val staged = stageSized(latest, path, partCols)
+    requireStagedConstraints(spark, path, staged.map(_._1))
+    val facts =
+      if (statsCols.isEmpty) FileFacts()
+      else computeFacts(spark, path, staged.map(_._1), statsCols)
+    commit(spark, path, snap.props + ("dv.upsert.from" -> v.toString) ++ extraProps,
+      prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
+      newSizes = staged.toMap,
+      newStrs = facts.strs, newNulls = facts.nulls,
+      newDvs = newDvs) { prev =>
+      manifestFiles(spark, path, prev) ++ staged.map(_._1)
+    }
   }
 
   /** Fold every deletion vector into its data file — file-scoped
@@ -1739,7 +2053,8 @@ object Manifest {
       _ => snap.stats, newSizes = snap.sizes,
       newBlooms = snap.blooms,
       newStrs = snap.strs, newNulls = snap.nulls,
-      newDvs = snap.dvs, carryDvs = false)(_ => snap.files)
+      newDvs = snap.dvs, carryDvs = false,
+      newNdvs = snap.ndvs)(_ => snap.files)
   }
 
   /** The version that was current at `tsMillis` — the largest committed
@@ -1833,13 +2148,17 @@ object Manifest {
         while (it.hasNext) {
           val f = it.next()
           val rel = fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
-          // a bloom sidecar lives and dies with its data file: it is
+          // a bloom/ndv sidecar lives and dies with its data file: it is
           // deletable exactly when `<file>.parquet` is not retained
-          val dataRel = if (rel.contains(".parquet.bloom."))
-            rel.substring(0, rel.indexOf(".parquet.bloom.")) + ".parquet"
-          else rel
+          val dataRel =
+            if (rel.contains(".parquet.bloom."))
+              rel.substring(0, rel.indexOf(".parquet.bloom.")) + ".parquet"
+            else if (rel.contains(".parquet.ndv."))
+              rel.substring(0, rel.indexOf(".parquet.ndv.")) + ".parquet"
+            else rel
           val deletable = (f.getPath.getName.endsWith(".parquet") ||
-            f.getPath.getName.contains(".parquet.bloom.")) &&
+            f.getPath.getName.contains(".parquet.bloom.") ||
+            f.getPath.getName.contains(".parquet.ndv.")) &&
             !retained.contains(dataRel)
           if (deletable) fs.delete(f.getPath, false)
         }

@@ -168,6 +168,47 @@ class ManifestMorSpec extends SparkSpec {
     assert(spark.read.format("graft-manifest").load(dir).count() == 295)
   }
 
+  test("upsertMergeOnRead rewrites no file: matches vector out, batch appends") {
+    // like fixture(), plus the ord column the MOR upsert's batch carries
+    // (the batch stages as data files, so orderCol is a real table column)
+    val dir = tmp("morup")
+    for (lo <- Seq(0L, 100L, 200L))
+      Manifest.appendWithStats(spark.range(lo, lo + 100).toDF("id")
+        .withColumn("v", col("id") * 10).withColumn("ord", lit(0L))
+        .coalesce(1), dir, Seq("id"))
+    val filesBefore = Manifest.tableInfo(spark, dir).entries.map(_._1)
+    // batch replaces 5 keys scattered across all 3 files, inserts 2 new,
+    // and carries an in-batch duplicate (k=150 twice — larger ord wins)
+    val batch = Seq(
+      (10L, 1L, 1L), (150L, 2L, 1L), (150L, 3L, 2L), (250L, 4L, 1L),
+      (0L, 5L, 1L), (299L, 6L, 1L), (1000L, 7L, 1L), (2000L, 8L, 1L))
+      .toDF("id", "v", "ord")
+    val v2 = Manifest.upsertMergeOnRead(batch, dir, Seq("id"), "ord")
+    assert(v2 == 4)
+    // every pre-existing data file carried over path-identical
+    val filesAfter = Manifest.tableInfo(spark, dir).entries.map(_._1)
+    assert(filesBefore.forall(filesAfter.contains))
+    assert(filesAfter.size > filesBefore.size) // batch appended as new files
+    val got = Manifest.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 302) // 300 - 6 replaced + 6 re-inserted + 2 new
+    assert(got(10L) == 1L && got(150L) == 3L && got(250L) == 4L)
+    assert(got(0L) == 5L && got(299L) == 6L)
+    assert(got(1000L) == 7L && got(2000L) == 8L)
+    assert(got(20L) == 200L) // untouched key unchanged
+    // metadata count stays exact (dv counts subtract, new file rows add)
+    assert(Manifest.countRows(spark, dir) == 302L)
+    // a second MOR upsert over already-vectored keys stays exact
+    Manifest.upsertMergeOnRead(Seq((10L, 99L, 9L)).toDF("id", "v", "ord"),
+      dir, Seq("id"), "ord")
+    val again = Manifest.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again(10L) == 99L && again.size == 302)
+    assert(Manifest.countRows(spark, dir) == 302L)
+    // time travel: pre-upsert version unchanged
+    assert(Manifest.read(spark, dir, version = 3).count() == 300)
+  }
+
   test("vacuum collects superseded dv sets, keeps live ones") {
     val dir = fixture()
     Manifest.deleteMergeOnRead(spark, dir, col("id") < 10)  // set A (v4)

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file HLL cardinality sketches (Iceberg's puffin idea, per data
+  * file): ANALYZE once, then answer approximate NDV from metadata alone.
+  * Pins: estimate within sketch error of exact; incremental analyze only
+  * sketches new files; un-sketched files fall back to a scan of just
+  * those files; declarations and sidecars survive restore and die with
+  * their files under vacuum.
+  */
+class ManifestNdvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/ds"
+
+  test("analyzeNdv + approxDistinct answer NDV from sidecars within tolerance") {
+    val dir = tmp("ndv")
+    // 3 files, ids overlap across files: true distinct = 7000 (0..6999)
+    for (lo <- Seq(0L, 2000L, 4000L))
+      Manifest.append(spark.range(lo, lo + 3000).toDF("id")
+        .withColumn("s", concat(lit("u"), col("id") % 700)).coalesce(1), dir)
+    val v = Manifest.analyzeNdv(spark, dir, Seq("id", "s"))
+    assert(v == 4)
+    // re-running with nothing missing is a version no-op
+    assert(Manifest.analyzeNdv(spark, dir, Seq("id", "s")) == 4)
+    val est = Manifest.approxDistinct(spark, dir, "id")
+    assert(math.abs(est - 7000.0) <= 7000 * 0.05, s"est=$est")
+    val estS = Manifest.approxDistinct(spark, dir, "s")
+    assert(math.abs(estS - 700.0) <= 700 * 0.05, s"estS=$estS")
+    // sidecars exist for every (file, col)
+    val snapFiles = Manifest.tableInfo(spark, dir).entries.map(_._1)
+    snapFiles.foreach { f =>
+      assert(new java.io.File(dir, f + ".ndv.id").exists())
+      assert(new java.io.File(dir, f + ".ndv.s").exists())
+    }
+  }
+
+  test("incremental analyze sketches only new files; fallback covers the rest") {
+    val dir = tmp("ndv2")
+    Manifest.append(spark.range(0, 1000).toDF("id").coalesce(1), dir)
+    Manifest.analyzeNdv(spark, dir, Seq("id"))
+    // new append has no sketch yet — estimate still correct via fallback
+    Manifest.append(spark.range(1000, 2000).toDF("id").coalesce(1), dir)
+    val estFallback = Manifest.approxDistinct(spark, dir, "id")
+    assert(math.abs(estFallback - 2000.0) <= 2000 * 0.05, s"est=$estFallback")
+    // analyze again: only the missing file gets a sidecar; estimate holds
+    val before = new java.io.File(dir, "data").listFiles().length
+    Manifest.analyzeNdv(spark, dir, Seq("id"))
+    assert(new java.io.File(dir, "data").listFiles().length == before)
+    val est = Manifest.approxDistinct(spark, dir, "id")
+    assert(math.abs(est - 2000.0) <= 2000 * 0.05, s"est=$est")
+    // time travel: the first version's estimate sees only its file
+    val est1 = Manifest.approxDistinct(spark, dir, "id", version = 1)
+    assert(math.abs(est1 - 1000.0) <= 1000 * 0.05, s"est1=$est1")
+  }
+
+  test("declarations survive restore; vacuum collects sidecars with their file") {
+    val dir = tmp("ndv3")
+    Manifest.append(spark.range(0, 500).toDF("id").coalesce(1), dir)   // v1
+    Manifest.analyzeNdv(spark, dir, Seq("id"))                          // v2
+    Manifest.overwrite(spark.range(0, 50).toDF("id").coalesce(1), dir) // v3
+    Manifest.restore(spark, dir, 2)                                     // v4
+    val est = Manifest.approxDistinct(spark, dir, "id")
+    assert(math.abs(est - 500.0) <= 500 * 0.05, s"est=$est")
+    // the overwritten (v3) file and any sidecars vacuum away; the restored
+    // version's data file AND its ndv sidecar survive
+    Manifest.vacuum(spark, dir, keepVersions = 1, graceMs = 0)
+    assert(math.abs(Manifest.approxDistinct(spark, dir, "id") - 500.0)
+      <= 500 * 0.05)
+    val files = Manifest.tableInfo(spark, dir).entries.map(_._1)
+    files.foreach { f =>
+      assert(new java.io.File(dir, f + ".ndv.id").exists())
+    }
+  }
+}
