@@ -2945,6 +2945,109 @@ object ExtendedQueries {
       },
       Some("""SELECT o_orderkey, 'X' AS o_orderstatus, 'c' AS diff
              |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY 1""".stripMargin)
+    ),
+
+    // MERGE-ON-READ upsert under the oracle gate: a CDC batch replaces
+    // every 10th order (status 'X', price +100000) and inserts two novel
+    // keys — via upsertMergeOnRead, so the replaced rows become deletion-
+    // vector pairs and NO pre-existing data file rewrites; the batch
+    // appends as new files. The declarative scan must aggregate
+    // identically to the oracle's CASE/UNION-simulated merge.
+    QueryDef(
+      "manifest_mor_upsert_scan",
+      (s, dir) => {
+        val path = manifestMorUpsertFor(s, dir)
+        Manifest.table(s, path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice
+             |  FROM orders
+             |  UNION ALL SELECT -1, 'Z', 1.5
+             |  UNION ALL SELECT -2, 'Z', 2.5)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Metadata-only NDV under the oracle gate: per-file HLL sketches
+    // recorded once by analyzeNdv, the distinct-customer estimate then
+    // answered by unioning sidecars driver-side — no scan. Tolerance-
+    // oracled like agg_hll_mergeable: lgK=12 bounds relative error
+    // ~1.6%, asserted within ±5% of the exact distinct count (which
+    // itself hash-matches DuckDB).
+    QueryDef(
+      "manifest_ndv_scan",
+      (s, dir) => {
+        val path = manifestNdvFor(s, dir)
+        val est = Manifest.approxDistinct(s, path, "o_custkey")
+        Manifest.read(s, path)
+          .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+          .select(col("exact_custs"),
+            (abs(lit(est) - col("exact_custs")) <= col("exact_custs") * 0.05)
+              .as("ndv_within_tol"))
+      },
+      Some("""SELECT count(DISTINCT o_custkey) AS exact_custs,
+             |  true AS ndv_within_tol FROM orders""".stripMargin)
+    ),
+
+    // PageRank over the customer↔supplier co-purchase graph (symmetric
+    // edges from orders⋈lineitem; suppliers offset into a disjoint id
+    // space), 3 damped iterations in 64-bit FIXED POINT — integer sums
+    // are order-free and integer division truncates identically in every
+    // engine, so the rank vector hash-matches DuckDB bit-for-bit, which
+    // no floating-point PageRank can do. The oracle unrolls the same
+    // update rule as 3 CTE stages.
+    QueryDef(
+      "graph_pagerank",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("a"),
+            (col("l_suppkey") + 1000000L).as("b")).distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        Graph.pagerank(edges, "src", "dst", iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |p AS (SELECT (1000000000000 // count(*)) AS init,
+             |             (15 * (1000000000000 // count(*))) // 100 AS tele
+             |      FROM nodes),
+             |r0 AS (SELECT node, (SELECT init FROM p) AS r FROM nodes),
+             |s1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS s
+             |       FROM edges e JOIN r0 ON r0.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r1 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s1.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS s
+             |       FROM edges e JOIN r1 ON r1.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r2 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s2.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS s
+             |       FROM edges e JOIN r2 ON r2.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r3 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s3.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s3 USING (node))
+             |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+             |ORDER BY node""".stripMargin)
     )
   )
 
@@ -3035,6 +3138,47 @@ object ExtendedQueries {
       Manifest.deleteMergeOnRead(s, path,
         col("l_orderkey") >= 2000 && col("l_orderkey") <= 6000)
       Manifest.deleteMergeOnRead(s, path, col("l_orderkey") % 97 === 0)
+      path
+    })
+
+  // orders range-clustered into 8 files, then a MERGE-ON-READ upsert CDC
+  // batch (every 10th key replaced, two novel keys inserted): replaced
+  // rows become deletion-vector pairs, the batch appends as new files —
+  // no pre-existing data file rewrites
+  private val morUpsertCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestMorUpsertFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String =
+    morUpsertCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfmu").toString + "/orders"
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Manifest.appendWithStats(
+        base.repartitionByRange(8, col("o_orderkey")), path, Seq("o_orderkey"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + 100000)
+      val inserts = {
+        import s.implicits._
+        Seq((-1L, "Z", 1.5), (-2L, "Z", 2.5))
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      }
+      Manifest.upsertMergeOnRead(updates.unionByName(inserts), path,
+        keys = Seq("o_orderkey"), orderCol = "o_orderkey")
+      path
+    })
+
+  // orders split into two appends, each followed by analyzeNdv — the
+  // second analyze sketches ONLY the new files (incremental ANALYZE)
+  private val ndvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestNdvFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    ndvCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfn").toString + "/orders"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      Manifest.append(o.filter(col("o_orderkey") % 2 === 0).repartition(4), path)
+      Manifest.analyzeNdv(s, path, Seq("o_custkey"))
+      Manifest.append(o.filter(col("o_orderkey") % 2 =!= 0).repartition(4), path)
+      Manifest.analyzeNdv(s, path, Seq("o_custkey"))
       path
     })
 

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank: the distributed result must equal a sequential
+  * in-memory model BIT-FOR-BIT (that is the whole point of integer
+  * arithmetic — no float drift), at any partitioning.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank matches the sequential fixed-point model at any parallelism") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    // sequential model of the exact update rule
+    val scale = 1000000000000L
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val init = scale / nodes.size
+    val teleport = (15L * init) / 100L
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 4) {
+      val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v) => sums(v) += r(u) / deg(u) }
+      r = nodes.map(n => n -> (teleport + (85L * sums(n)) / 100L)).toMap
+    }
+    val got = Graph.pagerank(edges.toDF("s", "d").repartition(7),
+        "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // bit-identical under a different partitioning
+    val got2 = Graph.pagerank(edges.toDF("s", "d").repartition(2),
+        "s", "d", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got2 == got)
+    // mass never exceeds the fixed-point budget (truncation only loses)
+    assert(got.values.sum <= scale && got.values.sum > scale / 2)
+  }
+
+  test("dangling nodes leak mass but stay ranked; long runs checkpoint") {
+    // 1 -> 2 -> 3, 3 dangling
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.pagerank(e, "s", "d", iterations = 12, checkpointEvery = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // node 1 has no in-edges: teleport mass only
+    val scale = 1000000000000L
+    val init = scale / 3
+    assert(out(1L) == (15L * init) / 100L)
+    assert(out(3L) > out(1L)) // sink accumulates more than the source
+  }
+}
