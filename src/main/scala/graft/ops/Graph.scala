@@ -79,4 +79,60 @@ object Graph {
     }
     ranks
   }
+
+  /** Breadth-first levels from `seeds` over directed `edges`: (node,
+    * level) with level = length of the shortest path from any seed
+    * (≤ `maxHops`; unreachable nodes are absent). Frontier expansion, the
+    * distributed BFS shape: each hop is one join of the CURRENT frontier
+    * (nodes first reached last hop — usually ≪ |V|) with the edge list
+    * plus a min-label collapse, so hop h costs O(out-edges of frontier h),
+    * not O(|E|). Exact integer labels — deterministic at any parallelism.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                maxHops: Int = 4, checkpointEvery: Int = 5): DataFrame = {
+    require(maxHops >= 0, "maxHops must be ≥ 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    var levels = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("level", lit(0))
+    for (h <- 1 to maxHops) {
+      val frontier = levels.filter(col("level") === h - 1)
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h).as("level"))
+      levels = levels.union(next)
+        .groupBy("node").agg(min(col("level")).as("level"))
+      if (h % checkpointEvery == 0 && h < maxHops)
+        levels = levels.localCheckpoint()
+    }
+    levels
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED graph (`aCol`—`bCol` in
+    * either orientation; parallel edges and self-loops collapse away):
+    * edges canonicalize to a < b, two self-joins enumerate each triangle
+    * once as (a < b < c), then each corner gets credited. Exact integers —
+    * hash-stable against any engine. Scale note: the canonical
+    * orientation counts every triangle exactly once (vs 6× for naive
+    * all-directions), and the wedge join (e1.b = e2.a) is the standard
+    * distributed triangle shape; for power-law graphs, orient edges
+    * low-degree → high-degree first to bound wedge fan-out (the classic
+    * Schank–Wagner / Cohen MapReduce refinement).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tris = wedges.as("w")
+      .join(e.as("e3"), col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    tris.select(col("a").as("node"))
+      .union(tris.select(col("b").as("node")))
+      .union(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -3048,6 +3048,73 @@ object ExtendedQueries {
              |       FROM nodes n LEFT JOIN s3 USING (node))
              |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
              |ORDER BY node""".stripMargin)
+    ),
+
+    // BFS shortest-hop levels from one nation's customers across the
+    // bipartite customer↔supplier graph — frontier-expansion BFS (each
+    // hop joins only the nodes FIRST reached last hop with the edge
+    // list). Exact integer labels; the oracle is DuckDB's recursive CTE
+    // with min-level collapse.
+    QueryDef(
+      "graph_bfs_levels",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("a"),
+            (col("l_suppkey") + 1000000L).as("b")).distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+        Graph.bfsLevels(edges, "src", "dst", seeds, "c_custkey", maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |bfs(node, lvl) AS (
+             |  SELECT DISTINCT c_custkey AS node, 0 AS lvl
+             |  FROM customer WHERE c_nationkey = 1
+             |  UNION
+             |  SELECT e.dst, bfs.lvl + 1
+             |  FROM bfs JOIN edges e ON e.src = bfs.node WHERE bfs.lvl < 3)
+             |SELECT node, CAST(min(lvl) AS INTEGER) AS level FROM bfs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Per-supplier triangle counts over the co-supply graph (suppliers
+    // sharing an order's high-quantity lines): canonical a<b<c triangle
+    // enumeration — every triangle counted exactly once, each corner
+    // credited. Exact integers, so the whole per-node vector hash-matches
+    // DuckDB's identical join enumeration.
+    QueryDef(
+      "graph_triangles",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val co = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+          .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        Graph.triangleCounts(co, "a", "b").orderBy("node")
+      },
+      Some("""WITH co AS (
+             |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+             |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+             |w AS (SELECT e1.a, e1.b, e2.b AS c
+             |      FROM co e1 JOIN co e2 ON e2.a = e1.b),
+             |t AS (SELECT w.a, w.b, w.c
+             |      FROM w JOIN co e3 ON e3.a = w.a AND e3.b = w.c)
+             |SELECT node, count(*) AS n_triangles FROM (
+             |  SELECT a AS node FROM t
+             |  UNION ALL SELECT b FROM t
+             |  UNION ALL SELECT c FROM t)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

@@ -39,6 +39,30 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum <= scale && got.values.sum > scale / 2)
   }
 
+  test("bfsLevels finds shortest hop counts; unreachable nodes absent") {
+    // 0→1→2→3→4 chain plus a shortcut 0→3 and an island 9→10
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (9L, 10L))
+      .toDF("s", "d")
+    val seeds = Seq(0L).toDF("n")
+    val got = Graph.bfsLevels(e, "s", "d", seeds, "n", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2))
+    // hop budget truncates: maxHops=1 reaches only direct neighbors
+    val one = Graph.bfsLevels(e, "s", "d", seeds, "n", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == Map(0L -> 0, 1L -> 1, 3L -> 1))
+  }
+
+  test("triangleCounts credits each corner once per triangle") {
+    // K4 on {1,2,3,4} (some edges reversed + a duplicate + a self-loop),
+    // plus a pendant 4—5: K4 has 4 triangles, each node in exactly 3
+    val e = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (2L, 1L), (5L, 4L), (3L, 3L)).toDF("x", "y")
+    val got = Graph.triangleCounts(e, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("dangling nodes leak mass but stay ranked; long runs checkpoint") {
     // 1 -> 2 -> 3, 3 dangling
     val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
