@@ -29,6 +29,8 @@ object DocGen {
     else if (n.startsWith("agg_") || n.startsWith("fn_") || n.startsWith("set_") ||
       n.startsWith("gs_") || n.startsWith("pivot") || n.startsWith("sq_") ||
       n.matches("w\\d+_.*")) "SQL surface (aggregates, functions, windows, set ops)"
+    else if (n.startsWith("manifest_")) "Transactional manifest layer"
+    else if (n.startsWith("graph_")) "Graph analytics"
     else "Loading, CDC & orchestration (reference operator set)"
 
   def render(): String = {

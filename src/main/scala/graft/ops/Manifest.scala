@@ -64,7 +64,8 @@ object Manifest {
                             strs: Map[String, Map[String, StrBound]] = Map.empty,
                             nulls: Map[String, Map[String, Long]] = Map.empty,
                             dvs: Map[String, (String, Long)] = Map.empty,
-                            ndvs: Map[String, Seq[String]] = Map.empty)
+                            ndvs: Map[String, Seq[String]] = Map.empty,
+                            klls: Map[String, Seq[String]] = Map.empty)
 
   /** Per-file string bounds (`#filestr` lines). `lo`/`hi` are VALID bounds
     * (lo ≤ every value ≤ hi in code-point order) but possibly inexact:
@@ -95,7 +96,8 @@ object Manifest {
                      strs: Map[String, Map[String, StrBound]] = Map.empty,
                      nulls: Map[String, Map[String, Long]] = Map.empty,
                      dvs: Map[String, (String, Long)] = Map.empty,
-                     ndvs: Map[String, Seq[String]] = Map.empty): String = {
+                     ndvs: Map[String, Seq[String]] = Map.empty,
+                     klls: Map[String, Seq[String]] = Map.empty): String = {
     val propLines = props.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -126,8 +128,13 @@ object Manifest {
       case (f, cs) if cs.nonEmpty =>
         s"#ndv ${enc(f)} ${cs.map(enc).mkString(",")}"
     }
+    val kllLines = klls.toSeq.sortBy(_._1).collect {
+      case (f, cs) if cs.nonEmpty =>
+        s"#kll ${enc(f)} ${cs.map(enc).mkString(",")}"
+    }
     ((Header +: propLines) ++ statLines ++ strLines ++ nullLines ++
-      sizeLines ++ rowLines ++ bloomLines ++ ndvLines ++ dvLines ++ files :+
+      sizeLines ++ rowLines ++ bloomLines ++ ndvLines ++ kllLines ++
+      dvLines ++ files :+
       footer(files.size)).mkString("\n")
   }
 
@@ -205,7 +212,15 @@ object Manifest {
         case _ => None
       }
     }.toMap
-    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls, dvs, ndvs))
+    val klls = lines.filter(_.startsWith("#kll ")).flatMap { l =>
+      l.stripPrefix("#kll ").split(' ') match {
+        case Array(f, cs) =>
+          Some(dec(f) -> cs.split(',').toSeq.filter(_.nonEmpty).map(dec))
+        case _ => None
+      }
+    }.toMap
+    Some(Snapshot(files, props, stats, sizes, rows, blooms, strs, nulls, dvs,
+      ndvs, klls))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {
@@ -326,7 +341,8 @@ object Manifest {
                      newNulls: Map[String, Map[String, Long]] = Map.empty,
                      newDvs: Map[String, (String, Long)] = Map.empty,
                      carryDvs: Boolean = true,
-                     newNdvs: Map[String, Seq[String]] = Map.empty)
+                     newNdvs: Map[String, Seq[String]] = Map.empty,
+                     newKlls: Map[String, Seq[String]] = Map.empty)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -393,9 +409,11 @@ object Manifest {
       val dvState = ((if (carryDvs) prevSnap.map(_.dvs).getOrElse(Map.empty)
         else Map.empty[String, (String, Long)])
         ++ newDvs).view.filterKeys(files.toSet).toMap
-      // NDV sketch availability is a per-file fact like bloom declarations
+      // NDV/KLL sketch availability: per-file facts like bloom declarations
       val ndvDecls = (prevSnap.map(_.ndvs).getOrElse(Map.empty)
         ++ newNdvs).view.filterKeys(files.toSet).toMap
+      val kllDecls = (prevSnap.map(_.klls).getOrElse(Map.empty)
+        ++ newKlls).view.filterKeys(files.toSet).toMap
       // constraint props are DATASET state, not per-commit metadata: carry
       // them from the previous version into every commit unless the caller
       // explicitly clears one (empty value = drop tombstone, never written)
@@ -407,7 +425,8 @@ object Manifest {
       try {
         val out = fs.create(manifestPath(root, next), false)
         try out.write(render(files, effProps, stats, sizes, rowCounts, bloomDecls,
-          strBounds, nullCounts, dvState, ndvDecls).getBytes("UTF-8")) finally out.close()
+          strBounds, nullCounts, dvState, ndvDecls,
+          kllDecls).getBytes("UTF-8")) finally out.close()
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -852,6 +871,119 @@ object Manifest {
         union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
     }
     union.getResult.getEstimate
+  }
+
+  // ── per-file quantile sketches: metadata-only approximate percentiles ────
+
+  private def kllSidecar(f: String, c: String): String = s"$f.kll.${enc(c)}"
+
+  /** Record a per-file KLL quantile sketch for each numeric column in
+    * `cols` — the quantile sibling of [[analyzeNdv]]: with count/min/max
+    * exact from the manifest and NDV from HLL sidecars, KLL completes the
+    * metadata-only profile (percentiles for monitoring/drift dashboards
+    * without scanning 100 TB). One pass over only the files missing a
+    * sketch; declarations (`#kll` lines) carry like bloom/ndv facts. KLL
+    * sketches merge with bounded rank error (~1.65% at the default
+    * k=200), independent of file count.
+    */
+  def analyzeQuantiles(spark: SparkSession, path: String, cols: Seq[String],
+                       k: Int = 200): Long = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"dataset at $path has no committed version")
+    require(cols.nonEmpty, "analyzeQuantiles needs at least one column")
+    val snap = snapshotOf(spark, path, v)
+    val missing = snap.files.filter(f =>
+      cols.exists(c => !snap.klls.get(f).exists(_.contains(c))))
+    if (missing.isEmpty) return v
+    writeKllSketches(spark, path, missing, cols, k)
+    commit(spark, path, snap.props + ("kll.cols" -> cols.mkString(",")),
+      prev => snapshotOf(spark, path, prev).stats,
+      newKlls = missing.map(_ -> cols).toMap)(
+      prev => manifestFiles(spark, path, prev))
+  }
+
+  /** One distributed pass: per-(file, col) KLL doubles sketches via
+    * Spark's `kll_sketch_agg_double` (DataSketches binary), written as
+    * `<file>.kll.<col>` sidecars. Zero-row/all-null files record an
+    * empty sketch so their declaration stays truthful.
+    */
+  private def writeKllSketches(spark: SparkSession, path: String,
+                               files: Seq[String], cols: Seq[String],
+                               k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || cols.isEmpty) return
+    val (fs, root) = fsFor(spark, path)
+    val src = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    // SQL-only surface in Spark 4.1 (no functions._ wrapper for KLL)
+    val aggs = cols.map(c =>
+      expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $k)").as(s"sk__$c"))
+    val rows = src.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    def emptySketch: Array[Byte] =
+      org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k).toByteArray
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    rows.foreach { r =>
+      val uri = r.getString(0)
+      files.find(uri.endsWith).foreach { rel =>
+        seen += rel
+        cols.zipWithIndex.foreach { case (c, i) =>
+          val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(emptySketch)
+          val out = fs.create(new Path(root, kllSidecar(rel, c)), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
+    files.filterNot(seen).foreach { rel =>
+      cols.foreach { c =>
+        val out = fs.create(new Path(root, kllSidecar(rel, c)), true)
+        try out.write(emptySketch) finally out.close()
+      }
+    }
+  }
+
+  /** Approximate quantiles of `column` at ranks `probs` over a version
+    * (default: latest), answered from the per-file KLL sketches: declared
+    * sidecars heapify and merge driver-side (bounded metadata, no scan);
+    * files without a sketch are sketched on the fly in one pass over just
+    * those files. Merged rank error stays ~1.65% at k=200 regardless of
+    * file count. Under merge-on-read deletes the estimate ignores
+    * deletion vectors (sketches cannot subtract) until purge/compaction.
+    */
+  def approxQuantiles(spark: SparkSession, path: String, column: String,
+                      probs: Seq[Double], version: Long = -1L,
+                      k: Int = 200): Seq[Double] = {
+    // selective import: functions.version/functions.column shadow params
+    import org.apache.spark.sql.functions.expr
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be ranks in [0, 1]")
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"dataset at $path has no committed version")
+    val snap = snapshotOf(spark, path, v)
+    val (fs, root) = fsFor(spark, path)
+    val merged = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+    val (declared, undeclared) = snap.files.partition(f =>
+      snap.klls.get(f).exists(_.contains(column)))
+    val unreadable = declared.filterNot { f =>
+      scala.util.Try {
+        val in = fs.open(new Path(root, kllSidecar(f, column)))
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+      }.isSuccess
+    }
+    val fallback = undeclared ++ unreadable
+    if (fallback.nonEmpty) {
+      val bytes = spark.read.parquet(fallback.map(f => s"$path/$f"): _*)
+        .agg(expr(s"kll_sketch_agg_double(CAST(`$column` AS DOUBLE), $k)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      if (bytes != null)
+        merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+    }
+    require(!merged.isEmpty,
+      s"no non-null values of '$column' at $path v$v — no quantiles")
+    probs.map(merged.getQuantile)
   }
 
   /** The numeric encoding a column's bounds are recorded in: dates as
@@ -2054,7 +2186,7 @@ object Manifest {
       newBlooms = snap.blooms,
       newStrs = snap.strs, newNulls = snap.nulls,
       newDvs = snap.dvs, carryDvs = false,
-      newNdvs = snap.ndvs)(_ => snap.files)
+      newNdvs = snap.ndvs, newKlls = snap.klls)(_ => snap.files)
   }
 
   /** The version that was current at `tsMillis` — the largest committed
@@ -2150,15 +2282,13 @@ object Manifest {
           val rel = fs.makeQualified(f.getPath).toString.stripPrefix(prefix)
           // a bloom/ndv sidecar lives and dies with its data file: it is
           // deletable exactly when `<file>.parquet` is not retained
-          val dataRel =
-            if (rel.contains(".parquet.bloom."))
-              rel.substring(0, rel.indexOf(".parquet.bloom.")) + ".parquet"
-            else if (rel.contains(".parquet.ndv."))
-              rel.substring(0, rel.indexOf(".parquet.ndv.")) + ".parquet"
-            else rel
+          val sidecarKinds = Seq(".parquet.bloom.", ".parquet.ndv.", ".parquet.kll.")
+          val dataRel = sidecarKinds.find(rel.contains) match {
+            case Some(kind) => rel.substring(0, rel.indexOf(kind)) + ".parquet"
+            case None => rel
+          }
           val deletable = (f.getPath.getName.endsWith(".parquet") ||
-            f.getPath.getName.contains(".parquet.bloom.") ||
-            f.getPath.getName.contains(".parquet.ndv.")) &&
+            sidecarKinds.exists(f.getPath.getName.contains)) &&
             !retained.contains(dataRel)
           if (deletable) fs.delete(f.getPath, false)
         }

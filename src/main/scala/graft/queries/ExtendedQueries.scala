@@ -2997,6 +2997,28 @@ object ExtendedQueries {
              |  true AS ndv_within_tol FROM orders""".stripMargin)
     ),
 
+    // Metadata-only quantiles: per-file KLL sketches merged driver-side
+    // give the median of o_totalprice without scanning — verified by
+    // computing the RANK of the estimate in the data (must sit within
+    // ±3% of 0.5; KLL's merged rank error is ~1.65% at k=200). The row
+    // count anchors the hash to the same table the oracle reads.
+    QueryDef(
+      "manifest_quantile_scan",
+      (s, dir) => {
+        val path = manifestNdvFor(s, dir)
+        val est = Manifest.approxQuantiles(s, path, "o_totalprice", Seq(0.5)).head
+        Manifest.read(s, path)
+          .agg(count(lit(1)).as("n_orders"),
+            avg(when(col("o_totalprice") <= est, 1.0).otherwise(0.0))
+              .as("rank_of_est"))
+          .select(col("n_orders"),
+            (col("rank_of_est") >= 0.47 && col("rank_of_est") <= 0.53)
+              .as("p50_within_tol"))
+      },
+      Some("""SELECT count(*) AS n_orders, true AS p50_within_tol
+             |FROM orders""".stripMargin)
+    ),
+
     // PageRank over the customer↔supplier co-purchase graph (symmetric
     // edges from orders⋈lineitem; suppliers offset into a disjoint id
     // space), 3 damped iterations in 64-bit FIXED POINT — integer sums
@@ -3234,18 +3256,22 @@ object ExtendedQueries {
       path
     })
 
-  // orders split into two appends, each followed by analyzeNdv — the
-  // second analyze sketches ONLY the new files (incremental ANALYZE)
+  // orders split into two appends, each followed by analyzeNdv (HLL) and
+  // analyzeQuantiles (KLL) — the second analyze sketches ONLY the new
+  // files (incremental ANALYZE)
   private val ndvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def manifestNdvFor(s: org.apache.spark.sql.SparkSession,
                              dir: String): String =
     ndvCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_mfn").toString + "/orders"
-      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       Manifest.append(o.filter(col("o_orderkey") % 2 === 0).repartition(4), path)
       Manifest.analyzeNdv(s, path, Seq("o_custkey"))
+      Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
       Manifest.append(o.filter(col("o_orderkey") % 2 =!= 0).repartition(4), path)
       Manifest.analyzeNdv(s, path, Seq("o_custkey"))
+      Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
       path
     })
 

@@ -57,6 +57,29 @@ class ManifestNdvSpec extends SparkSpec {
     assert(math.abs(est1 - 1000.0) <= 1000 * 0.05, s"est1=$est1")
   }
 
+  test("analyzeQuantiles + approxQuantiles answer percentiles from sidecars") {
+    val dir = tmp("kll")
+    // two files over uniform 0..9999: p50 ≈ 5000, p90 ≈ 9000
+    for (lo <- Seq(0L, 5000L))
+      Manifest.append(spark.range(lo, lo + 5000).toDF("id")
+        .withColumn("x", col("id").cast("double")).coalesce(1), dir)
+    val v = Manifest.analyzeQuantiles(spark, dir, Seq("x"))
+    assert(v == 3)
+    assert(Manifest.analyzeQuantiles(spark, dir, Seq("x")) == 3) // no-op
+    val Seq(p50, p90) = Manifest.approxQuantiles(spark, dir, "x", Seq(0.5, 0.9))
+    assert(math.abs(p50 - 5000.0) <= 10000 * 0.02, s"p50=$p50")
+    assert(math.abs(p90 - 9000.0) <= 10000 * 0.02, s"p90=$p90")
+    // un-analyzed append folds in via the fallback scan of just its file
+    Manifest.append(spark.range(10000, 20000).toDF("id")
+      .withColumn("x", col("id").cast("double")).coalesce(1), dir)
+    val Seq(np50) = Manifest.approxQuantiles(spark, dir, "x", Seq(0.5))
+    assert(math.abs(np50 - 10000.0) <= 20000 * 0.02, s"np50=$np50")
+    // time travel: the 2-file version's quantiles unchanged
+    val Seq(tp50) = Manifest.approxQuantiles(spark, dir, "x", Seq(0.5),
+      version = 3)
+    assert(math.abs(tp50 - 5000.0) <= 10000 * 0.02, s"tp50=$tp50")
+  }
+
   test("declarations survive restore; vacuum collects sidecars with their file") {
     val dir = tmp("ndv3")
     Manifest.append(spark.range(0, 500).toDF("id").coalesce(1), dir)   // v1
