@@ -53,15 +53,18 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must be a rational in [0, 1]")
+    // materialize the canonical edge list ONCE: every iteration references
+    // it (contribution join) and so do nodes/deg — without this the whole
+    // upstream plan (source joins + distinct) re-executes per iteration
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nNodes = nodes.count() // the one driver-side scalar: |V|
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
     val teleport = ((dampDen - dampNum) * init) / dampDen
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank_fp", lit(init))
     for (i <- 1 to iterations) {
       val contribs = e
@@ -90,20 +93,23 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxHops: Int = 4, checkpointEvery: Int = 5): DataFrame = {
+                maxHops: Int = 4): DataFrame = {
     require(maxHops >= 0, "maxHops must be ≥ 0")
+    // materialized once — every hop joins against it (see pagerank)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     var levels = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("level", lit(0))
     for (h <- 1 to maxHops) {
       val frontier = levels.filter(col("level") === h - 1)
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h).as("level"))
+      // checkpoint EVERY hop: `levels` is referenced twice per round
+      // (frontier + union), so an unbroken lineage would re-execute the
+      // whole prefix 2^h times; the label set is |V|-bounded — cheap to pin
       levels = levels.union(next)
         .groupBy("node").agg(min(col("level")).as("level"))
-      if (h % checkpointEvery == 0 && h < maxHops)
-        levels = levels.localCheckpoint()
+        .localCheckpoint()
     }
     levels
   }

@@ -1995,14 +1995,18 @@ object Manifest {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
     val v = latestVersion(spark, path)
-    require(v > 0, s"dataset at $path has no committed version — " +
-      "publish the initial contents with append/overwrite/upsert first")
-    val snap = snapshotOf(spark, path, v)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(desc(orderCol))
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    if (v == 0) { // first publish: nothing to vector out, just stage
+      val staged = stageSized(latest, path)
+      requireStagedConstraints(spark, path, staged.map(_._1))
+      return commit(spark, path, extraProps,
+        newSizes = staged.toMap)(_ => staged.map(_._1))
+    }
+    val snap = snapshotOf(spark, path, v)
     // the batch stages as plain data files the committed reader must
     // resolve, so its schema must MATCH the committed one (the orderCol
     // is therefore a real data column, like upsert's) — a mismatch would

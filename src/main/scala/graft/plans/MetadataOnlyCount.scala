@@ -219,6 +219,11 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
   * }}}
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MetadataOnlyCount)
+    // one extensions entry registers the whole library surface: the
+    // native SQL functions too, so a user setting only this class gets
+    // graft_dot alongside the metadata-only rules
+    new graft.functions.GraftExtensions().apply(ext)
+  }
 }

@@ -3019,6 +3019,24 @@ object ExtendedQueries {
              |FROM orders""".stripMargin)
     ),
 
+    // The native codegen'd graft_dot expression through the PURE SQL
+    // surface: GraftFunctions.register puts it on the live session (the
+    // same builder GraftExtensions/GraftSparkExtensions inject at session
+    // build), and the SQL text hash-matches DuckDB's list-fold oracle —
+    // pinning that SQL users get the identical bit-exact fold the Column
+    // API gets.
+    QueryDef(
+      "fn_native_dot_sql",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("emb_native_sql")
+        s.sql("""SELECT vec_id, round(graft_dot(embedding, embedding), 6) AS norm_sq
+                 FROM emb_native_sql ORDER BY vec_id LIMIT 200""")
+      },
+      Some(s"""SELECT vec_id, round(${dotSql("embedding", "embedding", 64)}, 6) AS norm_sq
+              |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin)
+    ),
+
     // PageRank over the customer↔supplier co-purchase graph (symmetric
     // edges from orders⋈lineitem; suppliers offset into a disjoint id
     // space), 3 damped iterations in 64-bit FIXED POINT — integer sums

@@ -217,6 +217,33 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** [[manifestUpsertSink]] with MERGE-ON-READ application: each
+    * micro-batch's matched keys become deletion-vector pairs and the
+    * batch appends as new files ([[graft.ops.Manifest.upsertMergeOnRead]])
+    * — per batch the sink costs the matched row IDs plus the batch,
+    * never a partition rewrite, which is what keeps high-frequency CDC
+    * apply affordable on a 100 TB target. The read-time anti-join
+    * accumulates with the vector count; fold it back during maintenance
+    * windows with `purgeDeletes`/`compact` (both are just more commits).
+    * Same batchId replay guard as [[manifestUpsertSink]]; the first
+    * batch publishes the initial version.
+    */
+  def manifestMorUpsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                            orderCol: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val committed = graft.ops.Manifest
+          .lastProp(batch.sparkSession, path, "streaming.batchId").map(_.toLong)
+        if (!committed.exists(_ >= batchId))
+          graft.ops.Manifest.upsertMergeOnRead(batch, path, keys, orderCol,
+            extraProps = Map("streaming.batchId" -> batchId.toString)): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Idempotent-replay append: a micro-batch retried after a failure
     * between `Manifest.append` and the checkpoint commit would otherwise
     * land twice. The manifest commit records the batchId; a replay whose

@@ -271,6 +271,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("manifestMorUpsertSink: CDC apply via deletion vectors, no file rewrite") {
+    val src  = java.nio.file.Files.createTempDirectory("mmor_src")
+    val sink = java.nio.file.Files.createTempDirectory("mmor_sink").toString + "/ds"
+    val ckpt = java.nio.file.Files.createTempDirectory("mmor_ckpt").toString
+    def writeOne(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mmor_tmp").toString
+      rows.toDF("k", "v", "seq").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    writeOne("b1.parquet", Seq((1L, "a", 1L), (2L, "b", 1L)))
+    val schema = spark.read.parquet(src.toString).schema
+    def run(): Unit = StreamOps.manifestMorUpsertSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      sink, Seq("k"), "seq", ckpt)
+    run() // first batch publishes the initial version
+    def state = graft.ops.Manifest.read(spark, sink).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state == Map(1L -> "a", 2L -> "b"))
+    val filesV1 = graft.ops.Manifest.tableInfo(spark, sink).entries.map(_._1)
+    // CDC batch: update k=2, insert k=3 — applied as vectors + append
+    writeOne("b2.parquet", Seq((2L, "b2", 2L), (3L, "c", 1L)))
+    run()
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // every v1 data file carried over path-identical (merge-on-read)
+    val filesV2 = graft.ops.Manifest.tableInfo(spark, sink).entries.map(_._1)
+    assert(filesV1.forall(filesV2.contains) && filesV2.size > filesV1.size)
+    assert(graft.ops.Manifest.countRows(spark, sink) == 3L)
+    // maintenance folds the vectors back in; state unchanged
+    graft.ops.Manifest.purgeDeletes(spark, sink)
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("manifestUpsertSink: versioned transactional upsert with replay idempotence") {
     val src  = java.nio.file.Files.createTempDirectory("mup_src")
     val sink = java.nio.file.Files.createTempDirectory("mup_sink").toString + "/ds"
