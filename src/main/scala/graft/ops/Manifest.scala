@@ -952,12 +952,25 @@ object Manifest {
   def approxQuantiles(spark: SparkSession, path: String, column: String,
                       probs: Seq[Double], version: Long = -1L,
                       k: Int = 200): Seq[Double] = {
-    // selective import: functions.version/functions.column shadow params
-    import org.apache.spark.sql.functions.expr
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be ranks in [0, 1]")
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"dataset at $path has no committed version")
+    val merged = mergedKll(spark, path, column, v, k)
+    require(!merged.isEmpty,
+      s"no non-null values of '$column' at $path v$v — no quantiles")
+    probs.map(merged.getQuantile)
+  }
+
+  /** The version's merged KLL sketch of `column`: declared sidecars
+    * heapify+merge driver-side; files without one (or unreadable) fall
+    * back to one sketch pass over just those files.
+    */
+  private def mergedKll(spark: SparkSession, path: String, column: String,
+                        v: Long, k: Int)
+      : org.apache.datasketches.kll.KllDoublesSketch = {
+    // selective import: functions.column would shadow the parameter
+    import org.apache.spark.sql.functions.expr
     val snap = snapshotOf(spark, path, v)
     val (fs, root) = fsFor(spark, path)
     val merged = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
@@ -981,9 +994,41 @@ object Manifest {
         merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(bytes)))
     }
-    require(!merged.isEmpty,
-      s"no non-null values of '$column' at $path v$v — no quantiles")
-    probs.map(merged.getQuantile)
+    merged
+  }
+
+  /** Metadata-only drift: PSI between two VERSIONS' distributions of
+    * `column`, estimated from their KLL sketches alone (equal-width bins
+    * spanning the union range; KLL tracks exact min/max, so the edges are
+    * exact). The 100 TB drift-monitor shape: after each publish, one
+    * manifest read + sidecar merge answers "did the distribution move?"
+    * without scanning either version. Same ε-free convention as
+    * [[Profile.driftPsi]]: bins where either cohort has no estimated mass
+    * are excluded. Estimate error follows KLL rank error (~±1.65% mass
+    * per bin at k=200) — use it as an ALARM (PSI > 0.2 ⇒ shifted), not a
+    * precise statistic; verify an alarm with the exact scan if it
+    * matters.
+    */
+  final case class PsiEstimate(psi: Double, lo: Double, hi: Double, nBins: Int)
+
+  def psiFromSketches(spark: SparkSession, path: String, column: String,
+                      versionA: Long, versionB: Long, nBins: Int = 10,
+                      k: Int = 200): PsiEstimate = {
+    require(nBins >= 2, "need at least 2 bins")
+    val a = mergedKll(spark, path, column, versionA, k)
+    val b = mergedKll(spark, path, column, versionB, k)
+    require(!a.isEmpty && !b.isEmpty,
+      s"both versions need non-null values of '$column'")
+    val lo = math.min(a.getMinItem, b.getMinItem)
+    val hi = math.max(a.getMaxItem, b.getMaxItem)
+    require(hi > lo, s"'$column' is constant across both versions — no bins")
+    val edges = (1 until nBins).map(i => lo + (hi - lo) * i / nBins).toArray
+    val pa = a.getPMF(edges)
+    val pb = b.getPMF(edges)
+    val psi = pa.zip(pb).collect {
+      case (p, q) if p > 0 && q > 0 => (p - q) * math.log(p / q)
+    }.sum
+    PsiEstimate(psi, lo, hi, nBins)
   }
 
   /** The numeric encoding a column's bounds are recorded in: dates as

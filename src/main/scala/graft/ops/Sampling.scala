@@ -183,6 +183,32 @@ object Sampling {
       rebalanceRates(counts, targetShares), defaultFraction = 0.0)
   }
 
+  /** Temperature-flattened source mixing (the T5/multilingual-LM recipe):
+    * target share of source i ∝ countᵢ^α — α=1 keeps natural proportions,
+    * α→0 approaches uniform, and the usual α∈(0,1) upsamples low-resource
+    * sources RELATIVE to their natural share. Downsample-only like
+    * [[rebalanceToShares]] (rates cap at 1; the largest-excess source sets
+    * the scale), membership via the deterministic md5-bucket sampler —
+    * rerun-, repartition-, and engine-reproducible. Driver-side work is
+    * one count row per source. NOTE on determinism: α=0.5 shares are
+    * IEEE-exact (sqrt is correctly rounded everywhere); other α go
+    * through `pow`, whose last-ulp rounding may differ across libm
+    * implementations — fine for sampling, but pin α=0.5 when an
+    * exact-match oracle is in play.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shares = counts.toSeq.sortBy(_._1).map { case (s, c) =>
+      s -> (if (alpha == 0.5) math.sqrt(c.toDouble)
+            else math.pow(c.toDouble, alpha))
+    }
+    stratifiedSampleByHash(df, idCol, sourceCol,
+      rebalanceRates(counts, shares), defaultFraction = 0.0)
+  }
+
   /** Top-k weighted sample: (id, w, skey) rows with the k largest keys.
     * Global top-k is TakeOrdered — per-partition heads then a driver merge
     * of k·partitions rows, never a full sort — so this scales to any

@@ -823,6 +823,28 @@ object ExtendedQueries {
       }
     ),
 
+    // Temperature-flattened mixing (T5/multilingual recipe): target share
+    // ∝ count^0.5 — α=0.5 pinned because sqrt is correctly rounded in
+    // every IEEE libm (pow is not), so the per-source rates and the
+    // md5-bucket membership are bit-identical in both engines.
+    QueryDef(
+      "sample_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(Tables.documents(s, dir),
+          "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(s"""WITH counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS c
+             |               FROM documents GROUP BY 1),
+             |t AS (SELECT source, sqrt(c) AS share, c FROM counts),
+             |sc AS (SELECT min(c / share) AS sc FROM t),
+             |thr AS (SELECT source,
+             |          CAST(floor(least(1.0, (SELECT sc FROM sc) * share / c) * ${Sampling.Buckets} + 0.5) AS INT) AS thr
+             |        FROM t),
+             |b AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+             |k AS (SELECT doc_id, source, $hashBucketSql AS bucket FROM b)
+             |SELECT doc_id, source FROM k JOIN thr USING (source)
+             |WHERE bucket < thr ORDER BY doc_id""".stripMargin)
+    ),
+
     // ─────────────────────── similarity search ───────────────────────────
     QueryDef(
       "ann_cosine_topk",
@@ -3037,6 +3059,36 @@ object ExtendedQueries {
               |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin)
     ),
 
+    // Metadata-only drift: PSI between version 2 (low-price cohort) and
+    // version 4 (full data) of a manifest dataset, estimated purely from
+    // their KLL sidecars — then checked against the exact same-bin PSI
+    // from scanning both versions. The sketch-based monitor must raise
+    // the same alarm (PSI > 0.2) and land within ±0.25 of the exact
+    // value; the oracle asserts both verdicts (the row count anchors the
+    // hash to the table DuckDB reads).
+    QueryDef(
+      "manifest_psi_scan",
+      (s, dir) => {
+        val path = manifestPsiFor(s, dir)
+        val est = Manifest.psiFromSketches(s, path, "o_totalprice",
+          versionA = 2, versionB = 4, nBins = 10)
+        val w = (est.hi - est.lo) / est.nBins
+        val tagged = Manifest.read(s, path, version = 2)
+          .withColumn("__c", lit("a"))
+          .unionByName(Manifest.read(s, path, version = 4)
+            .withColumn("__c", lit("b")))
+        val exact = Profile.driftPsi(tagged, col("o_totalprice") - est.lo,
+            col("__c") === "a", col("__c") === "b", w, est.nBins - 1)
+          .agg(sum(col("psi_term")).as("psi")).head.getDouble(0)
+        Manifest.read(s, path).agg(count(lit(1)).as("n_orders"))
+          .select(col("n_orders"),
+            (lit(est.psi > 0.2) === lit(exact > 0.2)).as("psi_alarm_parity"),
+            (lit(math.abs(est.psi - exact)) <= 0.25).as("psi_within_tol"))
+      },
+      Some("""SELECT count(*) AS n_orders, true AS psi_alarm_parity,
+             |  true AS psi_within_tol FROM orders""".stripMargin)
+    ),
+
     // PageRank over the customer↔supplier co-purchase graph (symmetric
     // edges from orders⋈lineitem; suppliers offset into a disjoint id
     // space), 3 damped iterations in 64-bit FIXED POINT — integer sums
@@ -3289,6 +3341,22 @@ object ExtendedQueries {
       Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
       Manifest.append(o.filter(col("o_orderkey") % 2 =!= 0).repartition(4), path)
       Manifest.analyzeNdv(s, path, Seq("o_custkey"))
+      Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
+      path
+    })
+
+  // orders published as a SHIFTED lineage: v1 = low-price cohort (+KLL at
+  // v2), v3 = the rest appended (+KLL at v4) — versions 2 and 4 differ in
+  // distribution, the drift the sketch-based PSI monitor must detect
+  private val psiCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def manifestPsiFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    psiCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mfp").toString + "/orders"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      Manifest.append(o.filter(col("o_totalprice") < 100000).repartition(2), path)
+      Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
+      Manifest.append(o.filter(col("o_totalprice") >= 100000).repartition(2), path)
       Manifest.analyzeQuantiles(s, path, Seq("o_totalprice"))
       path
     })

@@ -859,6 +859,23 @@ class SamplingSpec extends SparkSpec {
     assert((0 until 1000 by 1).filter(_ % 2 == 1).map(_.toLong).toSet.subsetOf(got))
   }
 
+  test("temperatureMix: α=0.5 rates are sqrt(c_min/c_i); smallest source whole") {
+    // a: 100 rows, b: 400 rows → rate_a = 1, rate_b = sqrt(100/400) = 0.5
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("src", when(col("id") < 100, "a").otherwise("b"))
+    val kept = Sampling.temperatureMix(df, "id", "src", alpha = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L, s"smallest source must keep every row: $kept")
+    // md5-bucket sampling at rate 0.5 over 400 rows: expect ~200 ± binomial noise
+    assert(kept("b") > 150L && kept("b") < 250L, s"b ≈ 200 expected: $kept")
+    // rerun-deterministic: identical membership on a different partitioning
+    val again = Sampling.temperatureMix(df.repartition(7), "id", "src", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(df, "id", "src", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("hashBucket in [0, 4096) and invariant under repartition") {
     val b1 = ids.select(col("id"), Sampling.hashBucket(col("id")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

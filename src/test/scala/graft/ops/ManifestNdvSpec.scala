@@ -80,6 +80,30 @@ class ManifestNdvSpec extends SparkSpec {
     assert(math.abs(tp50 - 5000.0) <= 10000 * 0.02, s"tp50=$tp50")
   }
 
+  test("psiFromSketches alarms on a real shift, stays quiet on none") {
+    val dir = tmp("psi")
+    // v1: uniform 0..1000 (+KLL at v2)
+    Manifest.append(spark.range(0, 4000).toDF("id")
+      .withColumn("x", (col("id") % 1000).cast("double")).coalesce(2), dir)
+    Manifest.analyzeQuantiles(spark, dir, Seq("x"))
+    // v3: append a shifted cohort 2000..3000 (+KLL at v4)
+    Manifest.append(spark.range(0, 4000).toDF("id")
+      .withColumn("x", (col("id") % 1000 + 2000).cast("double")).coalesce(2), dir)
+    Manifest.analyzeQuantiles(spark, dir, Seq("x"))
+    val shifted = Manifest.psiFromSketches(spark, dir, "x", 2, 4)
+    assert(shifted.psi > 0.2, s"expected drift alarm, psi=${shifted.psi}")
+    assert(shifted.lo == 0.0 && shifted.hi == 2999.0) // exact min/max
+    // same distribution twice → no alarm
+    val dir2 = tmp("psi2")
+    for (_ <- 1 to 2) {
+      Manifest.append(spark.range(0, 4000).toDF("id")
+        .withColumn("x", (col("id") % 1000).cast("double")).coalesce(2), dir2)
+      Manifest.analyzeQuantiles(spark, dir2, Seq("x"))
+    }
+    val same = Manifest.psiFromSketches(spark, dir2, "x", 2, 4)
+    assert(math.abs(same.psi) < 0.05, s"expected no drift, psi=${same.psi}")
+  }
+
   test("declarations survive restore; vacuum collects sidecars with their file") {
     val dir = tmp("ndv3")
     Manifest.append(spark.range(0, 500).toDF("id").coalesce(1), dir)   // v1
