@@ -93,3 +93,43 @@ class QueryJob(batches: BatchTracker, val queryName: String,
     graft.io.Connections.write(result, targetConnection, targetTable, mode)
   }
 }
+
+/** Scheduled maintenance of a manifest-versioned dataset — the
+  * orchestration loop applied to the engine's own storage: bin-pack the
+  * small-file tail ([[graft.ops.Manifest.compactSmallFiles]]), fold
+  * deletion vectors in when they exceed `maxDvRows`
+  * ([[graft.ops.Manifest.purgeDeletes]]), backfill missing per-file facts
+  * for `analyzeCols` (one incremental ANALYZE commit), and vacuum
+  * versions beyond `keepVersions`. Each step is just another commit, so a
+  * crash mid-job leaves a consistent dataset — re-running completes the
+  * rest. This is the cron target at 100 TB: streaming appends leave a
+  * small-file tail and MOR upserts accumulate vectors; a nightly
+  * MaintenanceJob bounds both without ever blocking writers or readers.
+  */
+class MaintenanceJob(val path: String,
+                     minFileBytes: Long = 32L * 1024 * 1024,
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     maxDvRows: Long = 0L,
+                     analyzeCols: Seq[String] = Nil,
+                     keepVersions: Int = 10) extends EtlJob {
+  override val name: String = s"maintain_${new java.io.File(path).getName}"
+  override val jobType: String = "maintenance"
+
+  override def run(ctx: JobContext): Unit = {
+    import graft.ops.Manifest
+    val spark = ctx.spark
+    require(Manifest.latestVersion(spark, path) > 0,
+      s"no committed version at $path — nothing to maintain")
+    ctx.setPhase("compact_small_files")
+    Manifest.compactSmallFiles(spark, path, minFileBytes, targetFileBytes): Unit
+    ctx.setPhase("purge_deletes")
+    if (Manifest.dvRowCount(spark, path) > maxDvRows)
+      Manifest.purgeDeletes(spark, path): Unit
+    if (analyzeCols.nonEmpty) {
+      ctx.setPhase("analyze")
+      Manifest.analyze(spark, path, analyzeCols): Unit
+    }
+    ctx.setPhase("vacuum")
+    Manifest.vacuum(spark, path, keepVersions = keepVersions)
+  }
+}

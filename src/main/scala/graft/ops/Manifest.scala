@@ -2288,6 +2288,16 @@ object Manifest {
     v > 0 && snapshotOf(spark, path, v).dvs.nonEmpty
   }
 
+  /** Total rows vectored out at a version (Σ per-file `#dv` counts) — a
+    * manifest-only scalar; the maintenance trigger for [[purgeDeletes]].
+    */
+  def dvRowCount(spark: SparkSession, path: String,
+                 version: Long = -1L): Long = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    if (v <= 0) 0L
+    else snapshotOf(spark, path, v).dvs.values.map(_._2).sum
+  }
+
   /** True when per-file deletion-vector state differs between two
     * versions (version 0 = no vectors) — a row-level change the
     * streaming source's file-set diff cannot see.

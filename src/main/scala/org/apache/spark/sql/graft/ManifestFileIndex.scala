@@ -543,6 +543,13 @@ final class ManifestDataSource
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val bloomCols = parameters.get("bloom.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    // sketch facts on write: options `ndv.cols` / `kll.cols` run the
+    // incremental ANALYZE right after the commit (only the just-staged
+    // files are missing sketches, so the extra pass costs the batch)
+    val ndvCols = parameters.get("ndv.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val kllCols = parameters.get("kll.cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     def append(): Unit =
       if (bloomCols.nonEmpty)
         graft.ops.Manifest.appendWithBloom(data, path, bloomCols,
@@ -563,6 +570,9 @@ final class ManifestDataSource
         else append()
       case SaveMode.Ignore => if (!exists) append()
     }
+    if (ndvCols.nonEmpty) graft.ops.Manifest.analyzeNdv(spark, path, ndvCols)
+    if (kllCols.nonEmpty)
+      graft.ops.Manifest.analyzeQuantiles(spark, path, kllCols)
     createRelation(sqlContext, parameters)
   }
 

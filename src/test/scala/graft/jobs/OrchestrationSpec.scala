@@ -224,4 +224,29 @@ class DefaultsSpec extends SparkSpec {
     assert(tracker.all.find(_.id == ok).exists(_.status == "ok"))
     assert(spark.read.parquet(s"$base/gated_ok.parquet").count() > 0)
   }
+
+  test("MaintenanceJob packs small files, purges vectors, vacuums — via the runner") {
+    import graft.ops.Manifest
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("mjob").toString + "/ds"
+    // 6 tiny appends (small-file tail) + a MOR delete (vectors to purge)
+    for (i <- 0 until 6)
+      Manifest.append(spark.range(i * 100, i * 100 + 100).toDF("id").coalesce(1), path)
+    Manifest.deleteMergeOnRead(spark, path, col("id") < 50)
+    assert(Manifest.dvRowCount(spark, path) == 50)
+    val nFilesBefore = Manifest.tableInfo(spark, path).entries.size
+    val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker)
+    val job = new MaintenanceJob(path, minFileBytes = 1024 * 1024,
+      analyzeCols = Seq("id"), keepVersions = 1)
+    runner.run(job, debug = true)
+    // packed: one file instead of six; vectors folded; facts backfilled
+    val info = Manifest.tableInfo(spark, path)
+    assert(info.entries.size < nFilesBefore)
+    assert(Manifest.dvRowCount(spark, path) == 0)
+    assert(Manifest.read(spark, path).count() == 550)
+    assert(info.entries.forall { case (rel, _) => info.nulls.contains(rel) })
+    // vacuum kept only the latest version's files readable
+    assert(Manifest.latestVersion(spark, path) > 6)
+  }
 }

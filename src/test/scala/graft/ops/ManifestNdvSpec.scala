@@ -80,6 +80,21 @@ class ManifestNdvSpec extends SparkSpec {
     assert(math.abs(tp50 - 5000.0) <= 10000 * 0.02, s"tp50=$tp50")
   }
 
+  test("writer options ndv.cols/kll.cols run the incremental analyze on write") {
+    val dir = tmp("wopt")
+    spark.range(0, 1000).toDF("id").withColumn("x", col("id").cast("double"))
+      .coalesce(2).write.format("graft-manifest")
+      .option("ndv.cols", "id").option("kll.cols", "x").save(dir)
+    val est = Manifest.approxDistinct(spark, dir, "id")
+    assert(math.abs(est - 1000.0) <= 1000 * 0.05, s"est=$est")
+    val Seq(p50) = Manifest.approxQuantiles(spark, dir, "x", Seq(0.5))
+    assert(math.abs(p50 - 500.0) <= 1000 * 0.02, s"p50=$p50")
+    Manifest.tableInfo(spark, dir).entries.foreach { case (rel, _) =>
+      assert(new java.io.File(dir, rel + ".ndv.id").exists())
+      assert(new java.io.File(dir, rel + ".kll.x").exists())
+    }
+  }
+
   test("psiFromSketches alarms on a real shift, stays quiet on none") {
     val dir = tmp("psi")
     // v1: uniform 0..1000 (+KLL at v2)
