@@ -27,7 +27,10 @@ object ManifestProperties extends Properties("Manifest") {
   final case class Append(rows: List[(Long, String)]) extends Op
   final case class Overwrite(rows: List[(Long, String)]) extends Op
   final case class Upsert(rows: List[(Long, String)]) extends Op
+  final case class MorUpsert(rows: List[(Long, String)]) extends Op
+  final case class MorDelete(below: Long) extends Op
   case object Compact extends Op
+  case object Purge extends Op
 
   private val keyGen = Gen.choose(0L, 9L)
   private val rowGen: Gen[(Long, String)] = for {
@@ -40,7 +43,10 @@ object ManifestProperties extends Properties("Manifest") {
     4 -> rowsGen.map(Append),
     2 -> rowsGen.map(Overwrite),
     3 -> rowsGen.map(Upsert),
-    1 -> Gen.const(Compact))
+    2 -> rowsGen.map(MorUpsert),
+    2 -> keyGen.map(MorDelete),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Purge))
 
   private val opsGen: Gen[List[Op]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, opGen))
@@ -49,6 +55,9 @@ object ManifestProperties extends Properties("Manifest") {
     * last-writer-wins by a strictly increasing seq, compact is a no-op on
     * contents. Upsert's model: batch-deduped by key (highest seq within
     * the batch wins), then existing rows with matching keys replaced.
+    * The MERGE-ON-READ variants (deletion vectors instead of rewrites)
+    * must be contents-equivalent: MorUpsert ≡ Upsert, MorDelete removes
+    * the matching rows, Purge (folding vectors into files) is a no-op.
     */
   private def applyModel(model: Vector[(Long, String, Long)], op: Op,
                          seqBase: Long): Vector[(Long, String, Long)] = op match {
@@ -61,7 +70,9 @@ object ManifestProperties extends Properties("Manifest") {
       val latest = stamped.groupBy(_._1).map(_._2.maxBy(_._3)).toVector
       val keys = latest.map(_._1).toSet
       model.filterNot(r => keys(r._1)) ++ latest
-    case Compact => model
+    case MorUpsert(rows) => applyModel(model, Upsert(rows), seqBase)
+    case MorDelete(below) => model.filterNot(_._1 < below)
+    case Compact | Purge => model
   }
 
   property("any op sequence reads back as the model; history immutable") =
@@ -79,16 +90,28 @@ object ManifestProperties extends Properties("Manifest") {
             (k, v, seqBase + i) })
           case Upsert(rows) => Some(rows.zipWithIndex.map { case ((k, v), i) =>
             (k, v, seqBase + i) })
-          case Compact => None
+          case MorUpsert(rows) => Some(rows.zipWithIndex.map { case ((k, v), i) =>
+            (k, v, seqBase + i) })
+          case MorDelete(_) | Compact | Purge => None
         }
         val v = op match {
           case Append(_) => Manifest.append(stamped.get.toDF("k", "v", "seq"), dir)
           case Overwrite(_) => Manifest.overwrite(stamped.get.toDF("k", "v", "seq"), dir)
           case Upsert(_) =>
             Manifest.upsert(stamped.get.toDF("k", "v", "seq"), dir, Seq("k"), "seq")
+          case MorUpsert(_) =>
+            Manifest.upsertMergeOnRead(stamped.get.toDF("k", "v", "seq"),
+              dir, Seq("k"), "seq")
+          case MorDelete(below) =>
+            if (Manifest.latestVersion(spark, dir) == 0) -1L
+            else Manifest.deleteMergeOnRead(spark, dir,
+              org.apache.spark.sql.functions.col("k") < below)
           case Compact =>
             if (Manifest.latestVersion(spark, dir) == 0) -1L
             else Manifest.compact(spark, dir, targetFileBytes = 1L << 20)
+          case Purge =>
+            if (Manifest.latestVersion(spark, dir) == 0) -1L
+            else Manifest.purgeDeletes(spark, dir)
         }
         model = applyModel(model, op, seqBase)
         seqBase += 10
