@@ -762,7 +762,7 @@ object Manifest {
 
   // ── per-file cardinality sketches: metadata-only approximate NDV ─────────
 
-  private def ndvSidecar(f: String, c: String): String = s"$f.ndv.${enc(c)}"
+  private[ops] def ndvSidecar(f: String, c: String): String = s"$f.ndv.${enc(c)}"
 
   /** Record a per-file HLL cardinality sketch for each of `cols` as
     * sidecar files (Iceberg's puffin-sketch idea, kept per DATA FILE so
@@ -842,6 +842,48 @@ object Manifest {
     * merge-on-read deletes the estimate ignores deletion vectors (a
     * sketch cannot subtract) — an upper bound until purge/compaction.
     */
+  /** Above this many sidecars, merging goes DISTRIBUTED (binaryFile scan
+    * → per-partition partial merge → driver merges one partial per
+    * partition) instead of a driver-side loop of one small read per file
+    * — a 100k-file dataset's NDV/quantile answer stays a short parallel
+    * job rather than 100k sequential filesystem round-trips.
+    */
+  private val SketchMergeDistributedThreshold = 256
+
+  /** Partial-merge sidecar byte blobs on executors: one partial per
+    * partition comes back to the driver. `mergeBytes` folds a blob list
+    * into one blob; runs inside executors (datasketches is on Spark's own
+    * classpath) and once more on the driver over the partials.
+    */
+  private[ops] def mergeSidecarsDistributed(spark: SparkSession, root: Path,
+                                       sidecars: Seq[String],
+                                       mergeBytes: Seq[Array[Byte]] => Array[Byte])
+      : Option[Array[Byte]] = {
+    val paths = sidecars.map(s => new Path(root, s).toString)
+    val partials = spark.read.format("binaryFile")
+      .load(paths: _*)
+      .select("content").rdd
+      .mapPartitions { it =>
+        val blobs = it.map(_.getAs[Array[Byte]](0)).toSeq
+        if (blobs.isEmpty) Iterator.empty else Iterator(mergeBytes(blobs))
+      }
+      .collect()
+    if (partials.isEmpty) None else Some(mergeBytes(partials.toSeq))
+  }
+
+  private[ops] def hllMergeBytes(lgK: Int)(blobs: Seq[Array[Byte]]): Array[Byte] = {
+    val u = new org.apache.datasketches.hll.Union(lgK)
+    blobs.foreach(b => u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+    u.getResult.toUpdatableByteArray
+  }
+
+  private[ops] def kllMergeBytes(k: Int)(blobs: Seq[Array[Byte]]): Array[Byte] = {
+    val m = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+    blobs.foreach(b => m.merge(org.apache.datasketches.kll.KllDoublesSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b))))
+    m.toByteArray
+  }
+
   def approxDistinct(spark: SparkSession, path: String, column: String,
                      version: Long = -1L, lgK: Int = 12): Double = {
     // selective import: functions.version/functions.column would shadow
@@ -854,14 +896,21 @@ object Manifest {
     val union = new org.apache.datasketches.hll.Union(lgK)
     val (declared, undeclared) = snap.files.partition(f =>
       snap.ndvs.get(f).exists(_.contains(column)))
-    val unreadable = declared.filterNot { f =>
-      scala.util.Try {
-        val in = fs.open(new Path(root, ndvSidecar(f, column)))
-        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-          finally in.close()
-        union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
-      }.isSuccess
-    }
+    val unreadable: Seq[String] =
+      if (declared.size > SketchMergeDistributedThreshold) {
+        mergeSidecarsDistributed(spark, root,
+          declared.map(ndvSidecar(_, column)), hllMergeBytes(lgK))
+          .foreach(b => union.update(
+            org.apache.datasketches.hll.HllSketch.heapify(b)))
+        Nil // a missing/corrupt sidecar fails the job loudly at this scale
+      } else declared.filterNot { f =>
+        scala.util.Try {
+          val in = fs.open(new Path(root, ndvSidecar(f, column)))
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          union.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+        }.isSuccess
+      }
     val fallback = undeclared ++ unreadable
     if (fallback.nonEmpty) {
       val bytes = spark.read.parquet(fallback.map(f => s"$path/$f"): _*)
@@ -875,7 +924,7 @@ object Manifest {
 
   // ── per-file quantile sketches: metadata-only approximate percentiles ────
 
-  private def kllSidecar(f: String, c: String): String = s"$f.kll.${enc(c)}"
+  private[ops] def kllSidecar(f: String, c: String): String = s"$f.kll.${enc(c)}"
 
   /** Record a per-file KLL quantile sketch for each numeric column in
     * `cols` — the quantile sibling of [[analyzeNdv]]: with count/min/max
@@ -976,15 +1025,23 @@ object Manifest {
     val merged = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
     val (declared, undeclared) = snap.files.partition(f =>
       snap.klls.get(f).exists(_.contains(column)))
-    val unreadable = declared.filterNot { f =>
-      scala.util.Try {
-        val in = fs.open(new Path(root, kllSidecar(f, column)))
-        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-          finally in.close()
-        merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
-          org.apache.datasketches.memory.Memory.wrap(bytes)))
-      }.isSuccess
-    }
+    val unreadable: Seq[String] =
+      if (declared.size > SketchMergeDistributedThreshold) {
+        mergeSidecarsDistributed(spark, root,
+          declared.map(kllSidecar(_, column)), kllMergeBytes(k))
+          .foreach(b => merged.merge(
+            org.apache.datasketches.kll.KllDoublesSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(b))))
+        Nil // a missing/corrupt sidecar fails the job loudly at this scale
+      } else declared.filterNot { f =>
+        scala.util.Try {
+          val in = fs.open(new Path(root, kllSidecar(f, column)))
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(bytes)))
+        }.isSuccess
+      }
     val fallback = undeclared ++ unreadable
     if (fallback.nonEmpty) {
       val bytes = spark.read.parquet(fallback.map(f => s"$path/$f"): _*)

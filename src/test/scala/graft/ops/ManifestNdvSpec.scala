@@ -95,6 +95,38 @@ class ManifestNdvSpec extends SparkSpec {
     }
   }
 
+  test("distributed sidecar merge equals the driver-loop merge") {
+    val dir = tmp("dist")
+    for (lo <- Seq(0L, 3000L, 6000L))
+      Manifest.append(spark.range(lo, lo + 3000).toDF("id")
+        .withColumn("x", col("id").cast("double")).coalesce(2), dir)
+    Manifest.analyzeNdv(spark, dir, Seq("id"))
+    Manifest.analyzeQuantiles(spark, dir, Seq("x"))
+    val driverEst = Manifest.approxDistinct(spark, dir, "id")
+    val info = Manifest.tableInfo(spark, dir)
+    val root = info.root
+    // HLL: distributed partial-merge over the same sidecars → same union
+    val hllBytes = Manifest.mergeSidecarsDistributed(spark, root,
+      info.entries.map { case (rel, _) => Manifest.ndvSidecar(rel, "id") },
+      Manifest.hllMergeBytes(12)).get
+    val distEst = org.apache.datasketches.hll.HllSketch.heapify(hllBytes)
+      .getEstimate
+    assert(math.abs(distEst - driverEst) < 1e-6,
+      s"driver=$driverEst distributed=$distEst")
+    // KLL: same for the quantile sketches
+    val Seq(driverP50) = Manifest.approxQuantiles(spark, dir, "x", Seq(0.5))
+    val kllBytes = Manifest.mergeSidecarsDistributed(spark, root,
+      info.entries.map { case (rel, _) => Manifest.kllSidecar(rel, "x") },
+      Manifest.kllMergeBytes(200)).get
+    // KLL compaction is randomized, so merge ORDER shifts the estimate
+    // within rank error — assert both land on the true median ±2% rank
+    val distP50 = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(kllBytes)).getQuantile(0.5)
+    assert(math.abs(distP50 - 4500.0) <= 9000 * 0.02 &&
+      math.abs(driverP50 - 4500.0) <= 9000 * 0.02,
+      s"driver=$driverP50 distributed=$distP50")
+  }
+
   test("psiFromSketches alarms on a real shift, stays quiet on none") {
     val dir = tmp("psi")
     // v1: uniform 0..1000 (+KLL at v2)
