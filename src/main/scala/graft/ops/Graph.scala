@@ -126,10 +126,13 @@ object Graph {
     * Schank–Wagner / Cohen MapReduce refinement).
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // materialized once: the canonical edge set is referenced THREE times
+    // (both wedge sides + the closing-edge probe) — without this the
+    // upstream plan executes three times over
     val e = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
