@@ -386,6 +386,48 @@ object Dedup {
       .distinct()
   }
 
+  /** One step of the CONTINUOUS corpus-dedup gate — the online form of
+    * [[dedupPipeline]] against a persisted index. The incoming batch is
+    *  1. deduped within itself ([[dedupPipeline]]: exact fingerprint +
+    *     banded-LSH candidates + exact-Jaccard verify, canonical keep =
+    *     smallest id);
+    *  2. probed against the persisted band index ([[probeLshIndex]]:
+    *     prefix-pruned scan — the corpus is never re-signatured);
+    *  3. candidate pairs verified with exact token-set Jaccard, joining
+    *     ONLY the candidate corpus ids' text from `corpusText` — so the
+    *     accepted-corpus side costs |candidates|, not |corpus|.
+    * Returns the batch rows that survive both stages. Per-batch cost ∝
+    * batch size + candidate count; ids must be globally unique across
+    * batches and corpus (the verification frame unions both sides).
+    */
+  def gateBatch(batch: DataFrame, idCol: String, textCol: String,
+                indexPath: String, corpusText: DataFrame,
+                k: Int = 8, rowsPerBand: Int = 2,
+                minJaccard: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val keptIds = dedupPipeline(batch, idCol, textCol, k, rowsPerBand, minJaccard)
+      .filter(col("status") === "kept").select(col("id").as(idCol))
+    val kept = batch.join(keptIds, Seq(idCol))
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!indexExists) return kept // first batch: nothing to probe
+    val cands = probeLshIndex(spark, indexPath, kept, idCol, textCol, k, rowsPerBand)
+    val candCorpus = corpusText
+      .join(cands.select(col("corpus_id")).distinct(),
+        corpusText(idCol) === col("corpus_id"))
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+    val words = tokenSets(kept.select(col(idCol).as("id"),
+        col(textCol).as("__text")), "id", "__text")
+      .unionByName(tokenSets(candCorpus, "id", "__text"))
+    val dupIds = verifyPairsJaccard(words,
+        cands.select(col("new_id").as("id1"), col("corpus_id").as("id2")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1").as(idCol)).distinct()
+    kept.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Fixed-width "lines": (id, line_no, line) rows chunking each doc's
     * tokens into `tokensPerLine`-token spans (the corpus has no newline
     * structure; real pipelines split on '\n' — the operator shape is

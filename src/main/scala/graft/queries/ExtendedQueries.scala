@@ -3059,6 +3059,111 @@ object ExtendedQueries {
               |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin)
     ),
 
+    // The CONTINUOUS corpus-dedup gate end-to-end: two crawl batches
+    // stream through lshDedupGateSink — batch 1 seeds the accepted corpus
+    // and band index; batch 2 is deduped within itself, probed against
+    // the PERSISTED index (pruned scan, corpus never re-signatured), and
+    // exact-Jaccard-verified against the accepted docs. The final corpus
+    // must equal the oracle's two-stage simulation: per-batch pipeline
+    // (exact fp + LSH + verify) then the cross-batch verified drop.
+    QueryDef(
+      "dedup_gate_stream",
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("gate_src")
+        val idx = java.nio.file.Files.createTempDirectory("gate_idx").toString + "/idx"
+        val corpus = java.nio.file.Files.createTempDirectory("gate_c").toString + "/c"
+        val ckpt = java.nio.file.Files.createTempDirectory("gate_ck").toString
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        def writeBatch(name: String, pred: org.apache.spark.sql.Column): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("gate_tmp").toString
+          docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(src.toString, name))
+        }
+        val schema = docs.schema
+        def run(): Unit = graft.streaming.StreamOps.lshDedupGateSink(
+          s.readStream.schema(schema).parquet(src.toString),
+          idx, corpus, "doc_id", "text", ckpt)
+        writeBatch("b1.parquet", col("doc_id") % 40 === 0)
+        run()
+        writeBatch("b2.parquet", col("doc_id") % 40 === 20)
+        run()
+        Manifest.read(s, corpus).select(col("doc_id")).orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
+        def stage(pred: String, p: String): String = {
+          val bandsSql = (0 until 4).map(b =>
+            s"SELECT id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM ${p}sigs"
+          ).mkString(" UNION ALL ")
+          s"""${p}fp AS (
+             |  SELECT doc_id AS id, md5(array_to_string($toksSql, ' ')) AS fp
+             |  FROM documents WHERE $pred),
+             |${p}keep AS (SELECT fp, min(id) AS keep_id FROM ${p}fp GROUP BY fp),
+             |${p}wk AS (SELECT f.id, k.keep_id FROM ${p}fp f JOIN ${p}keep k ON f.fp = k.fp),
+             |${p}w AS (
+             |  SELECT DISTINCT d.id, tok
+             |  FROM (SELECT doc_id AS id, $toksSql AS toks
+             |        FROM documents WHERE $pred) d, UNNEST(d.toks) AS t(tok)
+             |  WHERE d.id IN (SELECT id FROM ${p}wk WHERE id = keep_id)),
+             |${p}sigs AS (SELECT id, $mins FROM ${p}w GROUP BY id),
+             |${p}bands AS ($bandsSql),
+             |${p}cands AS (
+             |  SELECT DISTINCT a.id AS id1, b.id AS id2
+             |  FROM ${p}bands a JOIN ${p}bands b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+             |${p}sz AS (SELECT id, count(*) AS sz FROM ${p}w GROUP BY id),
+             |${p}common AS (
+             |  SELECT c.id1, c.id2, count(*) AS common FROM ${p}cands c
+             |  JOIN ${p}w w1 ON w1.id = c.id1
+             |  JOIN ${p}w w2 ON w2.id = c.id2 AND w2.tok = w1.tok
+             |  GROUP BY 1, 2),
+             |${p}near AS (
+             |  SELECT DISTINCT id2 AS id FROM (
+             |    SELECT c.id1, c.id2,
+             |      round(CAST(coalesce(m.common, 0) AS DOUBLE) /
+             |            (s1.sz + s2.sz - coalesce(m.common, 0)), 4) AS j
+             |    FROM ${p}cands c
+             |    LEFT JOIN ${p}common m ON m.id1 = c.id1 AND m.id2 = c.id2
+             |    JOIN ${p}sz s1 ON s1.id = c.id1
+             |    JOIN ${p}sz s2 ON s2.id = c.id2)
+             |  WHERE j >= 0.7),
+             |${p}kept AS (
+             |  SELECT wk.id FROM ${p}wk wk LEFT JOIN ${p}near n ON n.id = wk.id
+             |  WHERE wk.id = wk.keep_id AND n.id IS NULL)""".stripMargin
+        }
+        s"""WITH ${stage("doc_id % 40 = 0", "c")},
+           |${stage("doc_id % 40 = 20", "i")},
+           |xc AS (
+           |  SELECT DISTINCT i.id AS new_id, c.id AS corpus_id
+           |  FROM ibands i JOIN cbands c ON i.band = c.band AND i.bh = c.bh
+           |  WHERE i.id IN (SELECT id FROM ikept)
+           |    AND c.id IN (SELECT id FROM ckept)),
+           |xcommon AS (
+           |  SELECT x.new_id, x.corpus_id, count(*) AS common FROM xc x
+           |  JOIN iw w1 ON w1.id = x.new_id
+           |  JOIN cw w2 ON w2.id = x.corpus_id AND w2.tok = w1.tok
+           |  GROUP BY 1, 2),
+           |xdrop AS (
+           |  SELECT DISTINCT new_id AS id FROM (
+           |    SELECT x.new_id,
+           |      round(CAST(coalesce(m.common, 0) AS DOUBLE) /
+           |            (s1.sz + s2.sz - coalesce(m.common, 0)), 4) AS j
+           |    FROM xc x
+           |    LEFT JOIN xcommon m
+           |      ON m.new_id = x.new_id AND m.corpus_id = x.corpus_id
+           |    JOIN isz s1 ON s1.id = x.new_id
+           |    JOIN csz s2 ON s2.id = x.corpus_id)
+           |  WHERE j >= 0.7)
+           |SELECT id AS doc_id FROM ckept
+           |UNION ALL
+           |SELECT id FROM ikept WHERE id NOT IN (SELECT id FROM xdrop)
+           |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // Metadata-only drift: PSI between version 2 (low-price cohort) and
     // version 4 (full data) of a manifest dataset, estimated purely from
     // their KLL sidecars — then checked against the exact same-bin PSI

@@ -244,6 +244,50 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Continuous corpus-dedup gate: each micro-batch of incoming docs runs
+    * [[graft.ops.Dedup.gateBatch]] (in-batch dedup → persisted-LSH-index
+    * probe → exact-Jaccard verify against the accepted corpus), then the
+    * survivors append to BOTH the band index and the accepted-corpus
+    * manifest. Ordering makes the crash story safe: the index appends
+    * FIRST — a replay after a crash between the two writes re-appends the
+    * same band rows, which is harmless (the probe `distinct`s candidate
+    * pairs), while the manifest commit carries the batchId watermark, so
+    * accepted docs land exactly once. This is the 100 TB crawl-ingest
+    * shape: per batch, the corpus contributes only pruned index
+    * directories and candidate text rows — it is never re-signatured or
+    * re-scanned.
+    */
+  def lshDedupGateSink(stream: DataFrame, indexPath: String,
+                       corpusPath: String, idCol: String, textCol: String,
+                       checkpointDir: String,
+                       k: Int = 8, rowsPerBand: Int = 2,
+                       minJaccard: Double = 0.7): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val committed = graft.ops.Manifest
+          .lastProp(spark, corpusPath, "streaming.batchId").map(_.toLong)
+        if (!committed.exists(_ >= batchId)) {
+          val haveCorpus = graft.ops.Manifest.latestVersion(spark, corpusPath) > 0
+          val corpus =
+            if (haveCorpus) graft.ops.Manifest.read(spark, corpusPath)
+            else batch.limit(0)
+          val accepted = graft.ops.Dedup.gateBatch(batch, idCol, textCol,
+            indexPath, corpus, k, rowsPerBand, minJaccard)
+            .localCheckpoint() // both writes below consume it; gate once
+          if (accepted.head(1).nonEmpty)
+            graft.ops.Dedup.appendLshIndex(accepted, idCol, textCol,
+              k, rowsPerBand, indexPath)
+          graft.ops.Manifest.append(accepted, corpusPath,
+            Map("streaming.batchId" -> batchId.toString)): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Idempotent-replay append: a micro-batch retried after a failure
     * between `Manifest.append` and the checkpoint commit would otherwise
     * land twice. The manifest commit records the batchId; a replay whose

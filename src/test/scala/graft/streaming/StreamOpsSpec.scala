@@ -305,6 +305,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("lshDedupGateSink: continuous corpus dedup against the persisted index") {
+    val src  = java.nio.file.Files.createTempDirectory("gate_src")
+    val idx  = java.nio.file.Files.createTempDirectory("gate_idx").toString + "/idx"
+    val corp = java.nio.file.Files.createTempDirectory("gate_corp").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt").toString
+    def writeOne(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("gate_tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tB = "completely different words here about other topics entirely now yes indeed truly"
+    val tN = "brand new unique document text nothing shared with previous ones at all"
+    writeOne("b1.parquet", Seq((1L, tA), (2L, tB), (3L, tA))) // 3 = exact dup of 1
+    val schema = spark.read.parquet(src.toString).schema
+    def run(): Unit = StreamOps.lshDedupGateSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      idx, corp, "doc_id", "text", ckpt)
+    run()
+    def corpusIds = graft.ops.Manifest.read(spark, corp).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(corpusIds == Set(1L, 2L))
+    // batch 2: 10 = near-dup of corpus doc 1 (one token changed, j≈0.85),
+    // 11 = novel, 12 = in-batch near-dup of 11
+    writeOne("b2.parquet", Seq(
+      (10L, tA.replace("mu", "nu")),
+      (11L, tN),
+      (12L, tN.replace("all", "once"))))
+    run()
+    assert(corpusIds == Set(1L, 2L, 11L))
+    // the index grew by exactly the accepted doc's band rows: a replayed
+    // probe of doc 11's text now reports it as a near-dup candidate
+    val probe = graft.ops.Dedup.probeLshIndex(spark, idx,
+      Seq((99L, tN)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, rowsPerBand = 2)
+    assert(probe.collect().map(_.getLong(1)).contains(11L))
+  }
+
   test("manifestUpsertSink: versioned transactional upsert with replay idempotence") {
     val src  = java.nio.file.Files.createTempDirectory("mup_src")
     val sink = java.nio.file.Files.createTempDirectory("mup_sink").toString + "/ds"
