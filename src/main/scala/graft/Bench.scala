@@ -48,14 +48,15 @@ object Bench {
     // two consecutive passes is the better estimate of plan cost; the
     // warm-up sweep above already paid JIT/codegen, so the extra pass
     // costs roughly one engine-run, not a cold start.
-    val results: Seq[(String, Either[String, Double])] = ordered.map {
+    val results: Seq[(String, Either[String, (Double, Double)])] = ordered.map {
       case (name, fn) =>
         name -> (timed(fn) match {
-          case Right(t1) => timed(fn).map(t2 => math.min(t1, t2))
-          case left => left
+          case Right(t1) => timed(fn).map(t2 => (t1, t2))
+          case Left(e) => Left(e)
         })
     }
-    val ok = results.collect { case (n, Right(s)) => n -> s }
+    val ok = results.collect { case (n, Right((a, b))) => n -> math.min(a, b) }
+    val bothRuns = results.collect { case (n, Right(p)) => n -> p }.toMap
     val errs = results.collect { case (n, Left(e)) => n -> e }
     // contention sentinel: re-time 3 batch queries spread across the cost
     // spectrum AFTER the sweep and compare against their recorded min. A
@@ -93,8 +94,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val ccFields =
       s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"contention_check":$cc"""
+    // warm/cold provenance for the 20 most expensive queries: both timed
+    // passes, so a recorded number dominated by first-touch warm-up
+    // (dedup_incremental measured 3.1 s first pass vs 0.38 s second in r6)
+    // is visible in the artifact instead of reading as plan cost
+    val runs2 = ok.sortBy(-_._2).take(20).map { case (n, _) =>
+      val (a, b) = bothRuns(n)
+      "\"" + n + "\":{\"first\":" + sec(a) + ",\"second\":" + sec(b) +
+        ",\"warm_ratio\":" + sec(a / math.max(b, 1e-9)) + "}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},$ccFields,"sf":"$sfDir","errors":$es,"queries":$qs}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},$ccFields,"sf":"$sfDir","runs_top20":$runs2,"errors":$es,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
       (full + "\n").getBytes("UTF-8"))

@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Row-count ceiling for the exact quadratic verifiers
+    * ([[bruteForceTopK]], [[cosineNearDupPairs]]): they are all-pairs by
+    * design — correct, but O(N²) — so a caller pointing one at a corpus
+    * instead of a verification sample should fail fast with a pointer to
+    * the bucketed path, not melt the cluster. The check costs one
+    * `limit(max+1).count()` (a bounded scan, stops at max+1 rows).
+    * Opt out per call with `maxRows = 0` (any non-positive value).
+    */
+  val DefaultQuadraticMaxRows: Long = 100000L
+
+  private def requireSmall(df: DataFrame, maxRows: Long, op: String,
+                           scalePath: String): Unit = {
+    if (maxRows <= 0) return
+    val n = df.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= maxRows,
+      s"$op is an exact all-pairs verifier and its input exceeds $maxRows " +
+        s"rows — use $scalePath for corpus-scale inputs, or pass maxRows=0 " +
+        "to override")
+  }
+
   /** Left-to-right double dot product of two array columns — the native
     * codegen'd [[graft.functions.DotProduct]] expression (bit-identical to
     * the HOF formulation `aggregate(zip_with(...))`, see [[dotHof]], but
@@ -46,7 +66,10 @@ object Similarity {
     * since the fold order is unchanged.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     maxRows: Long = DefaultQuadraticMaxRows): DataFrame = {
+    requireSmall(candidates, maxRows, "bruteForceTopK",
+      "ivfTopK/probeIvfIndexBatch (IVF) or lshTopK (hyperplane LSH)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -471,7 +494,10 @@ object Similarity {
     * the scale path.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxRows: Long = DefaultQuadraticMaxRows): DataFrame = {
+    requireSmall(df, maxRows, "cosineNearDupPairs",
+      "lshNearDupPairs (banded hyperplane LSH)")
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"), norm(col(vecCol)).as("n1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"), norm(col(vecCol)).as("n2"))
     a.crossJoin(b).filter(col("id1") < col("id2"))

@@ -3066,6 +3066,13 @@ object ExtendedQueries {
     // exact-Jaccard-verified against the accepted docs. The final corpus
     // must equal the oracle's two-stage simulation: per-batch pipeline
     // (exact fp + LSH + verify) then the cross-batch verified drop.
+    //
+    // ONE streaming run: both batch files are staged up front with pinned
+    // mtimes and maxFilesPerTrigger=1 splits them into two ordered
+    // micro-batches under a single Trigger.AvailableNow query — no second
+    // cold stream start. One file per batch is load-bearing (it IS the
+    // micro-batch boundary), which is why the staging write stays a
+    // single-task coalesce(1) over the ~1/40 slice.
     QueryDef(
       "dedup_gate_stream",
       (s, dir) => {
@@ -3074,22 +3081,23 @@ object ExtendedQueries {
         val corpus = java.nio.file.Files.createTempDirectory("gate_c").toString + "/c"
         val ckpt = java.nio.file.Files.createTempDirectory("gate_ck").toString
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        def writeBatch(name: String, pred: org.apache.spark.sql.Column): Unit = {
+        val t0 = System.currentTimeMillis()
+        def writeBatch(name: String, pred: org.apache.spark.sql.Column,
+                       mtime: Long): Unit = {
           val tmp = java.nio.file.Files.createTempDirectory("gate_tmp").toString
           docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(part.toPath,
-            java.nio.file.Paths.get(src.toString, name))
+          val dst = java.nio.file.Paths.get(src.toString, name)
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(mtime): Unit // file source orders by mtime
         }
-        val schema = docs.schema
-        def run(): Unit = graft.streaming.StreamOps.lshDedupGateSink(
-          s.readStream.schema(schema).parquet(src.toString),
+        writeBatch("b1.parquet", col("doc_id") % 40 === 0, t0 - 60000)
+        writeBatch("b2.parquet", col("doc_id") % 40 === 20, t0 - 30000)
+        graft.streaming.StreamOps.lshDedupGateSink(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src.toString),
           idx, corpus, "doc_id", "text", ckpt)
-        writeBatch("b1.parquet", col("doc_id") % 40 === 0)
-        run()
-        writeBatch("b2.parquet", col("doc_id") % 40 === 20)
-        run()
         Manifest.read(s, corpus).select(col("doc_id")).orderBy("doc_id")
       },
       Some {

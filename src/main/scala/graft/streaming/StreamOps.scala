@@ -272,12 +272,16 @@ object StreamOps {
           val corpus =
             if (haveCorpus) graft.ops.Manifest.read(spark, corpusPath)
             else batch.limit(0)
-          val accepted = graft.ops.Dedup.gateBatch(batch, idCol, textCol,
-            indexPath, corpus, k, rowsPerBand, minJaccard)
-            .localCheckpoint() // both writes below consume it; gate once
+          // one token/signature pass per batch: the gate hands back the
+          // accepted docs' band rows, so the index append re-signatures
+          // nothing
+          val (acceptedRaw, bandsRaw) = graft.ops.Dedup.gateBatchWithBands(
+            batch, idCol, textCol, indexPath, corpus, k, rowsPerBand, minJaccard)
+          val accepted = acceptedRaw.localCheckpoint() // consumed below; gate once
           if (accepted.head(1).nonEmpty)
-            graft.ops.Dedup.appendLshIndex(accepted, idCol, textCol,
-              k, rowsPerBand, indexPath)
+            graft.ops.Dedup.writeLshIndexBands(
+              bandsRaw.join(accepted.select(idCol), Seq(idCol), "left_semi"),
+              indexPath)
           graft.ops.Manifest.append(accepted, corpusPath,
             Map("streaming.batchId" -> batchId.toString)): Unit
         }

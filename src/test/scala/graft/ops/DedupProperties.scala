@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Laws of the prefix-filtered exact-Jaccard join: the PPJoin prefix
+  * filter must be LOSSLESS — the pair set (with values) equals the naive
+  * all-pairs computation at every threshold — and it must structurally
+  * defuse the stop-word skew bomb (a token in half the corpus never
+  * enters a prefix, so its |docs∋tok|² bucket never materializes).
+  */
+object DedupProperties extends Properties("Dedup") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val vocab = Vector("the", "quick", "brown", "fox", "jumps",
+    "over", "lazy", "dog", "alpha", "beta", "gamma", "delta")
+
+  private val docGen: Gen[String] =
+    Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+
+  private val corpusGen: Gen[Seq[(Long, String)]] =
+    Gen.choose(2, 14).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Driver-side naive all-pairs Jaccard over normalized token sets —
+    * the oracle the distributed op must reproduce exactly. Pairs must
+    * share ≥1 token (the join-based op never emits disjoint pairs).
+    */
+  private def naivePairs(rows: Seq[(Long, String)],
+                         t: Double): Set[(Long, Long, Double)] = {
+    val sets = rows.map { case (id, s) =>
+      id -> s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+      inter = (s1 & s2).size if inter > 0
+      j = BigDecimal(inter.toDouble / (s1.size + s2.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= t
+    } yield (i1, i2, j)).toSet
+  }
+
+  private def gotPairs(rows: Seq[(Long, String)],
+                       t: Double): Set[(Long, Long, Double)] =
+    Dedup.jaccardPairs(df(rows), "doc_id", "text", t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // prefix filtering is lossless at every threshold, values included
+  property("prefixFilterLossless") =
+    Prop.forAll(corpusGen, Gen.oneOf(0.0, 0.3, 0.5, 0.7, 0.9, 1.0)) {
+      (rows, t) => gotPairs(rows, t) == naivePairs(rows, t)
+    }
+
+  // skew fixture: one stop-word in EVERY doc (worst-case document
+  // frequency). Each doc also carries unique tokens, so at t=0.5 the
+  // prefix (rarest |s|−⌈t|s|⌉+1 tokens) never reaches the stop-word —
+  // the naive token self-join would put n² = 90k rows on one key; the
+  // prefix join must put ZERO rows on it. Results still exact.
+  property("stopWordNeverInPrefix") = {
+    val n = 300
+    val rows = (0 until n).map { i =>
+      // 4 unique tokens + the universal stop-word → sz=5, prefix len 3
+      (i.toLong, s"the u${i}a u${i}b u${i}c u${i}d")
+    }
+    val input = df(rows).select(col("doc_id").as("id"),
+      TextAnalysis.tokenSet(col("text")).as("toks"))
+      .withColumn("fp", md5(concat_ws(" ", array_sort(col("toks")))))
+    val repWords = input.select(col("fp"), explode(col("toks")).as("tok"))
+    val hotInPrefix = Dedup.prefixTokens(repWords, 0.5)
+      .filter(col("tok") === "the").count()
+    val got = gotPairs(rows, 0.5)
+    Prop(hotInPrefix == 0L) :| s"hot token rode $hotInPrefix prefixes" &&
+      Prop(got == naivePairs(rows, 0.5)) :| "skewed corpus pairs exact"
+  }
+
+  // identical docs always become LSH candidates (jaccard 1 survives every band)
+  property("lshFindsExactDups") = Prop.forAll(corpusGen) { rows =>
+    val dup   = rows :+ (100L, rows.head._2)
+    val pairs = Dedup.lshCandidatePairs(df(dup), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.contains((rows.head._1, 100L))
+  }
+
+  // duplicate-heavy corpora still collapse to set representatives first:
+  // many copies of one doc yield within-group pairs at jaccard 1.0
+  property("duplicateCollapseExact") = Prop.forAll(Gen.choose(2, 8)) { copies =>
+    val rows = (0 until copies).map(i => (i.toLong, "alpha beta gamma")) :+
+      (copies.toLong, "alpha beta delta")
+    val got = gotPairs(rows, 0.4)
+    got == naivePairs(rows, 0.4)
+  }
+}

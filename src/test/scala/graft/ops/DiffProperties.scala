@@ -63,51 +63,3 @@ object DiffProperties extends Properties("Diff") {
     }
   }
 }
-
-/** Jaccard/minhash laws over small random corpora. */
-object DedupProperties extends Properties("Dedup") {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  private val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
-  private val docGen = for {
-    n    <- Gen.choose(1, 6)
-    toks <- Gen.listOfN(n, Gen.oneOf(vocab))
-  } yield toks.mkString(" ")
-
-  private val corpusGen: Gen[Seq[(Long, String)]] =
-    Gen.listOfN(8, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
-
-  private def df(rows: Seq[(Long, String)]) = {
-    import spark.implicits._
-    rows.toDF("doc_id", "text")
-  }
-
-  // jaccard ∈ (0, 1]; symmetric by construction (id1 < id2); matches naive set computation
-  property("jaccardMatchesSetMath") = Prop.forAll(corpusGen) { rows =>
-    val pairs = Dedup.jaccardPairs(df(rows), "doc_id", "text", minJaccard = 0.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val sets = rows.map { case (id, t) => id -> t.split("\\s+").toSet }.toMap
-    val ok = rows.flatMap { case (i, _) => rows.collect { case (j, _) if i < j => (i, j) } }
-      .forall { case (i, j) =>
-        val inter = sets(i).intersect(sets(j)).size.toDouble
-        val expected =
-          if (inter == 0) None
-          else Some(math.rint(inter / (sets(i) ++ sets(j)).size * 10000) / 10000)
-        pairs.get((i, j)) == expected
-      }
-    ok && pairs.values.forall(v => v > 0 && v <= 1.0)
-  }
-
-  // identical docs always become LSH candidates (jaccard 1 survives every band)
-  property("lshFindsExactDups") = Prop.forAll(corpusGen) { rows =>
-    val dup   = rows :+ (100L, rows.head._2)
-    val pairs = Dedup.lshCandidatePairs(df(dup), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    pairs.contains((rows.head._1, 100L))
-  }
-}

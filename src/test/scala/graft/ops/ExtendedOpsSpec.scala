@@ -415,6 +415,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c((0L, 3L)) - math.sqrt(0.5)) < 1e-5)
   }
 
+  test("quadratic verifiers fail fast above maxRows, opt out with 0") {
+    val big = spark.range(0, 50).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+    val eBrute = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big.limit(1), big, "vec_id", "embedding",
+        k = 3, maxRows = 10)
+    }
+    assert(eBrute.getMessage.contains("ivfTopK"))
+    val ePairs = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(big, "vec_id", "embedding", 0.9,
+        maxRows = 10)
+    }
+    assert(ePairs.getMessage.contains("lshNearDupPairs"))
+    // maxRows = 0 opts out; default ceiling admits small verification sets
+    assert(Similarity.cosineNearDupPairs(big, "vec_id", "embedding", 0.999999,
+      maxRows = 0).count() >= 0)
+    assert(Similarity.bruteForceTopK(big.limit(1), big, "vec_id", "embedding",
+      k = 3).count() == 3)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)

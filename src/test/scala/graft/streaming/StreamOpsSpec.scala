@@ -345,6 +345,60 @@ class StreamOpsSpec extends SparkSpec {
     assert(probe.collect().map(_.getLong(1)).contains(11L))
   }
 
+  test("lshDedupGateSink recovery: crash between index append and corpus commit") {
+    // The sink's documented crash story: index appends FIRST, so a batch
+    // replayed after dying between the two writes re-appends band rows
+    // (harmless — probes distinct) while the corpus commit stays
+    // exactly-once via the batchId watermark. Kill the run at exactly
+    // that point and restart against the same checkpoint: the final
+    // corpus must equal the uninterrupted run's.
+    val src  = java.nio.file.Files.createTempDirectory("gatr_src")
+    val idx  = java.nio.file.Files.createTempDirectory("gatr_idx").toString + "/idx"
+    val corp = java.nio.file.Files.createTempDirectory("gatr_corp").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("gatr_ckpt").toString
+    def writeOne(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("gatr_tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val tB = "completely different words here about other topics entirely now yes indeed truly"
+    val tN = "brand new unique document text nothing shared with previous ones at all"
+    writeOne("b1.parquet", Seq((1L, tA), (2L, tB)))
+    val schema = spark.read.parquet(src.toString).schema
+    def run(): Unit = StreamOps.lshDedupGateSink(
+      spark.readStream.schema(schema).parquet(src.toString),
+      idx, corp, "doc_id", "text", ckpt)
+    run()
+    // batch 2 arrives; the "crashed" attempt got as far as the index
+    // append (the sink's first write) for the batch's accepted docs —
+    // computed exactly as the sink computes them — then died before the
+    // manifest commit, leaving the checkpoint unaware of batch 2
+    val b2 = Seq((10L, tA.replace("mu", "nu")), (11L, tN),
+      (12L, tN.replace("all", "once")))
+    writeOne("b2.parquet", b2)
+    val acceptedByCrashedAttempt = graft.ops.Dedup.gateBatch(
+      b2.toDF("doc_id", "text"), "doc_id", "text", idx,
+      graft.ops.Manifest.read(spark, corp))
+    graft.ops.Dedup.appendLshIndex(acceptedByCrashedAttempt,
+      "doc_id", "text", 8, 2, idx)
+    // restart against the same checkpoint: batch 2 replays from scratch —
+    // its accepted docs now ALREADY sit in the index (self-candidates are
+    // filtered by id, so they must not gate themselves out)
+    run()
+    val rows = graft.ops.Manifest.read(spark, corp).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 11L),
+      "replayed corpus differs from the uninterrupted run")
+    assert(rows.length == 3, "a doc committed twice across the replay")
+    // the twice-appended band rows stay harmless: one candidate row
+    val probe = graft.ops.Dedup.probeLshIndex(spark, idx,
+      Seq((99L, tN)).toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, rowsPerBand = 2)
+    assert(probe.collect().map(_.getLong(1)).count(_ == 11L) == 1)
+  }
+
   test("manifestUpsertSink: versioned transactional upsert with replay idempotence") {
     val src  = java.nio.file.Files.createTempDirectory("mup_src")
     val sink = java.nio.file.Files.createTempDirectory("mup_sink").toString + "/ds"
