@@ -342,7 +342,9 @@ object Manifest {
                      newDvs: Map[String, (String, Long)] = Map.empty,
                      carryDvs: Boolean = true,
                      newNdvs: Map[String, Seq[String]] = Map.empty,
-                     newKlls: Map[String, Seq[String]] = Map.empty)
+                     newKlls: Map[String, Seq[String]] = Map.empty,
+                     stagedValidate: Seq[String] = Nil,
+                     validateMergeSchema: Boolean = false)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -350,6 +352,13 @@ object Manifest {
     // footer reads memoized across retry attempts: a commit collision
     // re-resolves the file LIST, but a file's row count is immutable
     val footerCache = scala.collection.mutable.HashMap.empty[String, Option[Long]]
+    // CHECK validation of staged files happens INSIDE the claim loop so a
+    // concurrent addConstraint landing between an external validation and
+    // the version claim can't publish unchecked rows (validate/commit
+    // TOCTOU): each attempt re-reads the carried constraint set and
+    // validates whatever (name, predicate) pairs it hasn't already proven
+    // for this staged batch — zero extra scans when nothing changed.
+    val validatedCs = scala.collection.mutable.HashSet.empty[(String, String)]
     while (true) {
       // claim the next version ON DISK, not just the next complete one —
       // a crashed writer's torn manifest occupies its number forever
@@ -422,6 +431,14 @@ object Manifest {
       val effProps = (carriedConstraints ++ props).filter { case (k, pv) =>
         !(k.startsWith("constraint.") && pv.isEmpty)
       }
+      if (stagedValidate.nonEmpty) {
+        val pending = constraintsOf(effProps)
+          .filter { case (k, p) => !validatedCs.contains(k -> p) }
+        if (pending.nonEmpty) {
+          validateStaged(spark, path, stagedValidate, pending, validateMergeSchema)
+          validatedCs ++= pending.toSeq
+        }
+      }
       try {
         val out = fs.create(manifestPath(root, next), false)
         try out.write(render(files, effProps, stats, sizes, rowCounts, bloomDecls,
@@ -446,9 +463,8 @@ object Manifest {
   def overwrite(df: DataFrame, path: String,
                 props: Map[String, String] = Map.empty): Long = {
     val staged = stageSized(df, path)
-    requireStagedConstraints(df.sparkSession, path, staged.map(_._1))
-    commit(df.sparkSession, path, props,
-      newSizes = staged.toMap)(_ => staged.map(_._1))
+    commit(df.sparkSession, path, props, newSizes = staged.toMap,
+      stagedValidate = staged.map(_._1))(_ => staged.map(_._1))
   }
 
   /** [[overwrite]] recording per-file min/max bounds for `statsCols` —
@@ -458,11 +474,11 @@ object Manifest {
                          props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, props + ("stats.cols" -> statsCols.mkString(",")),
       _ => facts.nums, newSizes = staged.toMap,
-      newStrs = facts.strs, newNulls = facts.nulls)(_ => staged.map(_._1))
+      newStrs = facts.strs, newNulls = facts.nulls,
+      stagedValidate = staged.map(_._1))(_ => staged.map(_._1))
   }
 
   /** Publish `df` as the next version APPENDED to the current one: the
@@ -502,12 +518,12 @@ object Manifest {
     }
     val allProps = if (evolved) props + ("merge.schema" -> "true") else props
     val staged = stageSized(df, path)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     // carried-over files keep their recorded bounds (commit intersects
     // the stats map with the final file list)
     commit(spark, path, allProps,
       prev => if (prev == 0) Map.empty else snapshotOf(spark, path, prev).stats,
-      newSizes = staged.toMap) { prev =>
+      newSizes = staged.toMap,
+      stagedValidate = staged.map(_._1), validateMergeSchema = evolved) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -525,14 +541,14 @@ object Manifest {
                       props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("stats.cols" -> statsCols.mkString(","))
     commit(spark, path, allProps,
       prev => (if (prev == 0) Map.empty[String, Map[String, (Double, Double)]]
         else snapshotOf(spark, path, prev).stats) ++ facts.nums,
       newSizes = staged.toMap,
-      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
+      newStrs = facts.strs, newNulls = facts.nulls,
+      stagedValidate = staged.map(_._1)) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -632,7 +648,6 @@ object Manifest {
                       statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val staged = stageSized(df, path)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     writeBlooms(spark, path, staged.map(_._1), bloomCols, fpp)
     val facts = computeFacts(spark, path, staged.map(_._1), statsCols)
     val allProps = props + ("bloom.cols" -> bloomCols.mkString(",")) ++
@@ -642,7 +657,8 @@ object Manifest {
         else snapshotOf(spark, path, prev).stats) ++ facts.nums,
       newSizes = staged.toMap,
       newBlooms = staged.map(_._1 -> bloomCols).toMap,
-      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
+      newStrs = facts.strs, newNulls = facts.nulls,
+      stagedValidate = staged.map(_._1)) { prev =>
       (if (prev == 0) Nil else manifestFiles(spark, path, prev)) ++ staged.map(_._1)
     }
   }
@@ -681,8 +697,12 @@ object Manifest {
         val uriToRel = scala.collection.mutable.HashMap.empty[String, String]
         it.foreach { r =>
           val uri = r.getString(0)
+          // decoded-path match (percent-encoded partition dirs); a row
+          // that maps to no staged file is a bug worth failing the job
           val rel = uriToRel.getOrElseUpdate(uri,
-            filesB.value.find(uri.endsWith).getOrElse(uri))
+            relFileOfUri(uri, filesB.value).getOrElse(
+              throw new IllegalStateException(
+                s"writeBlooms: scanned row from '$uri' maps to no staged file")))
           var i = 0
           while (i < nCols) {
             if (!r.isNullAt(i + 1)) {
@@ -785,21 +805,40 @@ object Manifest {
     val missing = snap.files.filter(f =>
       cols.exists(c => !snap.ndvs.get(f).exists(_.contains(c))))
     if (missing.isEmpty) return v
-    writeNdvSketches(spark, path, missing, cols, lgK)
+    writeNdvSketches(spark, path, missing, cols, lgK, snap.rows)
+    // declarations UNION with what a file already declared — analyzing
+    // col b after col a must not drop a's declaration (which would
+    // silently degrade later approxDistinct("a") calls to full scans)
     commit(spark, path, snap.props + ("ndv.cols" -> cols.mkString(",")),
       prev => snapshotOf(spark, path, prev).stats,
-      newNdvs = missing.map(_ -> cols).toMap)(
+      newNdvs = missing.map(f =>
+        f -> (snap.ndvs.getOrElse(f, Nil) ++ cols).distinct).toMap)(
       prev => manifestFiles(spark, path, prev))
+  }
+
+  /** Map an `input_file_name()` URI back to the manifest-relative path it
+    * scanned. The URI is percent-ENCODED (a space in a `__p_c=v` partition
+    * dir arrives as `%20`), manifest entries are raw — so match on the
+    * DECODED path. Returns None when no manifest entry matches.
+    */
+  private def relFileOfUri(uri: String, files: Seq[String]): Option[String] = {
+    val decoded = scala.util.Try(new java.net.URI(uri).getPath)
+      .toOption.filter(_ != null).getOrElse(uri)
+    files.find(f => decoded.endsWith("/" + f) || uri.endsWith("/" + f))
   }
 
   /** One distributed pass: per-(file, col) HLL sketches via Spark's own
     * `hll_sketch_agg` (DataSketches binary — driver-heapifiable), written
     * as `<file>.ndv.<col>` sidecars. An all-null file records an EMPTY
-    * sketch, so its declaration is still truthful.
+    * sketch, so its declaration is still truthful. A file that produced
+    * no aggregation row gets an empty sketch ONLY when the manifest
+    * confirms it zero-row — an unmappable row or an unexplained missing
+    * file fails loudly rather than silently declaring an empty sketch
+    * that would exclude the file's values from every later estimate.
     */
   private def writeNdvSketches(spark: SparkSession, path: String,
                                files: Seq[String], cols: Seq[String],
-                               lgK: Int): Unit = {
+                               lgK: Int, knownRows: Map[String, Long]): Unit = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || cols.isEmpty) return
     val (fs, root) = fsFor(spark, path)
@@ -810,18 +849,24 @@ object Manifest {
     val seen = scala.collection.mutable.HashSet.empty[String]
     rows.foreach { r =>
       val uri = r.getString(0)
-      files.find(uri.endsWith).foreach { rel =>
-        seen += rel
-        cols.zipWithIndex.foreach { case (c, i) =>
-          val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(
-            new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray)
-          val out = fs.create(new Path(root, ndvSidecar(rel, c)), true)
-          try out.write(bytes) finally out.close()
-        }
+      val rel = relFileOfUri(uri, files).getOrElse(throw new IllegalStateException(
+        s"analyzeNdv: aggregation row for '$uri' maps to no manifest file — " +
+          "refusing to drop its values from the sketches"))
+      seen += rel
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(
+          new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray)
+        val out = fs.create(new Path(root, ndvSidecar(rel, c)), true)
+        try out.write(bytes) finally out.close()
       }
     }
-    // a zero-row file produces no aggregation row at all — empty sketches
     files.filterNot(seen).foreach { rel =>
+      val zeroRow = knownRows.get(rel).map(_ == 0L)
+        .getOrElse(scala.util.Try(
+          footerRowCount(spark, new Path(root, rel)) == 0L).getOrElse(false))
+      if (!zeroRow) throw new IllegalStateException(
+        s"analyzeNdv: file '$rel' is not zero-row but produced no " +
+          "aggregation row — its values would be missing from the sketches")
       cols.foreach { c =>
         val out = fs.create(new Path(root, ndvSidecar(rel, c)), true)
         try out.write(
@@ -944,10 +989,12 @@ object Manifest {
     val missing = snap.files.filter(f =>
       cols.exists(c => !snap.klls.get(f).exists(_.contains(c))))
     if (missing.isEmpty) return v
-    writeKllSketches(spark, path, missing, cols, k)
+    writeKllSketches(spark, path, missing, cols, k, snap.rows)
+    // union with prior declarations (same rationale as analyzeNdv)
     commit(spark, path, snap.props + ("kll.cols" -> cols.mkString(",")),
       prev => snapshotOf(spark, path, prev).stats,
-      newKlls = missing.map(_ -> cols).toMap)(
+      newKlls = missing.map(f =>
+        f -> (snap.klls.getOrElse(f, Nil) ++ cols).distinct).toMap)(
       prev => manifestFiles(spark, path, prev))
   }
 
@@ -958,7 +1005,7 @@ object Manifest {
     */
   private def writeKllSketches(spark: SparkSession, path: String,
                                files: Seq[String], cols: Seq[String],
-                               k: Int): Unit = {
+                               k: Int, knownRows: Map[String, Long]): Unit = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty || cols.isEmpty) return
     val (fs, root) = fsFor(spark, path)
@@ -973,16 +1020,24 @@ object Manifest {
     val seen = scala.collection.mutable.HashSet.empty[String]
     rows.foreach { r =>
       val uri = r.getString(0)
-      files.find(uri.endsWith).foreach { rel =>
-        seen += rel
-        cols.zipWithIndex.foreach { case (c, i) =>
-          val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(emptySketch)
-          val out = fs.create(new Path(root, kllSidecar(rel, c)), true)
-          try out.write(bytes) finally out.close()
-        }
+      // decoded-path match + fail-loud, same contract as writeNdvSketches
+      val rel = relFileOfUri(uri, files).getOrElse(throw new IllegalStateException(
+        s"analyzeQuantiles: aggregation row for '$uri' maps to no manifest " +
+          "file — refusing to drop its values from the sketches"))
+      seen += rel
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val bytes = Option(r.getAs[Array[Byte]](i + 1)).getOrElse(emptySketch)
+        val out = fs.create(new Path(root, kllSidecar(rel, c)), true)
+        try out.write(bytes) finally out.close()
       }
     }
     files.filterNot(seen).foreach { rel =>
+      val zeroRow = knownRows.get(rel).map(_ == 0L)
+        .getOrElse(scala.util.Try(
+          footerRowCount(spark, new Path(root, rel)) == 0L).getOrElse(false))
+      if (!zeroRow) throw new IllegalStateException(
+        s"analyzeQuantiles: file '$rel' is not zero-row but produced no " +
+          "aggregation row — its values would be missing from the sketches")
       cols.foreach { c =>
         val out = fs.create(new Path(root, kllSidecar(rel, c)), true)
         try out.write(emptySketch) finally out.close()
@@ -1186,7 +1241,11 @@ object Manifest {
       .agg(aggs.head, aggs.tail: _*).collect()
     val perFile = rows.toSeq.flatMap { r =>
       val uri = r.getString(0)
-      files.find(f => uri.endsWith(f)).map { rel =>
+      // decoded-path match: a fact row that maps to no staged file would
+      // silently strip that file's min/max/null-count pruning facts
+      val rel = relFileOfUri(uri, files).getOrElse(throw new IllegalStateException(
+        s"computeFacts: aggregation row for '$uri' maps to no staged file"))
+      Some(rel).map { rel =>
         val nums = cols.filterNot(isStr).flatMap { c =>
           val lo = r.getAs[java.lang.Double](s"lo__$c")
           val hi = r.getAs[java.lang.Double](s"hi__$c")
@@ -1392,10 +1451,10 @@ object Manifest {
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(latest, allowMissingColumns = true)
       val staged = stageSized(merged, path, partitionCols)
-      requireStagedConstraints(spark, path, staged.map(_._1))
       commit(spark, path, props,
         prev => snapshotOf(spark, path, prev).stats,
-        newSizes = staged.toMap) { prev =>
+        newSizes = staged.toMap,
+        stagedValidate = staged.map(_._1)) { prev =>
         if (prev == prevV) untouchedFiles ++ staged.map(_._1)
         else { // rebase: keep the WINNER's untouched entries
           val rebased = manifestFiles(spark, path, prev)
@@ -1499,14 +1558,14 @@ object Manifest {
     }
     if (toStage.isEmpty) return v
     val staged = stageSized(toStage.get, path, partCols)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts =
       if (statsCols.isEmpty) FileFacts()
       else computeFacts(spark, path, staged.map(_._1), statsCols)
     commit(spark, path, snap.props,
       prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
       newSizes = staged.toMap,
-      newStrs = facts.strs, newNulls = facts.nulls) { prev =>
+      newStrs = facts.strs, newNulls = facts.nulls,
+      stagedValidate = staged.map(_._1)) { prev =>
       manifestFiles(spark, path, prev).filterNot(touched.toSet) ++ staged.map(_._1)
     }
   }
@@ -1858,13 +1917,23 @@ object Manifest {
     val v = latestVersion(spark, path)
     require(v > 0, s"dataset at $path has no committed version")
     val snap = snapshotOf(spark, path, v)
-    val bad = read(spark, path, v)
-      .filter(not(coalesce(expr(predicateSql), lit(true)))).count()
-    require(bad == 0,
-      s"cannot add constraint '$name': $bad existing row(s) violate ($predicateSql)")
+    def requireClean(version: Long): Unit = {
+      val bad = read(spark, path, version)
+        .filter(not(coalesce(expr(predicateSql), lit(true)))).count()
+      require(bad == 0,
+        s"cannot add constraint '$name': $bad existing row(s) violate ($predicateSql)")
+    }
+    requireClean(v)
     commit(spark, path, snap.props + (s"constraint.$name" -> predicateSql),
-      prev => snapshotOf(spark, path, prev).stats)(
-      prev => manifestFiles(spark, path, prev))
+      prev => snapshotOf(spark, path, prev).stats) { prev =>
+      // OCC rebase closes the validate/claim TOCTOU from THIS side: a
+      // commit landing after the validation above (e.g. an append whose
+      // own claim-loop validation ran before this constraint existed)
+      // must be re-validated before the constraint claims its version —
+      // otherwise the head would declare a CHECK its data violates.
+      if (prev != v) requireClean(prev)
+      manifestFiles(spark, path, prev)
+    }
   }
 
   /** Remove a CHECK constraint (metadata-only commit; the empty value is
@@ -1890,23 +1959,15 @@ object Manifest {
         k.stripPrefix("constraint.") -> v
     }
 
-  /** Validate just-staged (not yet committed) files against the dataset's
-    * CHECK constraints: one aggregation over ONLY the staged files counts
-    * violations of every constraint together. Throws before any version
-    * is claimed — the staged files stay invisible and vacuumable. Reading
-    * the staged parquet back (instead of re-evaluating the input frame)
-    * means the upstream plan is never recomputed and the validated bytes
-    * are exactly the bytes that would publish.
+  /** Count violations of the given CHECK constraints over `src` in one
+    * aggregation and throw on the first non-zero — shared by staged-file
+    * validation (inside [[commit]]'s claim loop) and [[restore]]'s
+    * DV-aware re-validation.
     */
-  private def requireStagedConstraints(spark: SparkSession, path: String,
-                                       stagedFiles: Seq[String],
-                                       mergeSchema: Boolean = false): Unit = {
+  private def requireConstraintsOn(src: DataFrame, cs: Map[String, String],
+                                   what: String): Unit = {
     import org.apache.spark.sql.functions._
-    val cs = constraintsOf(committedProps(spark, path))
-    if (cs.isEmpty || stagedFiles.isEmpty) return
-    val reader =
-      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    val src = reader.parquet(stagedFiles.map(f => s"$path/$f"): _*)
+    if (cs.isEmpty) return
     val names = cs.keys.toSeq.sorted
     val aggs = names.map(n =>
       sum(when(not(coalesce(expr(cs(n)), lit(true))), 1L).otherwise(0L)).as(n))
@@ -1914,9 +1975,29 @@ object Manifest {
     names.zipWithIndex.foreach { case (n, i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad != 0) throw new IllegalArgumentException(
-        s"CHECK constraint '$n' (${cs(n)}) violated by $bad staged row(s) — " +
+        s"CHECK constraint '$n' (${cs(n)}) violated by $bad $what row(s) — " +
           "commit refused; staged files remain uncommitted")
     }
+  }
+
+  /** Validate just-staged (not yet committed) files against the given
+    * CHECK constraints: one aggregation over ONLY the staged files counts
+    * violations of every constraint together. Throws before any version
+    * is claimed — the staged files stay invisible and vacuumable. Reading
+    * the staged parquet back (instead of re-evaluating the input frame)
+    * means the upstream plan is never recomputed and the validated bytes
+    * are exactly the bytes that would publish. Called from [[commit]]'s
+    * claim loop with the constraint set carried into THIS attempt.
+    */
+  private def validateStaged(spark: SparkSession, path: String,
+                             stagedFiles: Seq[String],
+                             cs: Map[String, String],
+                             mergeSchema: Boolean = false): Unit = {
+    if (cs.isEmpty || stagedFiles.isEmpty) return
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    requireConstraintsOn(
+      reader.parquet(stagedFiles.map(f => s"$path/$f"): _*), cs, "staged")
   }
 
   // ── merge-on-read deletes: per-file deletion-vector sidecars ─────────────
@@ -2104,9 +2185,8 @@ object Manifest {
       .filter(col("__rn") === 1).drop("__rn")
     if (v == 0) { // first publish: nothing to vector out, just stage
       val staged = stageSized(latest, path)
-      requireStagedConstraints(spark, path, staged.map(_._1))
-      return commit(spark, path, extraProps,
-        newSizes = staged.toMap)(_ => staged.map(_._1))
+      return commit(spark, path, extraProps, newSizes = staged.toMap,
+        stagedValidate = staged.map(_._1))(_ => staged.map(_._1))
     }
     val snap = snapshotOf(spark, path, v)
     // the batch stages as plain data files the committed reader must
@@ -2134,7 +2214,6 @@ object Manifest {
     val statsCols = snap.props.get("stats.cols")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val staged = stageSized(latest, path, partCols)
-    requireStagedConstraints(spark, path, staged.map(_._1))
     val facts =
       if (statsCols.isEmpty) FileFacts()
       else computeFacts(spark, path, staged.map(_._1), statsCols)
@@ -2142,7 +2221,8 @@ object Manifest {
       prev => snapshotOf(spark, path, prev).stats ++ facts.nums,
       newSizes = staged.toMap,
       newStrs = facts.strs, newNulls = facts.nulls,
-      newDvs = newDvs) { prev =>
+      newDvs = newDvs,
+      stagedValidate = staged.map(_._1)) { prev =>
       manifestFiles(spark, path, prev) ++ staged.map(_._1)
     }
   }
@@ -2287,12 +2367,36 @@ object Manifest {
     */
   def restore(spark: SparkSession, path: String, version: Long): Long = {
     val snap = snapshotOf(spark, path, version)
+    // The restored head carries the CURRENT constraints (commit auto-carry,
+    // overridden by any constraint props the restored version itself had).
+    // Restoring to a version that predates addConstraint must not publish
+    // data violating the carried CHECK — re-validate the DV-aware read of
+    // the target version against the constraint set the new head will
+    // declare. (The raw staged-file path inside commit() would resurrect
+    // vectored-out rows; restore is the one commit where validation must
+    // see deletion vectors, so it runs here instead.)
+    def effCsAt(head: Long): Map[String, String] = constraintsOf(
+      committedProps(spark, path, head) ++
+        snap.props.filter(_._1.startsWith("constraint.")))
+    var validated = effCsAt(-1L)
+    if (validated.nonEmpty)
+      requireConstraintsOn(read(spark, path, version), validated, "restored")
     commit(spark, path, snap.props + ("restored.from" -> version.toString),
       _ => snap.stats, newSizes = snap.sizes,
       newBlooms = snap.blooms,
       newStrs = snap.strs, newNulls = snap.nulls,
       newDvs = snap.dvs, carryDvs = false,
-      newNdvs = snap.ndvs, newKlls = snap.klls)(_ => snap.files)
+      newNdvs = snap.ndvs, newKlls = snap.klls) { prev =>
+      // OCC rebase: a constraint added between validation and the claim
+      // must re-check the restored data (same TOCTOU close as addConstraint)
+      val pending = effCsAt(prev).filterNot { case (k, p) =>
+        validated.get(k).contains(p) }
+      if (pending.nonEmpty) {
+        requireConstraintsOn(read(spark, path, version), pending, "restored")
+        validated ++= pending
+      }
+      snap.files
+    }
   }
 
   /** The version that was current at `tsMillis` — the largest committed
