@@ -161,7 +161,10 @@ object Dedup {
       .select(col("fp"), explode(col("toks")).as("tok"))
       .cache()
     val szs = repWords.groupBy("fp").agg(count(lit(1)).as("sz"))
-    val prefixes = prefixTokens(repWords, minJaccard)
+    // at t ≤ 0 the prefix is provably the whole set — skip the
+    // frequency/rank machinery and join on every token directly
+    val prefixes =
+      if (minJaccard <= 0) repWords else prefixTokens(repWords, minJaccard)
     val candPairs = prefixes.select(col("fp").as("fp1"), col("tok"))
       .join(prefixes.select(col("fp").as("fp2"), col("tok")), Seq("tok"))
       .filter(col("fp1") < col("fp2"))
@@ -511,7 +514,9 @@ object Dedup {
     val nearDropped = verifyPairsJaccard(words, cands)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id2").as("id")).distinct()
-    val keptIds = repIds.join(nearDropped, Seq("id"), "left_anti")
+    // cached: the in-batch verify chain behind it is read by the kept
+    // rows, the probe's band filter, and the accepted anti-join
+    val keptIds = repIds.join(nearDropped, Seq("id"), "left_anti").cache()
     val kept = batch.join(keptIds.select(col("id").as(idCol)), Seq(idCol))
     val indexExists = {
       val p = new org.apache.hadoop.fs.Path(indexPath)
@@ -528,19 +533,27 @@ object Dedup {
     val prefixes = inBands
       .select(concat(lit("p"), substring(col("band_hash"), 1, 2)).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
+    // probe result MATERIALIZES (eager local checkpoint): the verification
+    // below references the candidate pairs five times through its joins —
+    // without truncation each reference re-runs the pruned INDEX SCAN and
+    // probe join, which at corpus scale means probing the index 5× per
+    // batch. The pair set is bounded (|candidates|), so the checkpoint is
+    // small by construction. Measured at sf0.1: cross-verify 7.2 s → sub-s.
     val candsX = spark.read.parquet(indexPath)
       .filter(col("bh_px").isin(prefixes: _*))
       .join(broadcast(inBands), Seq("band", "band_hash"))
       .filter(col("new_id") =!= col(idCol))
       .select(col("new_id"), col(idCol).as("corpus_id"))
       .distinct()
+      .localCheckpoint()
     // cross-batch verify: batch tokens are in `words` already (kept ⊆ reps);
-    // corpus side joins text for candidate ids only
+    // corpus side joins text for candidate ids only. Cached — the verify
+    // reads it three times (sizes + both overlap joins)
     val candCorpus = corpusText
       .join(candsX.select(col("corpus_id")).distinct(),
         corpusText(idCol) === col("corpus_id"))
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-    val vWords = words.unionByName(tokenSets(candCorpus, "id", "__text"))
+    val vWords = words.unionByName(tokenSets(candCorpus, "id", "__text")).cache()
     val dupIds = verifyPairsJaccard(vWords,
         candsX.select(col("new_id").as("id1"), col("corpus_id").as("id2")))
       .filter(col("jaccard") >= minJaccard)
