@@ -93,7 +93,10 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // cached: both join sides read it; the signature aggregation behind
+    // it is the expensive pass
     val bands = lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
+      .cache()
     val a = bands.select(col("band"), col("band_hash"), col(idCol).as("id1"))
     val b = bands.select(col("band"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band", "band_hash"))
@@ -163,8 +166,11 @@ object Dedup {
     val szs = repWords.groupBy("fp").agg(count(lit(1)).as("sz"))
     // at t ≤ 0 the prefix is provably the whole set — skip the
     // frequency/rank machinery and join on every token directly
+    // cached: both candidate-join sides read the prefix frame, and the
+    // frequency-join + per-set rank behind it shouldn't run twice
     val prefixes =
-      if (minJaccard <= 0) repWords else prefixTokens(repWords, minJaccard)
+      (if (minJaccard <= 0) repWords else prefixTokens(repWords, minJaccard))
+        .cache()
     val candPairs = prefixes.select(col("fp").as("fp1"), col("tok"))
       .join(prefixes.select(col("fp").as("fp2"), col("tok")), Seq("tok"))
       .filter(col("fp1") < col("fp2"))
@@ -326,9 +332,12 @@ object Dedup {
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), b * w + 1, w).as("bh"))
     }
+    // cached: both join sides read it; the simhash aggregation behind it
+    // is the expensive pass
     val bands = sh.select(col(idCol).as("id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .cache()
     val a = bands.select(col("band"), col("bh"), col("id").as("id1"), col("simhash").as("sh1"))
     val b = bands.select(col("band"), col("bh"), col("id").as("id2"), col("simhash").as("sh2"))
     val hamming = (1 to bits).map(j =>
@@ -595,8 +604,11 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  tokensPerLine: Int): DataFrame = {
+    // cached: the occurrence count, the anti join, and the per-doc totals
+    // all read the chunked lines — three consumers, one tokenize/explode
     val lines = chunkLines(df, idCol, textCol, tokensPerLine)
       .withColumn("lh", md5(col("line")))
+      .cache()
     val dupes = lines.groupBy("lh")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1)

@@ -231,10 +231,13 @@ object Multimodal {
     require(bits % nBands == 0, "bands must divide the bit count")
     val bandW = bits / nBands
     val ph = pngAHash(df, idCol, textCol, w, h, grid)
+    // cached: both join sides read it; the perceptual-hash fold behind it
+    // is the expensive pass
     val bands = ph
       .select(col(idCol), col("phash"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bh", expr(s"substring(phash, band * $bandW + 1, $bandW)"))
+      .cache()
     val a = bands.select(col("band"), col("bh"),
       col(idCol).as("id1"), col("phash").as("p1"))
     val b = bands.select(col("band"), col("bh"),

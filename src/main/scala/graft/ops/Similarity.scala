@@ -530,8 +530,12 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
         (col("n") * col("cent_n")), 6))
+    // cached: both sides of the within-cluster pair join read the
+    // assignment, and the broadcast-score + argmax behind it is the
+    // corpus-wide pass
     val assigned = assignNearest(scored, "id", Seq("v", "n"))
       .select(col("cent_id"), col("id"), col("v"), col("n"))
+      .cache()
     val a = assigned.select(col("cent_id"), col("id").as("id1"),
       col("v").as("v1"), col("n").as("n1"))
     val b = assigned.select(col("cent_id"), col("id").as("id2"),

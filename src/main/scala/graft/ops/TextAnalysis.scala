@@ -156,7 +156,9 @@ object TextAnalysis {
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int, w: Int, minShared: Long): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // cached: both sides of the pair join read it, and the fingerprint
+    // selection (tokenize → gram-hash → windowed min) is the heavy pass
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).cache()
     val a = fps.select(col("fp"), col(idCol).as("id1"))
     val b = fps.select(col("fp"), col(idCol).as("id2"))
     a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
