@@ -106,6 +106,23 @@ class QueryJob(batches: BatchTracker, val queryName: String,
   * small-file tail and MOR upserts accumulate vectors; a nightly
   * MaintenanceJob bounds both without ever blocking writers or readers.
   */
+/** Maintenance for a continuously-appended LSH band index: every gate
+  * batch adds its own file set to each touched prefix directory, so probe
+  * cost grows with BATCH COUNT rather than data; the nightly compaction
+  * ([[graft.ops.Dedup.compactLshIndex]]) collapses each prefix back to
+  * ~one file behind an atomic directory swap. Schedule alongside the
+  * corpus dataset's [[MaintenanceJob]].
+  */
+class LshIndexMaintenanceJob(val indexPath: String) extends EtlJob {
+  override val name: String =
+    s"compact_lsh_${new java.io.File(indexPath).getName}"
+  override val jobType: String = "maintenance"
+  override def run(ctx: JobContext): Unit = {
+    ctx.setPhase("compact_index")
+    graft.ops.Dedup.compactLshIndex(ctx.spark, indexPath)
+  }
+}
+
 class MaintenanceJob(val path: String,
                      minFileBytes: Long = 32L * 1024 * 1024,
                      targetFileBytes: Long = 128L * 1024 * 1024,

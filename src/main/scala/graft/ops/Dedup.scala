@@ -437,6 +437,23 @@ object Dedup {
       .repartition(col("bh_px"))
       .write.mode(mode).partitionBy("bh_px").parquet(path)
 
+  /** Compact a persisted LSH band index in place: every
+    * [[appendLshIndex]] / gate batch adds its own file set to each
+    * touched `bh_px=…` directory, so after B batches a probe opens O(B)
+    * files per pruned prefix — file count, not bytes, becomes the probe
+    * cost of a continuously-ingesting gate. The rewrite co-locates each
+    * prefix (one shuffle) and swaps directories atomically
+    * ([[Maintenance.swapWritePartitioned]]): probes before the swap read
+    * the old layout, after it the compacted one — never a torn mix.
+    * Schedule it like any other maintenance (e.g. nightly, or when
+    * files-per-prefix crosses a threshold); band rows are immutable so
+    * the rewrite never changes probe results.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    Maintenance.swapWritePartitioned(
+      spark.read.parquet(path), path, Seq("bh_px"))
+
   /** Probe a persisted LSH index with an incoming batch: candidate
     * near-dup pairs (new_id, corpus_id) — incoming docs sharing any band
     * bucket with an indexed corpus doc. The incoming side's band table is

@@ -55,6 +55,22 @@ object Maintenance {
     swapDirs(fs, tmp, target)
   }
 
+  /** [[swapWrite]] for a hive-partitioned layout: materialize to a tmp
+    * dir with the SAME partitionBy columns, then swap atomically. One
+    * shuffle co-locates each partition value so every partition dir ends
+    * up with ~one file per owning task instead of one per task per value.
+    */
+  def swapWritePartitioned(df: DataFrame, path: String,
+                           partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (fs, target) = fsFor(df.sparkSession, path)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    swapDirs(fs, tmp, target)
+  }
+
   /** Compact a small-files dataset to `numFiles` output files. Streaming
     * sinks and per-batch upserts accrete files; scan cost at 100 TB is
     * driven by file count as much as bytes (task scheduling, footer reads,

@@ -19,6 +19,31 @@ object StreamOps {
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` (start + drain one or more streaming queries) with the
+    * RocksDB state-store provider, restoring the previous provider after.
+    * The default HDFS-backed store keeps every key's state ON HEAP — fine
+    * for watermark-bounded aggregations, fatal for large-keyspace state
+    * (stream-stream joins / sessionization over 100 TB/day: state is
+    * bounded in TIME but can still dwarf executor heap). RocksDB keeps
+    * state off-heap with incremental checkpointing; the provider is
+    * per-query, pinned at first start (rocksdbjni ships with Spark, so
+    * this is a config choice, not a dependency). Results are identical —
+    * pinned by the spec running sessionization under both providers.
+    */
+  def withRocksDbState[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Watermarked tumbling-window aggregation — late data beyond
     * `watermarkDelay` is dropped and window state is reclaimed, which is
     * what makes an unbounded 100 TB/day stream aggregable with bounded

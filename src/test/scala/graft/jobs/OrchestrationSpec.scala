@@ -225,6 +225,28 @@ class DefaultsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/gated_ok.parquet").count() > 0)
   }
 
+  test("LshIndexMaintenanceJob compacts the band index via the runner") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("lshmj").toString + "/idx"
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "epsilon zeta eta")).toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(docs.filter(col("doc_id") <= 2L),
+      "doc_id", "text", 8, 2, idx)
+    graft.ops.Dedup.appendLshIndex(docs.filter(col("doc_id") === 3L),
+      "doc_id", "text", 8, 2, idx)
+    val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker)
+    runner.run(new LshIndexMaintenanceJob(idx), debug = true)
+    val perPrefix = new java.io.File(idx).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bh_px="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPrefix.nonEmpty && perPrefix.forall(_ == 1))
+    // probes still see all indexed docs
+    val probe = graft.ops.Dedup.probeLshIndex(spark, idx,
+      Seq((9L, "alpha beta gamma")).toDF("doc_id", "text"), "doc_id", "text", 8, 2)
+    assert(probe.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
   test("MaintenanceJob packs small files, purges vectors, vacuums — via the runner") {
     import graft.ops.Manifest
     import org.apache.spark.sql.functions.col

@@ -278,6 +278,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1)) // whitespace normalized; (1,3) dist 2 filtered
   }
 
+  test("compactLshIndex: probe identical, one file per prefix dir") {
+    val base = java.nio.file.Files.createTempDirectory("lshcp").toString
+    val idx = base + "/idx"
+    // several appends accrete several file sets per touched prefix dir
+    Dedup.buildLshIndex(docs.filter(col("doc_id") <= 2L), "doc_id", "text", 8, 2, idx)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") === 3L), "doc_id", "text", 8, 2, idx)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") === 4L), "doc_id", "text", 8, 2, idx)
+    val incoming = docs.filter(col("doc_id") === 1L)
+    def pairs() =
+      Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text", 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def filesPerPrefix(): Map[String, Int] = {
+      val root = new java.io.File(idx)
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bh_px="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = pairs()
+    assert(filesPerPrefix().values.exists(_ > 1), "fixture should accrete files")
+    Dedup.compactLshIndex(spark, idx)
+    assert(pairs() == before, "compaction changed probe results")
+    assert(filesPerPrefix().values.forall(_ == 1),
+      s"expected one file per prefix dir, got ${filesPerPrefix()}")
+  }
+
   test("LSH index append: probe sees appended docs identically to a full rebuild") {
     val base = java.nio.file.Files.createTempDirectory("lshap").toString
     val (inc, rebuilt) = (base + "/inc", base + "/full")

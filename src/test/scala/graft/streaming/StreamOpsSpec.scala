@@ -517,6 +517,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(graft.ops.Manifest.read(spark, sink, version = 1).count() == 2)
   }
 
+  test("RocksDB state store: stateful stream results equal the default provider") {
+    // same watermarked dedup shape as above, run once per provider — the
+    // off-heap store must be a pure deployment knob, never a semantics one
+    def runWith(tag: String, rocks: Boolean): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"rb_src_$tag")
+      val now = System.currentTimeMillis()
+      def writeOne(name: String, mtime: Long,
+                   rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("rb_tmp").toString
+        rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dir.resolve(name))
+        assert(dir.resolve(name).toFile.setLastModified(mtime))
+      }
+      writeOne("b1.parquet", now - 120000, Seq(
+        (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
+        (2L, 1L, "view", 2.0, sqlTs("2026-01-01 10:01:00")),
+        (1L, 1L, "view", 1.0, sqlTs("2026-01-01 10:00:00"))))
+      writeOne("b2.parquet", now - 60000, Seq(
+        (2L, 1L, "view", 2.0, sqlTs("2026-01-01 10:01:00")),
+        (3L, 1L, "view", 3.0, sqlTs("2026-01-01 10:02:00"))))
+      val schema = spark.read.parquet(dir.toString).schema
+      def drive(): Seq[Long] = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        StreamOps.runToMemory(
+          StreamOps.dedupStream(stream, Seq("event_id"), "ts", "10 minutes"),
+          s"rb_out_$tag")
+        spark.table(s"rb_out_$tag").select("event_id")
+          .collect().map(_.getLong(0)).sorted.toSeq
+      }
+      if (rocks) StreamOps.withRocksDbState(spark)(drive()) else drive()
+    }
+    val default = runWith("hdfs", rocks = false)
+    val rocksDb = runWith("rocks", rocks = true)
+    assert(default == Seq(1L, 2L, 3L))
+    assert(rocksDb == default)
+    // the wrapper restored the provider
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(StreamOps.RocksDbProvider))
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     val events = Seq(
       StreamOps.Event(1L, 10L, "view", 1.0, sqlTs("2026-01-01 10:00:00")),
