@@ -39,7 +39,8 @@ object Explain {
     // Queries whose plan is METADATA-ONLY by design: the optimizer
     // collapses the scan+aggregate to a LocalRelation, so "no
     // WholeStageCodegen" means "no work", not "interpreted work".
-    val intentionalNoCodegen = Set("manifest_meta_count_sql")
+    val intentionalNoCodegen = Set("manifest_meta_count_sql",
+      "manifest_meta_agg_sql") // min/max/count answered from per-file facts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
         // Non-AQE physical plan: codegen stages render as *(n) markers

@@ -643,6 +643,58 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Cross-document verbatim span REMOVAL — the ExactSubstr idea of Lee
+    * et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") at token-gram granularity: a token position is dropped when
+    * any n-token gram covering it occurs MORE THAN ONCE in the corpus
+    * (across documents or repeated inside one). Unlike [[dedupLines]]
+    * (fixed chunk boundaries) this catches duplicated runs at ANY
+    * alignment, and unlike the pair detectors it rewrites the text.
+    * Output: (id, n_tokens, n_kept, clean_text), one row per input doc,
+    * clean_text empty when everything was duplicated boilerplate.
+    *
+    * Scale: gram occurrence counting is one hash-agg on the 16-byte gram
+    * hash (map-side combine collapses repeats before the shuffle); only
+    * DUPLICATED gram starts expand n× into covered positions; the
+    * position drop is one anti join on (id, pos); reassembly is one
+    * hash-agg with an in-group sort — every stage linear, no windows, no
+    * driver state. The suffix-array construction the paper uses is a
+    * single-machine algorithm; gram-granular coverage is its standard
+    * distributed approximation (choose n = the minimum duplicated run
+    * worth removing; runs shorter than n survive).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n > 0)
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks")).cache()
+    // gram start positions, 1-based; none when the doc has < n tokens
+    val gramArr = when(size(col("__toks")) >= n,
+      transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val grams = toks.select(col("id"), posexplode(gramArr).as(Seq("__p0", "gh")))
+      .select(col("id"), (col("__p0") + 1).as("gpos"), col("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("id"), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val positions = toks.select(col("id"), posexplode(col("__toks")).as(Seq("__p0", "tok")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("tok"))
+    val kept = positions.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    toks.select(col("id"), size(col("__toks")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected components over an undirected pair graph ((id1, id2) rows,
     * e.g. [[simhashPairs]]/[[lshCandidatePairs]] output) by hash-min label
     * propagation: every node repeatedly adopts the minimum label in its

@@ -2141,6 +2141,41 @@ object ExtendedQueries {
               |ORDER BY t.doc_id""".stripMargin)
     ),
 
+    // ExactSubstr-style span REMOVAL (Lee et al. 2021) at 3-token-gram
+    // granularity: any position covered by a gram occurring ≥2× in the
+    // corpus slice (cross-doc or within-doc) is dropped; docs reassemble
+    // from surviving positions in order. Catches duplicated runs at ANY
+    // alignment where dedup_lines only sees fixed chunk boundaries.
+    QueryDef(
+      "dedup_span_removal",
+      (s, dir) => Dedup.removeDuplicateSpans(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+              |           WHERE doc_id % 10 = 0),
+              |g AS (SELECT doc_id, i AS gpos,
+              |        md5(array_to_string(toks[i:i+2], ' ')) AS gh
+              |      FROM d, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)),
+              |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+              |cov AS (SELECT DISTINCT doc_id, gpos + off AS pos
+              |        FROM g JOIN dup USING (gh), UNNEST(range(0, 3)) AS o(off)),
+              |p AS (SELECT doc_id, i AS pos, toks[i] AS tok
+              |      FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+              |kept AS (SELECT p.doc_id, count(*) AS n_kept,
+              |           string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+              |         FROM p WHERE NOT EXISTS (
+              |           SELECT 1 FROM cov c
+              |           WHERE c.doc_id = p.doc_id AND c.pos = p.pos)
+              |         GROUP BY 1),
+              |tot AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+              |SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+              |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+              |  coalesce(k.clean_text, '') AS clean_text
+              |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+              |ORDER BY t.doc_id""".stripMargin)
+    ),
+
     // ───────────── composite quality gate (keep/drop + reason) ───────────
     QueryDef(
       "quality_filter",

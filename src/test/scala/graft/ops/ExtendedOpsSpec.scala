@@ -278,6 +278,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1)) // whitespace normalized; (1,3) dist 2 filtered
   }
 
+  test("removeDuplicateSpans drops duplicated runs at any alignment") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lazy dog saw the quick brown fox sleep"), // shares a 4-token run, shifted
+      (3L, "totally unique words only here"),
+      (4L, "a b c x a b c")                           // within-doc repeat
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    // doc1: grams "the quick brown"(p1) and "quick brown fox"(p2) are
+    // duplicated → positions 1-4 covered, "jumps high" survives
+    assert(out(1L) == ((6, 2L, "jumps high")))
+    // doc2: same two grams at p4/p5 → positions 4-7 covered
+    assert(out(2L) == ((8, 4L, "lazy dog saw sleep")))
+    // doc3: nothing duplicated
+    assert(out(3L) == ((5, 5L, "totally unique words only here")))
+    // doc4: "a b c" occurs twice WITHIN the doc (p1, p5) → 1-3 and 5-7
+    // covered, only "x" survives
+    assert(out(4L) == ((7, 1L, "x")))
+  }
+
   test("compactLshIndex: probe identical, one file per prefix dir") {
     val base = java.nio.file.Files.createTempDirectory("lshcp").toString
     val idx = base + "/idx"
