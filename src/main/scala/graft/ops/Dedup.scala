@@ -769,4 +769,31 @@ object Dedup {
         Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
       .withColumn("kept", col("id") === col("cluster_id"))
+
+  /** [[clusterAssign]] with QUALITY-AWARE survivor selection: per near-dup
+    * cluster keep the row with the highest `score` (ties → smallest id)
+    * instead of blindly the smallest id — what a real pipeline wants when
+    * the copies differ (keep the cleanest / longest / best-scored
+    * rendition, drop the mirror-site junk). `score` is any numeric Column
+    * evaluated against `df` (token count, [[TextAnalysis.qualityScore]]
+    * output, …). Output: (id, cluster_id, score, kept).
+    *
+    * Scale: one extra min_by hash-agg per cluster and one id-keyed join
+    * over the assignment — the component labeling still dominates.
+    */
+  def clusterKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                      score: Column): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(connectedComponents(pairs).withColumnRenamed("component", "cluster_id"),
+        Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .cache() // read by the per-cluster argmax AND the final join
+    val best = assigned.groupBy("cluster_id")
+      // lexicographic min of (−score, id): highest score, ties to min id
+      .agg(min_by(col("id"),
+        struct((-col("__score")).as("__ns"), col("id"))).as("keep_id"))
+    assigned.join(best, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("__score").as("score"),
+        (col("id") === col("keep_id")).as("kept"))
+  }
 }

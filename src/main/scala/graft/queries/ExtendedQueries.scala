@@ -503,6 +503,45 @@ object ExtendedQueries {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Quality-aware cluster survivor: same SimHash components as
+    // dedup_clusters, but the kept doc per cluster is the one with the
+    // MOST tokens (ties → smallest id) — the keep-the-best-copy rule real
+    // pipelines use instead of keep-smallest-id.
+    QueryDef(
+      "dedup_cluster_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          bits = 16, nBands = 4, maxHamming = 2)
+        Dedup.clusterKeepBest(docs, "doc_id", pairs,
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("score", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${simhashPairsCtes("doc_id % 10 = 0")},
+              |hp AS (SELECT id1, id2 FROM pairs WHERE hamming <= 2),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM hp
+              |          UNION SELECT id2, id1 FROM hp),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+              |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |asg AS (
+              |  SELECT d.doc_id,
+              |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+              |    len($toksSql) AS n_tokens
+              |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0) d
+              |  LEFT JOIN cc ON cc.id = d.doc_id),
+              |rn AS (SELECT doc_id, cluster_id, n_tokens,
+              |         row_number() OVER (PARTITION BY cluster_id
+              |           ORDER BY n_tokens DESC, doc_id ASC) AS rk
+              |       FROM asg)
+              |SELECT doc_id, cluster_id, n_tokens, rk = 1 AS kept
+              |FROM rn ORDER BY doc_id""".stripMargin)
+    ),
+
     QueryDef(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.lshCandidatePairs(

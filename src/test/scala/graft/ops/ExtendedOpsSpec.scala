@@ -278,6 +278,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1)) // whitespace normalized; (1,3) dist 2 filtered
   }
 
+  test("clusterKeepBest keeps the highest score per cluster, ties to min id") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (9L, 1L))
+      .toDF("doc_id", "q")
+    // {1,2,3} one cluster (chain), {4} paired with nothing... pair 4-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 9L)).toDF("id1", "id2")
+    val out = Dedup.clusterKeepBest(rows, "doc_id", pairs, c("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // cluster 1 = {1,2,3}: max q=9 held by 2 and 3 → tie keeps id 2
+    assert(out(1L) == ((1L, 5L, false)))
+    assert(out(2L) == ((1L, 9L, true)))
+    assert(out(3L) == ((1L, 9L, false)))
+    // cluster 4 = {4,9}: q 2 vs 1 → keeps 4
+    assert(out(4L) == ((4L, 2L, true)))
+    assert(out(9L) == ((4L, 1L, false)))
+  }
+
   test("removeDuplicateSpans drops duplicated runs at any alignment") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),
