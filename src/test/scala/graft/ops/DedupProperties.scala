@@ -93,6 +93,56 @@ object DedupProperties extends Properties("Dedup") {
     pairs.contains((rows.head._1, 100L))
   }
 
+  // span removal equals the naive driver-side computation: position-level
+  // coverage by any corpus-duplicated n-gram, at every alignment
+  property("spanRemovalMatchesNaive") =
+    Prop.forAll(corpusGen, Gen.oneOf(2, 3)) { (rows, n) =>
+      val toks = rows.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val grams = for { (id, ts) <- toks; i <- 0 to ts.length - n }
+        yield (id, i, ts.slice(i, i + n).mkString(" "))
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val covered = grams.filter(g => counts(g._3) >= 2)
+        .flatMap { case (id, i, _) => (i until i + n).map(id -> _) }.toSet
+      val expected = toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.filterNot { case (_, i) => covered(id -> i) }
+        id -> ((ts.length, kept.size.toLong, kept.map(_._1).mkString(" ")))
+      }.toMap
+      val got = Dedup.removeDuplicateSpans(df(rows), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      got == expected
+    }
+
+  private val pairsGen: Gen[Seq[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  // keep-best equals naive union-find + argmax(score, tie → min id)
+  property("clusterKeepBestMatchesNaive") =
+    Prop.forAll(pairsGen, Gen.listOfN(10, Gen.choose(0L, 5L))) { (pairs, scores) =>
+      val ids = (0L until 10L).toSeq
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val comp = ids.map(i => i -> ids.filter(j => find(j) == find(i)).min).toMap
+      val score = ids.zip(scores).toMap
+      val keepOf = comp.values.toSet.map { (c: Long) =>
+        c -> ids.filter(comp(_) == c).minBy(i => (-score(i), i)) }.toMap
+      import spark.implicits._
+      val rows = ids.map(i => (i, score(i))).toDF("doc_id", "q")
+      val pdf = pairs.toDF("id1", "id2")
+      val got = Dedup.clusterKeepBest(rows, "doc_id", pdf,
+          org.apache.spark.sql.functions.col("q"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(3)))).toMap
+      ids.forall { i =>
+        got(i) == ((comp(i), keepOf(comp(i)) == i))
+      }
+    }
+
   // duplicate-heavy corpora still collapse to set representatives first:
   // many copies of one doc yield within-group pairs at jaccard 1.0
   property("duplicateCollapseExact") = Prop.forAll(Gen.choose(2, 8)) { copies =>
