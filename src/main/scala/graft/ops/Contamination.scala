@@ -80,4 +80,18 @@ object Contamination {
       .agg(count(lit(1)).as("n_bench_hits"),
         sum("n_shared").as("total_shared"),
         max("bench_frac").as("max_bench_frac"))
+
+  /** The decontamination step itself: corpus rows whose doc does NOT hit
+    * the quarantine list — [[contaminatedDocs]] composed with one anti
+    * join on the id, which is how the detection actually gets USED in a
+    * training-data pipeline (flag, then drop before training). The
+    * quarantine side reduces to bare ids before the join; at 100 TB the
+    * flagged set is tiny next to the corpus, so the anti join broadcasts.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int, minShared: Long): DataFrame =
+    corpus.join(
+      contaminatedDocs(corpus, bench, idCol, textCol, n, minShared)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -652,6 +652,10 @@ object Dedup {
     * alignment, and unlike the pair detectors it rewrites the text.
     * Output: (id, n_tokens, n_kept, clean_text), one row per input doc,
     * clean_text empty when everything was duplicated boilerplate.
+    * `keepFirst = true` protects the globally FIRST occurrence (min
+    * (id, pos)) of each duplicated gram — the paper's "all but one
+    * occurrence" form, which preserves corpus content while still
+    * removing the redundant copies; the default removes every copy.
     *
     * Scale: gram occurrence counting is one hash-agg on the 16-byte gram
     * hash (map-side combine collapses repeats before the shuffle); only
@@ -664,7 +668,7 @@ object Dedup {
     * worth removing; runs shorter than n survive).
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame = {
+                           n: Int, keepFirst: Boolean = false): DataFrame = {
     require(n > 0)
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("__toks")).cache()
@@ -677,7 +681,23 @@ object Dedup {
       .select(col("id"), (col("__p0") + 1).as("gpos"), col("gh"))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("gh")
-    val covered = grams.join(dup, Seq("gh"), "left_semi")
+    val dupOcc = grams.join(dup, Seq("gh"), "left_semi")
+    // keepFirst = Lee et al.'s "all but one occurrence": the globally
+    // first copy of each duplicated gram — min (id, gpos), one struct-min
+    // hash-agg per gram — is PROTECTED; only the other occurrences'
+    // positions drop. Default (false) removes every copy, the more
+    // aggressive boilerplate-purge form (C4-style line dedup's analog).
+    val removable =
+      if (!keepFirst) dupOcc
+      else {
+        val firsts = dupOcc.groupBy("gh")
+          .agg(min(struct(col("id"), col("gpos"))).as("__f"))
+          .select(col("gh"), col("__f.id").as("__fid"), col("__f.gpos").as("__fpos"))
+        dupOcc.join(firsts, Seq("gh"))
+          .filter(!(col("id") === col("__fid") && col("gpos") === col("__fpos")))
+          .select("id", "gpos", "gh")
+      }
+    val covered = removable
       .select(col("id"), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
     val positions = toks.select(col("id"), posexplode(col("__toks")).as(Seq("__p0", "tok")))

@@ -2086,6 +2086,35 @@ object ExtendedQueries {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // The decontamination step itself: the corpus minus the quarantine
+    // list — detection composed with the anti join a pipeline actually
+    // runs before training.
+    QueryDef(
+      "contam_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3, minShared = 2L)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(
+              |         range(1, greatest(len(toks) - 2, 0) + 1),
+              |         i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM d),
+              |w AS (SELECT DISTINCT doc_id, gram FROM sh, UNNEST(sh.grams) AS g(gram)),
+              |c AS (SELECT doc_id, gram FROM w WHERE doc_id % 97 <> 0),
+              |b AS (SELECT doc_id AS bench_id, gram FROM w WHERE doc_id % 97 = 0),
+              |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+              |       FROM c JOIN b ON c.gram = b.gram GROUP BY 1, 2),
+              |bad AS (SELECT DISTINCT doc_id FROM ov WHERE n_shared >= 2)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
     // In-flight contamination: the corpus side is a document STREAM; the
     // benchmark gram set (static, broadcast, carrying per-doc totals) is
     // joined BEFORE the single streaming aggregation, so the whole check
@@ -2199,6 +2228,42 @@ object ExtendedQueries {
               |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
               |cov AS (SELECT DISTINCT doc_id, gpos + off AS pos
               |        FROM g JOIN dup USING (gh), UNNEST(range(0, 3)) AS o(off)),
+              |p AS (SELECT doc_id, i AS pos, toks[i] AS tok
+              |      FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+              |kept AS (SELECT p.doc_id, count(*) AS n_kept,
+              |           string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+              |         FROM p WHERE NOT EXISTS (
+              |           SELECT 1 FROM cov c
+              |           WHERE c.doc_id = p.doc_id AND c.pos = p.pos)
+              |         GROUP BY 1),
+              |tot AS (SELECT doc_id, len(toks) AS n_tokens FROM d)
+              |SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+              |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+              |  coalesce(k.clean_text, '') AS clean_text
+              |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+              |ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // Lee et al.'s actual removal rule: all-but-one — the globally first
+    // occurrence of each duplicated gram survives, later copies drop.
+    QueryDef(
+      "dedup_span_keep_first",
+      (s, dir) => Dedup.removeDuplicateSpans(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, keepFirst = true)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+              |           WHERE doc_id % 10 = 0),
+              |g AS (SELECT doc_id, i AS gpos,
+              |        md5(array_to_string(toks[i:i+2], ' ')) AS gh
+              |      FROM d, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)),
+              |dg AS (SELECT doc_id, gpos,
+              |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rk,
+              |         count(*) OVER (PARTITION BY gh) AS cnt
+              |       FROM g),
+              |cov AS (SELECT DISTINCT doc_id, gpos + off AS pos
+              |        FROM dg, UNNEST(range(0, 3)) AS o(off)
+              |        WHERE cnt >= 2 AND rk > 1),
               |p AS (SELECT doc_id, i AS pos, toks[i] AS tok
               |      FROM d, UNNEST(range(1, len(toks) + 1)) AS t(i)),
               |kept AS (SELECT p.doc_id, count(*) AS n_kept,

@@ -94,24 +94,29 @@ object DedupProperties extends Properties("Dedup") {
   }
 
   // span removal equals the naive driver-side computation: position-level
-  // coverage by any corpus-duplicated n-gram, at every alignment
+  // coverage by any corpus-duplicated n-gram, at every alignment, in both
+  // the remove-all and the keep-first-occurrence forms
   property("spanRemovalMatchesNaive") =
-    Prop.forAll(corpusGen, Gen.oneOf(2, 3)) { (rows, n) =>
-      val toks = rows.map { case (id, t) =>
-        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
-      val grams = for { (id, ts) <- toks; i <- 0 to ts.length - n }
-        yield (id, i, ts.slice(i, i + n).mkString(" "))
-      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
-      val covered = grams.filter(g => counts(g._3) >= 2)
-        .flatMap { case (id, i, _) => (i until i + n).map(id -> _) }.toSet
-      val expected = toks.map { case (id, ts) =>
-        val kept = ts.zipWithIndex.filterNot { case (_, i) => covered(id -> i) }
-        id -> ((ts.length, kept.size.toLong, kept.map(_._1).mkString(" ")))
-      }.toMap
-      val got = Dedup.removeDuplicateSpans(df(rows), "doc_id", "text", n)
-        .collect().map(r => r.getLong(0) ->
-          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
-      got == expected
+    Prop.forAll(corpusGen, Gen.oneOf(2, 3), Gen.oneOf(false, true)) {
+      (rows, n, keepFirst) =>
+        val toks = rows.map { case (id, t) =>
+          id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+        val grams = for { (id, ts) <- toks; i <- 0 to ts.length - n }
+          yield (id, i, ts.slice(i, i + n).mkString(" "))
+        val byGram = grams.groupBy(_._3)
+        val removable = byGram.values.filter(_.size >= 2).flatMap { occ =>
+          if (keepFirst) occ.sortBy(o => (o._1, o._2)).tail else occ
+        }
+        val covered = removable
+          .flatMap { case (id, i, _) => (i until i + n).map(id -> _) }.toSet
+        val expected = toks.map { case (id, ts) =>
+          val kept = ts.zipWithIndex.filterNot { case (_, i) => covered(id -> i) }
+          id -> ((ts.length, kept.size.toLong, kept.map(_._1).mkString(" ")))
+        }.toMap
+        val got = Dedup.removeDuplicateSpans(df(rows), "doc_id", "text", n, keepFirst)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+        got == expected
     }
 
   private val pairsGen: Gen[Seq[(Long, Long)]] =

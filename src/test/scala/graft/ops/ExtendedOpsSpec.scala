@@ -278,6 +278,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1)) // whitespace normalized; (1,3) dist 2 filtered
   }
 
+  test("decontaminate drops exactly the quarantined docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares 2 grams with bench
+      (2L, "totally clean words nothing shared"),
+      (3L, "alpha beta gamma other stuff")      // shares 2 grams with bench
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val clean = Contamination.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2L).select("doc_id").as[Long].collect().sorted
+    // doc1 shares "alpha beta gamma" + "beta gamma delta" (2 grams) → out;
+    // doc3 shares only "alpha beta gamma" (1 gram) → stays
+    assert(clean.toSeq == Seq(2L, 3L))
+  }
+
   test("clusterKeepBest keeps the highest score per cluster, ties to min id") {
     import org.apache.spark.sql.functions.{col => c}
     val rows = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (9L, 1L))
@@ -316,6 +330,18 @@ class DedupSpec extends SparkSpec {
     // doc4: "a b c" occurs twice WITHIN the doc (p1, p5) → 1-3 and 5-7
     // covered, only "x" survives
     assert(out(4L) == ((7, 1L, "x")))
+
+    // keepFirst: the globally first copy survives, later copies drop
+    val kf = Dedup.removeDuplicateSpans(corpus, "doc_id", "text",
+        n = 3, keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    // doc1 holds the first occurrences of both duplicated grams → intact
+    assert(kf(1L) == ((6, 6L, "the quick brown fox jumps high")))
+    // doc2's copies (p4/p5) are the later occurrences → positions 4-7 drop
+    assert(kf(2L) == ((8, 4L, "lazy dog saw sleep")))
+    // doc4's second in-doc copy (p5) drops; first (p1) survives
+    assert(kf(4L) == ((7, 4L, "a b c x")))
   }
 
   test("compactLshIndex: probe identical, one file per prefix dir") {
