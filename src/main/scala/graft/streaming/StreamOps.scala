@@ -309,6 +309,10 @@ object StreamOps {
               indexPath)
           graft.ops.Manifest.append(accepted, corpusPath,
             Map("streaming.batchId" -> batchId.toString)): Unit
+          // this batch's cached band frame is dead after both writes —
+          // release it eagerly so a long-running gate doesn't rely on
+          // ContextCleaner GC to bound the block-manager footprint
+          bandsRaw.unpersist(): Unit
         }
       }
       .option("checkpointLocation", checkpointDir)
