@@ -20,7 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    // (the driver never sets it, so recorded rounds always run the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     // Warm-up: run EVERY query once untimed first — JIT, codegen caches,
     // parquet footers, broadcast threads, streaming micro-batch machinery.
     // Without this the first pass measures JVM warm-up (73→112 s swings on
@@ -94,11 +99,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val ccFields =
       s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"contention_check":$cc"""
-    // warm/cold provenance for the 20 most expensive queries: both timed
-    // passes, so a recorded number dominated by first-touch warm-up
-    // (dedup_incremental measured 3.1 s first pass vs 0.38 s second in r6)
-    // is visible in the artifact instead of reading as plan cost
-    val runs2 = ok.sortBy(-_._2).take(20).map { case (n, _) =>
+    // warm/cold provenance for the 20 most expensive queries PLUS every
+    // streaming query: both timed passes, so a recorded number dominated
+    // by first-touch warm-up (dedup_incremental measured 3.1 s first pass
+    // vs 0.38 s second in r6) is visible in the artifact instead of
+    // reading as plan cost. Streaming entries are included wholesale —
+    // they are the noise-dominated cohort (micro-batch startup + cross-run
+    // drift of +10–40% with unchanged code in r7), so a regression call
+    // on them needs per-run data, not a single min.
+    val provNames = (ok.sortBy(-_._2).take(20).map(_._1) ++
+      ok.map(_._1).filter(isStreaming)).distinct
+    val runs2 = provNames.map { n =>
       val (a, b) = bothRuns(n)
       "\"" + n + "\":{\"first\":" + sec(a) + ",\"second\":" + sec(b) +
         ",\"warm_ratio\":" + sec(a / math.max(b, 1e-9)) + "}"

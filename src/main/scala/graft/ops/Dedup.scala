@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
@@ -13,9 +12,8 @@ import org.apache.spark.sql.functions._
   * bit-identical values; "min over hashes" uses lexicographic string order.
   *
   * Scale design:
-  *  - MinHash signatures are k `min()` aggregates in ONE hash-aggregation
-  *    pass over exploded tokens — map-side partial aggs collapse each
-  *    partition to one row per doc before the shuffle; no k-way explosion.
+  *  - MinHash signatures are k `array_min` projections over per-row
+  *    token-set arrays — one codegen'd pass, no explode, no shuffle.
   *  - LSH banding self-joins on (band, hash) — bucket sizes, not corpus
   *    size, drive the cost. Degenerate corpora (tiny vocab → identical
   *    signatures) should collapse identical signatures to a representative
@@ -66,11 +64,30 @@ object Dedup {
   /** MinHash signatures: one row per id with columns mh0..mh{k-1}, where
     * mh_i = min over the token set of md5("i|tok") (lexicographic min ≡
     * min-hash over a random permutation).
+    *
+    * Shuffle-free: the k mins are `array_min` over per-row transforms of
+    * the token-set ARRAY — a pure projection that stays inside
+    * whole-stage codegen, where the explode + k-aggregate groupBy it
+    * replaced paid a full shuffle of the exploded tokens. Expects one row
+    * per id (every caller's doc-frame shape); docs with an empty token
+    * set emit no signature, exactly as the grouped form (no exploded
+    * rows → no group).
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val words = tokenSets(df, idCol, textCol)
-    val aggs  = (0 until k).map(i => min(seededHash(i, col("tok"))).as(s"mh$i"))
-    words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    minhashSignaturesOfSets(
+      df.select(col(idCol), TextAnalysis.tokenSet(col(textCol)).as("__toks")),
+      idCol, "__toks", k)
+
+  /** [[minhashSignatures]] over an already-computed token-set array column —
+    * the shape batch pipelines use when the same tokenization feeds
+    * signatures AND exact verification (see [[gateBatchWithBands]]).
+    */
+  def minhashSignaturesOfSets(sets: DataFrame, idCol: String, toksCol: String,
+                              k: Int): DataFrame = {
+    val mhs = (0 until k).map(i =>
+      array_min(transform(col(toksCol), t => seededHash(i, t))).as(s"mh$i"))
+    sets.filter(size(col(toksCol)) > 0)
+      .select(col(idCol) +: mhs: _*)
   }
 
   /** LSH band hashes from a signature frame: bands of `rowsPerBand`
@@ -93,15 +110,19 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // cached: both join sides read it; the signature aggregation behind
-    // it is the expensive pass
+    // cached: both join sides read it; the tokenize+signature projection
+    // behind it is the expensive pass. Released below (cache policy):
+    // the compact pair result checkpoints eagerly, the band cache drops.
     val bands = lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
       .cache()
     val a = bands.select(col("band"), col("band_hash"), col(idCol).as("id1"))
     val b = bands.select(col("band"), col("band_hash"), col(idCol).as("id2"))
-    a.join(b, Seq("band", "band_hash"))
+    val out = a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+      .localCheckpoint()
+    bands.unpersist()
+    out
   }
 
   /** Exact token-set Jaccard similarity for all pairs with jaccard ≥
@@ -150,6 +171,23 @@ object Dedup {
     * count, which runs only on surviving candidate pairs
     * ([[verifyPairsJaccard]]'s shape). At t=0 the prefix is the whole
     * set and the join degenerates to the naive form — same results.
+    *
+    * Token sets ride as ARRAYS end to end: the only explode is the one
+    * the candidate join needs (prefix tokens), and the exact overlap is
+    * `size(array_intersect(s1, s2))` on the two attached arrays — O(|s1|
+    * + |s2|) per surviving candidate, with no second explode, no
+    * double-join, and no per-pair hash-agg. Prefix extraction itself is
+    * window-free (one hash-agg re-collecting (df, tok) structs +
+    * `array_sort` + `slice`), so the whole operator is joins and
+    * hash-aggs only — roughly half the stage count of the staged
+    * explode/window/agg form it replaced, which is what the fixed
+    * per-query cost at small scale consists of.
+    *
+    * EAGER: the result (a compact pair frame) is materialized via
+    * `localCheckpoint` and every intermediate cache is released before
+    * returning — a long-lived session keeps exactly one persistent entry
+    * per call, the returned frame, which the caller drops with
+    * `.unpersist()` (see docs/SCALE.md, "cache release policy").
     */
   def jaccardPairsOnSets(input: DataFrame, minJaccard: Double): DataFrame = {
     val docs = input
@@ -157,40 +195,36 @@ object Dedup {
       .withColumn("fp", md5(concat_ws(" ", array_sort(col("toks")))))
       .cache()
     val members = docs.select(col("fp"), col("id"))
-    // one representative per distinct token set (any row: sets are equal);
-    // cached — feeds document frequency, prefix extraction, and the exact
-    // overlap count below
-    val repWords = docs.groupBy("fp").agg(first(col("toks")).as("toks"))
-      .select(col("fp"), explode(col("toks")).as("tok"))
+    // one representative TOKEN ARRAY per distinct set (any row: the sets
+    // are equal, only element order may differ — every use below is
+    // order-blind). Cached: feeds the prefix build and both exact-overlap
+    // attaches.
+    val sets = docs.groupBy("fp").agg(first(col("toks")).as("toks"))
+      .withColumn("sz", size(col("toks")))
       .cache()
-    val szs = repWords.groupBy("fp").agg(count(lit(1)).as("sz"))
-    // at t ≤ 0 the prefix is provably the whole set — skip the
-    // frequency/rank machinery and join on every token directly
-    // cached: both candidate-join sides read the prefix frame, and the
-    // frequency-join + per-set rank behind it shouldn't run twice
-    val prefixes =
-      (if (minJaccard <= 0) repWords else prefixTokens(repWords, minJaccard))
-        .cache()
-    val candPairs = prefixes.select(col("fp").as("fp1"), col("tok"))
-      .join(prefixes.select(col("fp").as("fp2"), col("tok")), Seq("tok"))
+    // cached: both candidate-join sides read the prefix frame
+    val prefixes = prefixTokens(sets, minJaccard).cache()
+    val candPairs = prefixes
+      .select(col("fp").as("fp1"), col("sz").as("sz1"), col("tok"))
+      .join(prefixes.select(col("fp").as("fp2"), col("sz").as("sz2"), col("tok")),
+        Seq("tok"))
       .filter(col("fp1") < col("fp2"))
-      .select("fp1", "fp2").distinct()
-      .join(szs.select(col("fp").as("fp1"), col("sz").as("sz1")), Seq("fp1"))
-      .join(szs.select(col("fp").as("fp2"), col("sz").as("sz2")), Seq("fp2"))
-      // length filter: J ≥ t forces t·max(|s1|,|s2|) ≤ min(|s1|,|s2|)
+      // length filter BEFORE the distinct: J ≥ t forces
+      // t·max(|s1|,|s2|) ≤ min(|s1|,|s2|) — sizes ride the prefix rows,
+      // so no szs join is ever needed
       .filter(least(col("sz1"), col("sz2")).cast("double") >=
         lit(minJaccard) * greatest(col("sz1"), col("sz2")) - lit(1e-9))
-    // exact overlap only on surviving candidates — |cands| × set size,
-    // never corpus × bucket²
-    val common = candPairs.select("fp1", "fp2")
-      .join(repWords.select(col("fp").as("fp1"), col("tok")), Seq("fp1"))
-      .join(repWords.select(col("fp").as("fp2"), col("tok")), Seq("fp2", "tok"))
-      .groupBy("fp1", "fp2").agg(count(lit(1)).as("common"))
+      .select("fp1", "fp2", "sz1", "sz2").distinct()
+    // exact overlap only on surviving candidates: attach both arrays and
+    // intersect — |cands| × set size, never corpus × bucket²
     val setPairs = candPairs
-      .join(common, Seq("fp1", "fp2"))
+      .join(sets.select(col("fp").as("fp1"), col("toks").as("__t1")), Seq("fp1"))
+      .join(sets.select(col("fp").as("fp2"), col("toks").as("__t2")), Seq("fp2"))
+      .withColumn("common", size(array_intersect(col("__t1"), col("__t2"))).cast("long"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sz1") + col("sz2") - col("common")), 4))
       .filter(col("jaccard") >= minJaccard)
+      .select("fp1", "fp2", "jaccard")
     val crossPairs = setPairs
       .join(members.select(col("fp").as("fp1"), col("id").as("ida")), Seq("fp1"))
       .join(members.select(col("fp").as("fp2"), col("id").as("idb")), Seq("fp2"))
@@ -201,28 +235,45 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
               lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= lit(minJaccard))
-    crossPairs.unionByName(withinPairs)
+    val out = crossPairs.unionByName(withinPairs).localCheckpoint()
+    prefixes.unpersist()
+    sets.unpersist()
+    docs.unpersist()
+    out
   }
 
-  /** The PPJoin prefix of every set: for a (fp, tok) set frame, the
-    * |s| − ⌈t·|s|⌉ + 1 tokens of each set that come FIRST in the global
-    * order (ascending document frequency, ties by token — any consistent
-    * total order preserves the prefix lemma; rarest-first is what shrinks
-    * stop-word fan-out). Package-visible so the skew spec can assert a
-    * corpus-wide stop-word never enters a prefix.
+  /** The PPJoin prefix of every set: for a (fp, sz, toks) SETS frame
+    * (one row per distinct set, `toks` the token array, `sz` its size),
+    * the exploded (fp, sz, tok) rows of each set's |s| − ⌈t·|s|⌉ + 1
+    * tokens that come FIRST in the global order (ascending document
+    * frequency, ties by token — any consistent total order preserves the
+    * prefix lemma; rarest-first is what shrinks stop-word fan-out).
+    * Window-free: document frequency joins onto the exploded tokens, one
+    * hash-agg re-collects (df, tok) structs per set, and `array_sort` +
+    * `slice` take the prefix (struct order = ascending df, ties by
+    * token — exactly the rank the row_number form computed, minus its
+    * per-partition sort). At t ≤ 0 the prefix is provably the whole set,
+    * so the frequency machinery is skipped entirely. Package-visible so
+    * the skew spec can assert a corpus-wide stop-word never enters a
+    * prefix.
     */
-  private[ops] def prefixTokens(repWords: DataFrame, minJaccard: Double): DataFrame = {
-    val szs  = repWords.groupBy("fp").agg(count(lit(1)).as("sz"))
-    val freq = repWords.groupBy("tok").agg(count(lit(1)).as("__df"))
-    val rankW = Window.partitionBy("fp").orderBy(col("__df"), col("tok"))
+  private[ops] def prefixTokens(sets: DataFrame, minJaccard: Double): DataFrame = {
+    if (minJaccard <= 0)
+      return sets.select(col("fp"), col("sz"), explode(col("toks")).as("tok"))
+    val freq = sets.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
     // the −1e-9 guards the ceil against FP error pushing ⌈t·|s|⌉ one too
     // high (a too-SHORT prefix loses pairs; one too long is just slack)
-    repWords.join(freq, Seq("tok"))
-      .withColumn("__r", row_number().over(rankW))
-      .join(szs, Seq("fp"))
-      .filter(col("__r") <=
-        col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
-      .select(col("fp"), col("tok"))
+    sets.select(col("fp"), col("sz"), explode(col("toks")).as("tok"))
+      .join(freq, Seq("tok"))
+      .groupBy(col("fp"), col("sz"))
+      .agg(collect_list(struct(col("__df"), col("tok"))).as("__ranked"))
+      .select(col("fp"), col("sz"),
+        explode(transform(
+          slice(array_sort(col("__ranked")), lit(1),
+            (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
+              .cast("int")),
+          s => s.getField("tok"))).as("tok"))
   }
 
   /** Exact Jaccard restricted to given candidate pairs — the verification
@@ -242,6 +293,28 @@ object Dedup {
       .withColumn("jaccard", round(
         coalesce(col("common"), lit(0L)).cast("double") /
           (col("sz1") + col("sz2") - coalesce(col("common"), lit(0L))), 4))
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** [[verifyPairsJaccard]] over token-set ARRAYS — `sets` is (id, toks)
+    * with one row per id — instead of exploded (id, tok) rows. The overlap
+    * is `size(array_intersect(t1, t2))` on the two attached arrays: two
+    * id-keyed joins and a projection, versus the exploded form's two
+    * joins + per-pair hash-agg + sizes join. Prefer this shape whenever
+    * the arrays are already at hand (one tokenization pass feeding both
+    * signatures and verification). Pairs whose id is missing from `sets`
+    * or has an empty token set drop from the output, and disjoint pairs
+    * emit jaccard 0.0 — both exactly as the exploded form.
+    */
+  def verifyPairsJaccardSets(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = sets.filter(size(col("toks")) > 0)
+    pairs
+      .join(s.select(col("id").as("id1"), col("toks").as("__t1")), Seq("id1"))
+      .join(s.select(col("id").as("id2"), col("toks").as("__t2")), Seq("id2"))
+      .withColumn("common",
+        size(array_intersect(col("__t1"), col("__t2"))).cast("long"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("__t1")) + size(col("__t2")) - col("common")), 4))
       .select("id1", "id2", "jaccard")
   }
 
@@ -294,29 +367,33 @@ object Dedup {
     val keep = fp.groupBy("fp").agg(min(col("id")).as("keep_id"))
     val withKeep = fp.join(keep, Seq("fp")).cache()
     val repIds = withKeep.filter(col("id") === col("keep_id")).select("id")
-    val reps = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // ONE tokenization pass: the token-set arrays feed both the MinHash
+    // projection (no explode/groupBy shuffle) and the exact verify
+    val repToks = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(repIds, Seq("id"))
-    val words = tokenSets(reps, "id", "__text").cache()
-    val sigs  = {
-      val aggs = (0 until k).map(i => min(seededHash(i, col("tok"))).as(s"mh$i"))
-      words.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    }
-    val bands = lshBands(sigs, "id", k, rowsPerBand)
+      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+      .cache()
+    val bands = lshBands(
+      minhashSignaturesOfSets(repToks, "id", "toks", k), "id", k, rowsPerBand)
     val cands = bands.select(col("band"), col("band_hash"), col("id").as("id1"))
       .join(bands.select(col("band"), col("band_hash"), col("id").as("id2")),
         Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val nearDropped = verifyPairsJaccard(words, cands)
+    val nearDropped = verifyPairsJaccardSets(repToks, cands)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id2").as("id")).distinct()
-    withKeep.select(col("id"), col("keep_id"))
+    val out = withKeep.select(col("id"), col("keep_id"))
       .join(nearDropped.withColumn("__near", lit(true)), Seq("id"), "left")
       .withColumn("status",
         when(col("id") =!= col("keep_id"), lit("exact_dup"))
           .when(col("__near"), lit("near_dup"))
           .otherwise(lit("kept")))
       .select("id", "status")
+      .localCheckpoint()
+    withKeep.unpersist()
+    repToks.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: candidates share at least one of `nBands`
@@ -343,12 +420,15 @@ object Dedup {
     val hamming = (1 to bits).map(j =>
       when(substring(col("sh1"), j, 1) =!= substring(col("sh2"), j, 1), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, Seq("band", "bh"))
+    val out = a.join(b, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+      .localCheckpoint() // compact pair frame; lets the band cache go
+    bands.unpersist()
+    out
   }
 
   val HighHexDigits: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -387,13 +467,14 @@ object Dedup {
 
   /** Build a persisted MinHash-LSH band index for a corpus: one row per
     * (id, band, band_hash), written PARTITIONED BY the band hash's first
-    * two hex chars (256 directories). This is the near-dup analog of
-    * [[graft.ops.Similarity.buildIvfIndex]]: signature computation over
-    * the 100 TB corpus is paid ONCE at build time; every later crawl
-    * batch probes the index instead of re-sigging the corpus. The prefix
-    * partitioning means a probe reads only the directories its own band
-    * hashes land in — for a small batch that is a fraction of the index,
-    * pruned at the scan (assert `PartitionFilters`, no full-index scan).
+    * two hex chars (256 `organized/bh_px=…` directories). This is the
+    * near-dup analog of [[graft.ops.Similarity.buildIvfIndex]]: signature
+    * computation over the 100 TB corpus is paid ONCE at build time; every
+    * later crawl batch probes the index instead of re-sigging the corpus.
+    * The prefix partitioning means a probe reads only the directories its
+    * own band hashes land in — for a small batch that is a fraction of
+    * the index, pruned at the scan (assert `PartitionFilters`, no
+    * full-index scan).
     */
   def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
                     k: Int, rowsPerBand: Int, path: String): Unit =
@@ -402,9 +483,10 @@ object Dedup {
   /** Index maintenance: append a new batch's band rows to an existing LSH
     * index — the accepted docs of each crawl batch join the index without
     * a rebuild (the signature cost is the batch's, not the corpus's).
-    * Parameters k/rowsPerBand must match the build; band hashes land in
-    * the same prefix directories, so later probes see old and new docs
-    * through the identical pruned scan.
+    * Appends land in the flat `delta/` tail (no per-batch 256-way shuffle
+    * or 256 file creates); probes read organized∪delta identically, and
+    * [[compactLshIndex]] folds the tail in on maintenance cadence.
+    * Parameters k/rowsPerBand must match the build.
     */
   def appendLshIndex(batch: DataFrame, idCol: String, textCol: String,
                      k: Int, rowsPerBand: Int, path: String): Unit =
@@ -417,42 +499,127 @@ object Dedup {
       lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand),
       path, mode)
 
+  /** LSM-style index layout: `organized/` holds the bulk of the index in
+    * hive `bh_px=…` prefix directories (pruned-scan side); `delta/` holds
+    * flat per-batch appends with bh_px as a DATA column (cheap-append
+    * side). Probes read organized∪delta; compaction folds delta into
+    * organized.
+    */
+  private def organizedDir(path: String): String = path + "/organized"
+  private def deltaDir(path: String): String = path + "/delta"
+
+  // 'p' sentinel: an all-digit hex prefix (e.g. "60") would make Spark's
+  // hive-partition type inference read bh_px back as a NUMBER, and a
+  // later string probe ('6b') dies in an ANSI cast; a leading letter
+  // pins the inferred type to string forever
+  private def bandPrefix(bandHash: Column): Column =
+    concat(lit("p"), substring(bandHash, 1, 2))
+
   /** Write ALREADY-computed band rows (id, band, band_hash) into the
-    * prefix-partitioned index layout — the path [[gateBatchWithBands]]
-    * callers use so the batch is never re-signatured for the append.
+    * index — the path [[gateBatchWithBands]] callers use so the batch is
+    * never re-signatured for the append.
+    *
+    * `overwrite` (the initial corpus build) organizes on write: one
+    * shuffle co-locates each prefix so every `bh_px=…` directory holds ~1
+    * file. `append` (a gate/crawl batch) is the LSM fast path: the batch
+    * writes FLAT files into `delta/` with bh_px as a data column, sorted
+    * so parquet min/max stats prune prefixes at probe time — no 256-way
+    * shuffle and no 256 per-batch file creates, which at micro-batch
+    * cadence were the dominant per-batch cost. [[compactLshIndex]] folds
+    * the delta tail into the organized layout on maintenance cadence.
     */
   def writeLshIndexBands(bands: DataFrame, path: String,
-                         mode: String = "append"): Unit =
-    bands
-      // 'p' sentinel: an all-digit hex prefix (e.g. "60") would make
-      // Spark's hive-partition type inference read bh_px back as a
-      // NUMBER, and a later string probe ('6b') dies in an ANSI cast;
-      // a leading letter pins the inferred type to string forever
-      .withColumn("bh_px", concat(lit("p"), substring(col("band_hash"), 1, 2)))
-      // organize-on-write: co-locate each prefix before the partitioned
-      // write, so every bh_px=… directory holds ~1 file per writer task
-      // that owns the prefix instead of one file per task per prefix —
-      // 256 dirs × T tasks of tiny files is a listing/open cost at every
-      // later probe
-      .repartition(col("bh_px"))
-      .write.mode(mode).partitionBy("bh_px").parquet(path)
+                         mode: String = "append"): Unit = {
+    val withPx = bands.withColumn("bh_px", bandPrefix(col("band_hash")))
+    if (mode == "overwrite") {
+      val spark = bands.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      withPx.repartition(col("bh_px"))
+        .write.mode("overwrite").partitionBy("bh_px").parquet(organizedDir(path))
+      // a rebuild supersedes any delta tail of a previous incarnation
+      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true): Unit
+    } else
+      withPx.sortWithinPartitions("bh_px", "band_hash")
+        .write.mode("append").parquet(deltaDir(path))
+  }
 
-  /** Compact a persisted LSH band index in place: every
-    * [[appendLshIndex]] / gate batch adds its own file set to each
-    * touched `bh_px=…` directory, so after B batches a probe opens O(B)
-    * files per pruned prefix — file count, not bytes, becomes the probe
-    * cost of a continuously-ingesting gate. The rewrite co-locates each
-    * prefix (one shuffle) and swaps directories atomically
-    * ([[Maintenance.swapWritePartitioned]]): probes before the swap read
-    * the old layout, after it the compacted one — never a torn mix.
-    * Schedule it like any other maintenance (e.g. nightly, or when
-    * files-per-prefix crosses a threshold); band rows are immutable so
-    * the rewrite never changes probe results.
+  /** Data files currently in the delta tail (ignores _SUCCESS markers). */
+  private def deltaFiles(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(deltaDir(path))
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+  }
+
+  /** The index as one frame, pruned to the given bh_px prefixes: the
+    * organized side prunes at the DIRECTORY level (partition filter —
+    * never scans unrelated prefixes), the delta side at the FILE level
+    * (bh_px rides as a sorted data column, so parquet min/max stats skip
+    * non-matching row groups). Loud when neither side exists.
+    */
+  private def readIndexPruned(spark: org.apache.spark.sql.SparkSession,
+                              path: String, prefixes: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
+    val sides =
+      (if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString)) else Nil) ++
+      (deltaFiles(fs, path) match {
+        case Nil => Nil
+        case fsq => Seq(spark.read.parquet(fsq: _*))
+      })
+    require(sides.nonEmpty, s"no LSH index at $path")
+    sides.map(_.filter(col("bh_px").isin(prefixes: _*)).drop("bh_px"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Compact a persisted LSH band index: fold the flat `delta/` tail
+    * (one file set per [[appendLshIndex]] / gate batch) into the
+    * hive-partitioned `organized/` layout, leaving ~1 file per `bh_px=…`
+    * directory — after B batches a probe otherwise opens O(B) delta
+    * files, and file count, not bytes, becomes the probe cost of a
+    * continuously-ingesting gate.
+    *
+    * Concurrency story: the delta file list is SNAPSHOTTED first, so an
+    * append racing the compaction lands new files that are simply left
+    * for the next run; the organized rewrite swaps directories
+    * ([[Maintenance.swapWritePartitioned]]), and only then are the
+    * consumed delta files deleted. A probe therefore reads either the old
+    * (organized + full delta) or new (compacted + remaining delta) state,
+    * never a torn mix of rows — though the swap has a short window where
+    * `organized/` is absent, so a CONCURRENT probe that listed files
+    * pre-swap can fail with FileNotFoundException rather than return
+    * wrong rows ([[gateBatchWithBands]] retries its probe once on exactly
+    * that signature; standalone [[probeLshIndex]] callers racing a
+    * compaction should do the same). A crash between the swap and the
+    * delta deletes leaves rows present on BOTH sides — harmless (probes
+    * `distinct` their candidates) and healed by the next compaction.
+    * Schedule it like any other maintenance (e.g. nightly, or when the
+    * delta file count crosses a threshold); band rows are immutable so
+    * the rewrite never changes probe results. Rename-based swaps are
+    * atomic on HDFS/local filesystems only — on S3-style object stores
+    * route the index through a [[Manifest]]-tracked table instead (see
+    * docs/SCALE.md).
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit =
+                      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = deltaFiles(fs, path) // snapshot BEFORE reading
+    val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
+    val sides =
+      (if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString)) else Nil) ++
+      (if (consumed.nonEmpty) Seq(spark.read.parquet(consumed: _*)) else Nil)
+    if (sides.isEmpty) return
+    val cols = sides.head.columns.map(col).toSeq
     Maintenance.swapWritePartitioned(
-      spark.read.parquet(path), path, Seq("bh_px"))
+      sides.map(_.select(cols: _*)).reduce(_ unionByName _),
+      organizedDir(path), Seq("bh_px"))
+    consumed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit)
+  }
 
   /** Probe a persisted LSH index with an incoming batch: candidate
     * near-dup pairs (new_id, corpus_id) — incoming docs sharing any band
@@ -471,10 +638,9 @@ object Dedup {
         idCol, k, rowsPerBand)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
     val prefixes = inBands
-      .select(concat(lit("p"), substring(col("band_hash"), 1, 2)).as("p"))
+      .select(bandPrefix(col("band_hash")).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
-    spark.read.parquet(path)
-      .filter(col("bh_px").isin(prefixes: _*))
+    readIndexPruned(spark, path, prefixes)
       .join(broadcast(inBands), Seq("band", "band_hash"))
       .filter(col("new_id") =!= col(idCol))
       .select(col("new_id"), col(idCol).as("corpus_id"))
@@ -497,9 +663,14 @@ object Dedup {
   def gateBatch(batch: DataFrame, idCol: String, textCol: String,
                 indexPath: String, corpusText: DataFrame,
                 k: Int = 8, rowsPerBand: Int = 2,
-                minJaccard: Double = 0.7): DataFrame =
-    gateBatchWithBands(batch, idCol, textCol, indexPath, corpusText,
-      k, rowsPerBand, minJaccard)._1
+                minJaccard: Double = 0.7): DataFrame = {
+    val (accepted, bands) = gateBatchWithBands(batch, idCol, textCol,
+      indexPath, corpusText, k, rowsPerBand, minJaccard)
+    // accepted is already materialized; the band cache only exists for
+    // callers that append it to the index — this caller discards it
+    bands.unpersist()
+    accepted
+  }
 
   /** [[gateBatch]] that also returns the batch representatives' LSH band
     * rows (id, band, band_hash), CACHED — the batch's tokens are exploded
@@ -510,6 +681,13 @@ object Dedup {
     * crawl-ingest scale the signature pass IS the per-batch cost, so
     * computing it once is the difference between 1× and 3× ingest
     * throughput. Results are identical to the staged form.
+    *
+    * Cache contract: the ACCEPTED frame comes back already materialized
+    * (eager local checkpoint) and every internal per-batch cache is
+    * released before return; the returned BAND frame is the one cache
+    * left alive — callers append it to the index and then `unpersist()`
+    * it ([[graft.streaming.StreamOps.lshDedupGateSink]] does; plain
+    * [[gateBatch]] releases it immediately).
     */
   def gateBatchWithBands(batch: DataFrame, idCol: String, textCol: String,
                          indexPath: String, corpusText: DataFrame,
@@ -524,20 +702,22 @@ object Dedup {
       .filter(col("id") === col("keep_id")).select("id")
     val reps = batch.select(col(idCol).as("id"), col(textCol).as("__text"))
       .join(repIds, Seq("id"))
-    // THE one token/signature pass for this batch
-    val words = tokenSets(reps, "id", "__text").cache()
-    val sigs = {
-      val aggs = (0 until k).map(i => min(seededHash(i, col("tok"))).as(s"mh$i"))
-      words.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    }
-    val bands = lshBands(sigs, "id", k, rowsPerBand).cache()
+    // THE one tokenization pass for this batch — token-set ARRAYS,
+    // shared by the MinHash projection (no explode/groupBy shuffle), the
+    // in-batch verify, and the cross-batch verify below
+    val repToks = reps
+      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks"))
+      .cache()
+    val bands = lshBands(
+      minhashSignaturesOfSets(repToks, "id", "toks", k), "id", k, rowsPerBand)
+      .cache()
     // in-batch near-dups among representatives: banded candidates, exact verify
     val cands = bands.select(col("band"), col("band_hash"), col("id").as("id1"))
       .join(bands.select(col("band"), col("band_hash"), col("id").as("id2")),
         Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val nearDropped = verifyPairsJaccard(words, cands)
+    val nearDropped = verifyPairsJaccardSets(repToks, cands)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id2").as("id")).distinct()
     // cached: the in-batch verify chain behind it is read by the kept
@@ -551,41 +731,82 @@ object Dedup {
     // returned band rows carry the caller's id column name — the index
     // layout stores idCol, and probes resolve it there
     def namedBands = bands.withColumnRenamed("id", idCol)
-    if (!indexExists) return (kept, namedBands) // first batch: nothing to probe
+    if (!indexExists) {
+      // first batch: nothing to probe. Materialize the result so this
+      // batch's caches can be released now (bands stays — it's returned)
+      val acceptedFirst = kept.localCheckpoint()
+      repToks.unpersist()
+      keptIds.unpersist()
+      return (acceptedFirst, namedBands)
+    }
     // probe the persisted index with the kept docs' ALREADY-computed bands
     val inBands = bands
       .join(keptIds, Seq("id"), "left_semi")
       .select(col("id").as("new_id"), col("band"), col("band_hash"))
     val prefixes = inBands
-      .select(concat(lit("p"), substring(col("band_hash"), 1, 2)).as("p"))
-      .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
+      .select(bandPrefix(col("band_hash")).as("p"))
+      .distinct()
+    val prefixesC = prefixes.collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
     // probe result MATERIALIZES (eager local checkpoint): the verification
     // below references the candidate pairs five times through its joins —
     // without truncation each reference re-runs the pruned INDEX SCAN and
     // probe join, which at corpus scale means probing the index 5× per
     // batch. The pair set is bounded (|candidates|), so the checkpoint is
     // small by construction. Measured at sf0.1: cross-verify 7.2 s → sub-s.
-    val candsX = spark.read.parquet(indexPath)
-      .filter(col("bh_px").isin(prefixes: _*))
+    // A concurrent [[compactLshIndex]] swap can retire the files this
+    // probe just listed (the rename window leaves the path briefly
+    // absent) — results are never wrong, but the scan can die with a
+    // FileNotFoundException mid-swap; one rebuild-and-retry reads the
+    // compacted layout and rides out the maintenance window.
+    def probeIndex(): DataFrame = readIndexPruned(spark, indexPath, prefixesC)
       .join(broadcast(inBands), Seq("band", "band_hash"))
       .filter(col("new_id") =!= col(idCol))
       .select(col("new_id"), col(idCol).as("corpus_id"))
       .distinct()
       .localCheckpoint()
-    // cross-batch verify: batch tokens are in `words` already (kept ⊆ reps);
-    // corpus side joins text for candidate ids only. Cached — the verify
-    // reads it three times (sizes + both overlap joins)
+    val candsX =
+      try probeIndex()
+      catch { case e: Throwable if fileGone(e) => probeIndex() }
+    // cross-batch verify: batch token arrays are in `repToks` already
+    // (kept ⊆ reps); corpus side tokenizes the candidate ids' text only.
+    // Cached — the verify joins read it twice
     val candCorpus = corpusText
       .join(candsX.select(col("corpus_id")).distinct(),
         corpusText(idCol) === col("corpus_id"))
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-    val vWords = words.unionByName(tokenSets(candCorpus, "id", "__text")).cache()
-    val dupIds = verifyPairsJaccard(vWords,
+    val vToks = repToks.unionByName(candCorpus
+      .select(col("id"), TextAnalysis.tokenSet(col("__text")).as("toks")))
+      .cache()
+    val dupIds = verifyPairsJaccardSets(vToks,
         candsX.select(col("new_id").as("id1"), col("corpus_id").as("id2")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1").as(idCol)).distinct()
-    val accepted = kept.join(dupIds, Seq(idCol), "left_anti")
+    // EAGER: the accepted frame materializes here so every per-batch
+    // cache except the returned band frame is released before the gate
+    // returns — a continuously-running gate (lshDedupGateSink) would
+    // otherwise leak three CacheManager entries per micro-batch (vToks
+    // alone holds the token arrays of batch + candidate corpus text),
+    // and CacheManager holds strong references ContextCleaner never GCs.
+    val accepted = kept.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
+    repToks.unpersist()
+    keptIds.unpersist()
+    vToks.unpersist()
+    CacheControl.release(candsX) // probe checkpoint is dead once accepted lands
     (accepted, namedBands)
+  }
+
+  /** True when any cause in the chain is a missing-file error — the
+    * signature of a probe racing a [[compactLshIndex]] directory swap.
+    */
+  private def fileGone(t: Throwable): Boolean = {
+    var c = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Fixed-width "lines": (id, line_no, line) rows chunking each doc's
@@ -636,11 +857,14 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           s => s.getField("line"))).as("clean_text"))
-    lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val out = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .localCheckpoint() // result is corpus-sized, but so was the cache
+    lines.unpersist()
+    out
   }
 
   /** Cross-document verbatim span REMOVAL — the ExactSubstr idea of Lee
@@ -708,11 +932,14 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok"))).as("clean_text"))
-    toks.select(col("id"), size(col("__toks")).as("n_tokens"))
+    val out = toks.select(col("id"), size(col("__toks")).as("n_tokens"))
       .join(kept, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .localCheckpoint() // result is corpus-sized, but so was the cache
+    toks.unpersist()
+    out
   }
 
   /** Connected components over an undirected pair graph ((id1, id2) rows,
@@ -768,14 +995,14 @@ object Dedup {
         .withColumnRenamed("dst", "id")
         .localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
+      CacheControl.release(labels)
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    p.unpersist()
-    edges.unpersist()
+    CacheControl.release(p)
+    CacheControl.release(edges)
     labels
   }
 
@@ -783,12 +1010,17 @@ object Dedup {
     * near-dup component (itself when unpaired); `kept` marks the one
     * representative per cluster that survives dedup.
     */
-  def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    df.select(col(idCol).as("id"))
-      .join(connectedComponents(pairs).withColumnRenamed("component", "cluster_id"),
+  def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val out = df.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("component", "cluster_id"),
         Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
       .withColumn("kept", col("id") === col("cluster_id"))
+      .localCheckpoint() // assignment materializes; the label frame drops
+    CacheControl.release(labels)
+    out
+  }
 
   /** [[clusterAssign]] with QUALITY-AWARE survivor selection: per near-dup
     * cluster keep the row with the highest `score` (ties → smallest id)
@@ -803,8 +1035,9 @@ object Dedup {
     */
   def clusterKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
                       score: Column): DataFrame = {
+    val labels = connectedComponents(pairs)
     val assigned = df.select(col(idCol).as("id"), score.as("__score"))
-      .join(connectedComponents(pairs).withColumnRenamed("component", "cluster_id"),
+      .join(labels.withColumnRenamed("component", "cluster_id"),
         Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
       .cache() // read by the per-cluster argmax AND the final join
@@ -812,8 +1045,12 @@ object Dedup {
       // lexicographic min of (−score, id): highest score, ties to min id
       .agg(min_by(col("id"),
         struct((-col("__score")).as("__ns"), col("id"))).as("keep_id"))
-    assigned.join(best, Seq("cluster_id"))
+    val out = assigned.join(best, Seq("cluster_id"))
       .select(col("id"), col("cluster_id"), col("__score").as("score"),
         (col("id") === col("keep_id")).as("kept"))
+      .localCheckpoint()
+    assigned.unpersist()
+    CacheControl.release(labels)
+    out
   }
 }

@@ -66,6 +66,7 @@ object Graph {
     val teleport = ((dampDen - dampNum) * init) / dampDen
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank_fp", lit(init))
+    var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -76,11 +77,20 @@ object Graph {
         .select(col("node"), expr(
           s"$teleport + ($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")
           .as("rank_fp"))
-      // bound lineage/plan depth on long runs without changing results
-      if (i % checkpointEvery == 0 && i < iterations)
+      // bound lineage/plan depth on long runs without changing results;
+      // the previous pin is dead the moment the new one materializes
+      if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint()
+        prevCkpt.foreach(CacheControl.release)
+        prevCkpt = Some(ranks)
+      }
     }
-    ranks
+    // materialize the result, then release every loop-support pin —
+    // the returned frame is the one persistent entry (cache policy)
+    val out = ranks.localCheckpoint()
+    prevCkpt.foreach(CacheControl.release)
+    CacheControl.release(e); CacheControl.release(nodes); CacheControl.release(deg)
+    out
   }
 
   /** Breadth-first levels from `seeds` over directed `edges`: (node,
@@ -100,18 +110,27 @@ object Graph {
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     var levels = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("level", lit(0))
+    var prevCkpt: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       val frontier = levels.filter(col("level") === h - 1)
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h).as("level"))
       // checkpoint EVERY hop: `levels` is referenced twice per round
       // (frontier + union), so an unbroken lineage would re-execute the
-      // whole prefix 2^h times; the label set is |V|-bounded — cheap to pin
+      // whole prefix 2^h times; the label set is |V|-bounded — cheap to
+      // pin, and the previous hop's pin is released as soon as the new
+      // one materializes
       levels = levels.union(next)
         .groupBy("node").agg(min(col("level")).as("level"))
         .localCheckpoint()
+      prevCkpt.foreach(CacheControl.release)
+      prevCkpt = Some(levels)
     }
-    levels
+    // maxHops = 0: no loop ran, nothing is pinned yet — materialize so
+    // the edge pin can still be dropped uniformly
+    val out = if (prevCkpt.isEmpty) levels.localCheckpoint() else levels
+    CacheControl.release(e)
+    out
   }
 
   /** Per-node triangle counts over an UNDIRECTED graph (`aCol`—`bCol` in
@@ -139,9 +158,12 @@ object Graph {
     val tris = wedges.as("w")
       .join(e.as("e3"), col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
       .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
-    tris.select(col("a").as("node"))
+    val out = tris.select(col("a").as("node"))
       .union(tris.select(col("b").as("node")))
       .union(tris.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint() // per-node counts materialize; the edge pin drops
+    CacheControl.release(e)
+    out
   }
 }

@@ -244,12 +244,15 @@ object Multimodal {
       col(idCol).as("id2"), col("phash").as("p2"))
     val cand = a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
       .select("id1", "id2", "p1", "p2").distinct()
-    cand
+    val out = cand
       .withColumn("hamming",
         size(filter(zip_with(split(col("p1"), ""), split(col("p2"), ""),
           (x, y) => x =!= y), v => v)).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
+      .localCheckpoint() // compact pair frame; lets the band cache go
+    bands.unpersist()
+    out
   }
 
   /** STUB decoder: a real pipeline would decode image/audio here (JPEG →

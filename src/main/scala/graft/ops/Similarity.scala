@@ -544,7 +544,11 @@ object Similarity {
       .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select("id1", "id2")
-    Dedup.clusterAssign(df.select(col(idCol).as("id")), "id", pairs)
+    // clusterAssign materializes eagerly (cache policy), so the
+    // assignment cache is dead once it returns
+    val out = Dedup.clusterAssign(df.select(col(idCol).as("id")), "id", pairs)
+    assigned.unpersist()
+    out
   }
 
   // ───────────────────────── product quantization ─────────────────────────

@@ -161,9 +161,12 @@ object TextAnalysis {
     val fps = winnowFingerprints(df, idCol, textCol, k, w).cache()
     val a = fps.select(col("fp"), col(idCol).as("id1"))
     val b = fps.select(col("fp"), col(idCol).as("id2"))
-    a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
+    val out = a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint() // compact pair frame; lets the fp cache go
+    fps.unpersist()
+    out
   }
 
   /** Winnowing (MOSS-style) selection over a gram-hash array: the minimum

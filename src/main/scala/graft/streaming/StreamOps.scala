@@ -300,19 +300,23 @@ object StreamOps {
           // one token/signature pass per batch: the gate hands back the
           // accepted docs' band rows, so the index append re-signatures
           // nothing
-          val (acceptedRaw, bandsRaw) = graft.ops.Dedup.gateBatchWithBands(
+          // accepted arrives already materialized (the gate checkpoints
+          // it eagerly and releases its own per-batch caches); bandsRaw
+          // is the one cache the gate leaves alive, released below
+          val (accepted, bandsRaw) = graft.ops.Dedup.gateBatchWithBands(
             batch, idCol, textCol, indexPath, corpus, k, rowsPerBand, minJaccard)
-          val accepted = acceptedRaw.localCheckpoint() // consumed below; gate once
           if (accepted.head(1).nonEmpty)
             graft.ops.Dedup.writeLshIndexBands(
               bandsRaw.join(accepted.select(idCol), Seq(idCol), "left_semi"),
               indexPath)
           graft.ops.Manifest.append(accepted, corpusPath,
             Map("streaming.batchId" -> batchId.toString)): Unit
-          // this batch's cached band frame is dead after both writes —
-          // release it eagerly so a long-running gate doesn't rely on
-          // ContextCleaner GC to bound the block-manager footprint
+          // this batch's band cache and accepted checkpoint are dead
+          // after both writes — release them eagerly so a long-running
+          // gate doesn't rely on ContextCleaner GC to bound the
+          // block-manager footprint
           bandsRaw.unpersist(): Unit
+          graft.ops.CacheControl.release(accepted)
         }
       }
       .option("checkpointLocation", checkpointDir)

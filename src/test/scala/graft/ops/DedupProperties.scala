@@ -77,8 +77,9 @@ object DedupProperties extends Properties("Dedup") {
     val input = df(rows).select(col("doc_id").as("id"),
       TextAnalysis.tokenSet(col("text")).as("toks"))
       .withColumn("fp", md5(concat_ws(" ", array_sort(col("toks")))))
-    val repWords = input.select(col("fp"), explode(col("toks")).as("tok"))
-    val hotInPrefix = Dedup.prefixTokens(repWords, 0.5)
+    val sets = input.select(col("fp"), col("toks"))
+      .withColumn("sz", size(col("toks")))
+    val hotInPrefix = Dedup.prefixTokens(sets, 0.5)
       .filter(col("tok") === "the").count()
     val got = gotPairs(rows, 0.5)
     Prop(hotInPrefix == 0L) :| s"hot token rode $hotInPrefix prefixes" &&

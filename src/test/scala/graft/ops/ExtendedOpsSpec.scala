@@ -344,10 +344,10 @@ class DedupSpec extends SparkSpec {
     assert(kf(4L) == ((7, 4L, "a b c x")))
   }
 
-  test("compactLshIndex: probe identical, one file per prefix dir") {
+  test("compactLshIndex: probe identical, delta folded to one file per prefix") {
     val base = java.nio.file.Files.createTempDirectory("lshcp").toString
     val idx = base + "/idx"
-    // several appends accrete several file sets per touched prefix dir
+    // several appends accrete file sets in the flat delta tail
     Dedup.buildLshIndex(docs.filter(col("doc_id") <= 2L), "doc_id", "text", 8, 2, idx)
     Dedup.appendLshIndex(docs.filter(col("doc_id") === 3L), "doc_id", "text", 8, 2, idx)
     Dedup.appendLshIndex(docs.filter(col("doc_id") === 4L), "doc_id", "text", 8, 2, idx)
@@ -355,17 +355,22 @@ class DedupSpec extends SparkSpec {
     def pairs() =
       Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text", 8, 2)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def parquets(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+    def deltaCount(): Int = parquets(new java.io.File(idx, "delta")).size
     def filesPerPrefix(): Map[String, Int] = {
-      val root = new java.io.File(idx)
-      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bh_px="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      val root = new java.io.File(idx, "organized")
+      Option(root.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("bh_px="))
+        .map(d => d.getName -> parquets(d).size).toMap
     }
     val before = pairs()
-    assert(filesPerPrefix().values.exists(_ > 1), "fixture should accrete files")
+    assert(deltaCount() >= 2, "fixture should accrete delta files")
     Dedup.compactLshIndex(spark, idx)
     assert(pairs() == before, "compaction changed probe results")
-    assert(filesPerPrefix().values.forall(_ == 1),
+    assert(deltaCount() == 0, "compaction should consume the delta tail")
+    assert(filesPerPrefix().nonEmpty && filesPerPrefix().values.forall(_ == 1),
       s"expected one file per prefix dir, got ${filesPerPrefix()}")
   }
 
