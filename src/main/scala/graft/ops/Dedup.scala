@@ -966,11 +966,55 @@ object Dedup {
     * not needed for dedup.
     */
   def connectedComponents(pairs: DataFrame, src: String = "id1",
-                          dst: String = "id2", maxIter: Int = 25): DataFrame = {
+                          dst: String = "id2", maxIter: Int = 25,
+                          maxDriverPairs: Long = 200000L): DataFrame = {
     // Materialize the pair source ONCE — edges/nodes below reference it
     // four times, and candidate generation upstream (banded joins) is far
     // too expensive to recompute per branch.
     val p = pairs.select(col(src).as("src"), col(dst).as("dst")).localCheckpoint()
+    // Small-graph fast path: a verified near-dup pair set is usually TINY
+    // next to the corpus (it is the operator's OUTPUT, not its input), and
+    // the distributed loop below costs a fixed ~2 Spark jobs per round
+    // regardless of size. Up to `maxDriverPairs` edges (bounded metadata —
+    // ~16 MB of ids at the default, the same class of driver-side bound as
+    // the ≤256 probe prefixes), an exact union-find on the driver returns
+    // the identical min-id components in one collect; bigger graphs take
+    // the label-propagation loop. `maxDriverPairs = 0` forces the
+    // distributed path (the equivalence spec runs both).
+    val nPairs = p.limit(maxDriverPairs.toInt + 1).count() // bounded probe
+    if (nPairs <= maxDriverPairs) {
+      val rows = p.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      @annotation.nowarn("msg=eliminated by erasure")
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Comparable[Any] @unchecked, y) => x.compareTo(y) < 0
+        case _ => a.toString < b.toString
+      }
+      rows.foreach { r =>
+        val (a, b) = (find(r.get(0)), find(r.get(1)))
+        if (a != b) { if (lt(a, b)) parent(b) = a else parent(a) = b }
+      }
+      val ids = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+        .toSet[Any].toSeq
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", p.schema.head.dataType),
+        org.apache.spark.sql.types.StructField("component", p.schema.head.dataType)))
+      val out = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            ids.map(i => org.apache.spark.sql.Row(i, find(i)))).asJava),
+        schema)
+      CacheControl.release(p)
+      return out
+    }
     val nodes = p.select(col("src")).union(p.select(col("dst").as("src"))).distinct()
     // Self-loops make "min over closed neighborhood" a single join+agg —
     // the loop body then has no Union, so every round's plan is one flat

@@ -49,7 +49,8 @@ object Graph {
                iterations: Int = 3,
                dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000000000L,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5,
+               maxDriverEdges: Long = 200000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must be a rational in [0, 1]")
@@ -58,6 +59,42 @@ object Graph {
     // upstream plan (source joins + distinct) re-executes per iteration
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    // Small-graph fast path (same bounded-metadata gate as
+    // Dedup.connectedComponents): the distributed loop costs ~2 Spark
+    // jobs per iteration regardless of size, and the fixed-point update
+    // is exact INTEGER math — trivially and bit-identically replayable on
+    // the driver for graphs up to `maxDriverEdges` edges (~16 MB of
+    // longs). `0` forces the distributed loop (the equivalence spec runs
+    // both). Every `div` below is on non-negative longs, where Java `/`
+    // and SQL `div` agree.
+    val nEdgesProbe = e.limit(maxDriverEdges.toInt + 1).count()
+    if (nEdgesProbe <= maxDriverEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      CacheControl.release(e)
+      val nodeIds = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet.toSeq
+      require(nodeIds.nonEmpty, "graph has no nodes")
+      val init = scale / nodeIds.size
+      val teleport = ((dampDen - dampNum) * init) / dampDen
+      val deg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+      var rank = nodeIds.map(_ -> init).toMap
+      for (_ <- 1 to iterations) {
+        val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (s, d) => contrib(d) += rank(s) / deg(s) }
+        rank = nodeIds.map(v =>
+          v -> (teleport + (dampNum * contrib(v)) / dampDen)).toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank_fp",
+          org.apache.spark.sql.types.LongType)))
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            nodeIds.map(v => org.apache.spark.sql.Row(v, rank(v)))).asJava),
+        schema)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nNodes = nodes.count() // the one driver-side scalar: |V|
@@ -103,13 +140,46 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxHops: Int = 4): DataFrame = {
+                maxHops: Int = 4,
+                maxDriverEdges: Long = 200000L): DataFrame = {
     require(maxHops >= 0, "maxHops must be ≥ 0")
     // materialized once — every hop joins against it (see pagerank)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    var levels = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("level", lit(0))
+    // Small-graph fast path (see pagerank): exact integer BFS labels are
+    // engine-agnostic, so a driver BFS over ≤ maxDriverEdges edges (and
+    // as many seeds) returns identical rows without the per-hop
+    // checkpoint jobs. `0` forces the distributed loop.
+    val seedFrame = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val boundedProbe = math.max(
+      e.limit(maxDriverEdges.toInt + 1).count(),
+      seedFrame.limit(maxDriverEdges.toInt + 1).count())
+    if (boundedProbe <= maxDriverEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      CacheControl.release(e)
+      val adj: Map[Long, Seq[Long]] =
+        es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSeq }
+      val lvl = scala.collection.mutable.HashMap.empty[Long, Int]
+      var frontier = seedFrame.collect().map(_.getLong(0)).toSeq
+      frontier.foreach(lvl(_) = 0)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+          .distinct.filterNot(n => lvl.contains(n))
+        frontier.foreach(lvl(_) = h)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("level",
+          org.apache.spark.sql.types.IntegerType)))
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            lvl.toSeq.map { case (n, l) =>
+              org.apache.spark.sql.Row(n, l) }).asJava),
+        schema)
+    }
+    var levels = seedFrame.withColumn("level", lit(0))
     var prevCkpt: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       val frontier = levels.filter(col("level") === h - 1)

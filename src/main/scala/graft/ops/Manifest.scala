@@ -418,11 +418,22 @@ object Manifest {
       val dvState = ((if (carryDvs) prevSnap.map(_.dvs).getOrElse(Map.empty)
         else Map.empty[String, (String, Long)])
         ++ newDvs).view.filterKeys(files.toSet).toMap
-      // NDV/KLL sketch availability: per-file facts like bloom declarations
-      val ndvDecls = (prevSnap.map(_.ndvs).getOrElse(Map.empty)
-        ++ newNdvs).view.filterKeys(files.toSet).toMap
-      val kllDecls = (prevSnap.map(_.klls).getOrElse(Map.empty)
-        ++ newKlls).view.filterKeys(files.toSet).toMap
+      // NDV/KLL sketch availability: per-file facts like bloom
+      // declarations — but MONOTONE ones (a sketch file, once written,
+      // exists forever; rewritten data gets a new path), so the merge is
+      // a per-file UNION against the REBASED previous snapshot, not a map
+      // overwrite. An overwrite loses a concurrent analyze's declaration
+      // on OCC rebase: analyze(col b) committing between our snapshot
+      // read and our claim would have its declaration clobbered by our
+      // pre-read-based entry, silently degrading later approxDistinct /
+      // approxQuantiles calls for b to full scans.
+      def unionDecls(prev: Map[String, Seq[String]],
+                     add: Map[String, Seq[String]]): Map[String, Seq[String]] =
+        (prev ++ add.map { case (f, cs) =>
+          f -> (prev.getOrElse(f, Nil) ++ cs).distinct
+        }).view.filterKeys(files.toSet).toMap
+      val ndvDecls = unionDecls(prevSnap.map(_.ndvs).getOrElse(Map.empty), newNdvs)
+      val kllDecls = unionDecls(prevSnap.map(_.klls).getOrElse(Map.empty), newKlls)
       // constraint props are DATASET state, not per-commit metadata: carry
       // them from the previous version into every commit unless the caller
       // explicitly clears one (empty value = drop tombstone, never written)
@@ -806,13 +817,14 @@ object Manifest {
       cols.exists(c => !snap.ndvs.get(f).exists(_.contains(c))))
     if (missing.isEmpty) return v
     writeNdvSketches(spark, path, missing, cols, lgK, snap.rows)
-    // declarations UNION with what a file already declared — analyzing
-    // col b after col a must not drop a's declaration (which would
-    // silently degrade later approxDistinct("a") calls to full scans)
+    // only the NEWLY-sketched cols are declared here; commit() UNIONS
+    // declarations per file against the REBASED previous snapshot, so
+    // analyzing col b after (or concurrently with) col a never drops a's
+    // declaration (which would silently degrade later approxDistinct("a")
+    // calls to full scans)
     commit(spark, path, snap.props + ("ndv.cols" -> cols.mkString(",")),
       prev => snapshotOf(spark, path, prev).stats,
-      newNdvs = missing.map(f =>
-        f -> (snap.ndvs.getOrElse(f, Nil) ++ cols).distinct).toMap)(
+      newNdvs = missing.map(f => f -> cols).toMap)(
       prev => manifestFiles(spark, path, prev))
   }
 
@@ -990,11 +1002,11 @@ object Manifest {
       cols.exists(c => !snap.klls.get(f).exists(_.contains(c))))
     if (missing.isEmpty) return v
     writeKllSketches(spark, path, missing, cols, k, snap.rows)
-    // union with prior declarations (same rationale as analyzeNdv)
+    // new cols only; commit() unions against the rebased snapshot (same
+    // rationale as analyzeNdv)
     commit(spark, path, snap.props + ("kll.cols" -> cols.mkString(",")),
       prev => snapshotOf(spark, path, prev).stats,
-      newKlls = missing.map(f =>
-        f -> (snap.klls.getOrElse(f, Nil) ++ cols).distinct).toMap)(
+      newKlls = missing.map(f => f -> cols).toMap)(
       prev => manifestFiles(spark, path, prev))
   }
 

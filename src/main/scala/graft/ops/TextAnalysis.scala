@@ -356,6 +356,15 @@ object TextAnalysis {
     * deterministic). One pass of pure column math over the scan — the
     * pre-training corpus filter applied to billions of docs before any
     * expensive stage runs.
+    *
+    * PUSHDOWN HAZARD for batch composers: `.filter(col("keep"))` on this
+    * LAZY frame lets predicate pushdown substitute the whole quality
+    * expression tree (tokenizer + O(tokens²) bigram lambdas) into a
+    * Filter BELOW the projection — measured 12-14 s vs ~1 s at sf0.1 for
+    * one projection pass. Batch pipelines should `localCheckpoint()` the
+    * result before filtering on keep/reason (Prep.prepPipeline does);
+    * the frame stays lazy here because streaming callers
+    * (doc_quality_stream) cannot checkpoint.
     */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int, maxDup2Frac: Double,

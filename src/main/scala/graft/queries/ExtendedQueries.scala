@@ -139,6 +139,25 @@ object ExtendedQueries {
 
   private val Dims = 64
 
+  /** Regression floors for `ann_recall`: just below the measured recall@5
+    * of each approximate path on the fixture (the paths are seeded and
+    * deterministic, so the recall fraction itself is exact and
+    * hash-matched; the floor is the human-readable "don't regress below
+    * this" line both engines restate).
+    */
+  private val AnnRecallFloors: Map[String, Double] =
+    Map(
+      // measured 0.975 at sf0.01: int8 only loses rank inversions within
+      // quantization error
+      "int8" -> 0.9,
+      // measured 0.90: single-list IVF probe over 16 deterministic lists
+      "ivf" -> 0.85,
+      // measured 0.10: single-bucket hyperplane LSH on the near-uniform
+      // synthetic embeddings — P(neighbor shares all 4 planes) ≈ 0.57⁴
+      // ≈ 0.1 when top-5 cosines sit near 0.2; this is the known
+      // weakness multi-probe/banding fixes, floored honestly, not hidden
+      "lsh" -> 0.05)
+
   // Target source-mix for the rebalancing query: src3 is the binding
   // source (kept whole), src0/1/2 are downsampled toward the shares.
   private val RebalanceShares =
@@ -975,6 +994,102 @@ object ExtendedQueries {
            |      FROM sc)
            |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Recall floors for the approximate ANN paths, pinned as an oracle
+    // query: recall@5 of each method against the brute-force ground
+    // truth, as a deterministic fraction — the DuckDB mirror recomputes
+    // BOTH the ground truth and every approximate method's result in
+    // SQL (the same closed forms the individual ann_* oracles pin), so
+    // an approximate-path change that silently degrades recall breaks
+    // the hash match. Floors sit below the measured sf0.01/sf0.1 values;
+    // meets_floor must stay true.
+    QueryDef(
+      "ann_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val k = 5
+        val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint() // three method joins read it
+        def recallRow(name: String, floor: Double, approx: org.apache.spark.sql.DataFrame) =
+          approx.select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(round(count(lit(1)).cast("double") / lit(8 * k), 4).as("recall"))
+            .select(lit(name).as("method"), col("recall"),
+              lit(floor).as("floor"), (col("recall") >= floor).as("meets_floor"))
+        recallRow("int8", AnnRecallFloors("int8"),
+            Similarity.quantizedTopK(q, e, "vec_id", "embedding", k))
+          .unionByName(recallRow("ivf", AnnRecallFloors("ivf"),
+            Similarity.ivfTopK(q, e, "vec_id", "embedding", k, nCentroids = 16)))
+          .unionByName(recallRow("lsh", AnnRecallFloors("lsh"),
+            // 4 planes (16 buckets): the recall-floor fixture wants
+            // populated buckets, not the 256-bucket scale setting
+            Similarity.lshTopK(q, e, "vec_id", "embedding", k, planes = 4, dims = Dims)))
+          .orderBy("method")
+      },
+      Some {
+        val cosQC = cosSql("qv", "cv", Dims)
+        val cosVC = cosSql("v", "cent_v", Dims)
+        def rec(m: String, cte: String) =
+          s"""SELECT '$m' AS method,
+             |  round(CAST((SELECT count(*) FROM $cte a
+             |              JOIN bf t ON a.query_id = t.query_id
+             |               AND a.neighbor_id = t.neighbor_id) AS DOUBLE) / 40.0, 4) AS recall,
+             |  CAST(${AnnRecallFloors(m)} AS DOUBLE) AS floor""".stripMargin
+        s"""WITH bfsc AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+           |  WHERE q.vec_id <> c.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM bfsc) WHERE rk <= 5),
+           |le AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4, Dims)} AS bucket FROM embeddings),
+           |lsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |          round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |        FROM le c JOIN le q USING (bucket)
+           |        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |lsh5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM lsc) WHERE rk <= 5),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |iq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |ic AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |isc AS (SELECT query_id, neighbor_id, round($cosQC, 6) AS cos
+           |        FROM ic JOIN iq USING (cent_id) WHERE query_id <> neighbor_id),
+           |ivf5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM isc) WHERE rk <= 5),
+           |z AS (SELECT vec_id, ${qzSql("embedding")} AS qv FROM embeddings),
+           |zn AS (SELECT vec_id, qv, sqrt(CAST(${idotSql("qv", "qv")} AS DOUBLE)) AS nn FROM z),
+           |zsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |          round(CAST(${idotSql("q.qv", "c.qv")} AS DOUBLE) / (q.nn * c.nn), 6) AS cos
+           |        FROM zn c CROSS JOIN zn q
+           |        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |i85 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM zsc) WHERE rk <= 5),
+           |rc AS (${rec("int8", "i85")}
+           |  UNION ALL ${rec("ivf", "ivf5")}
+           |  UNION ALL ${rec("lsh", "lsh5")})
+           |SELECT method, recall, floor, recall >= floor AS meets_floor
+           |FROM rc ORDER BY method""".stripMargin
+      }
     ),
 
     // The composed scale path: LSH buckets (on float vectors) cut the
@@ -2420,6 +2535,201 @@ object ExtendedQueries {
               |  CASE WHEN status = 'kept' THEN ($hashBucketSql) % 8
               |       ELSE NULL END AS shard
               |FROM st ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ───── capstone composition: the full LLM training-data pipeline ─────
+    // The way a real pipeline actually runs the r7/r8 operators, as ONE
+    // dataflow: quality gate → cross-doc line dedup → verbatim span
+    // removal (keep-first) → near-dup clustering with quality-aware
+    // survivor selection → benchmark decontamination → split assignment +
+    // sequence packing. Column contracts between operators only surface
+    // under composition — each stage consumes the previous stage's
+    // OUTPUT text/token counts, not the raw corpus. One disposition row
+    // per corpus doc; packing metadata only for final survivors. The
+    // oracle replays every stage from the individually-verified CTE
+    // pieces, chained the same way.
+    QueryDef(
+      "pipeline_end_to_end",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        val corpus = all.filter(col("doc_id") % 10 === 0)
+        val bench = all.filter(col("doc_id") % 97 === 0)
+        // 1. quality gate (reason per doc; only 'ok' docs continue).
+        // EAGER: filtering the lazy quality frame would push the O(n²)
+        // quality expression trees into a pre-projection Filter (see
+        // Prep.prepPipeline); the checkpoint evaluates them once.
+        val quality = TextAnalysis.qualityFilter(corpus, "doc_id", "text",
+          minTokens = 30, maxDup2Frac = 0.08, minMeanTokenLen = 3.8,
+          maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
+          .select(col("doc_id"), col("reason"))
+          .localCheckpoint()
+        val qualOk = corpus.join(
+          quality.filter(col("reason") === "ok").select("doc_id"), Seq("doc_id"))
+        // 2. cross-doc line dedup on the quality survivors
+        val lined = Dedup.dedupLines(qualOk, "doc_id", "text", tokensPerLine = 8)
+        val linedOk = lined.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        // 3. verbatim span removal (keep-first) on the LINE-DEDUPED text
+        val spanned = Dedup.removeDuplicateSpans(linedOk, "doc_id", "clean_text",
+          n = 3, keepFirst = true)
+        val spannedOk = spanned.filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("n_kept").as("n_tokens"), col("clean_text"))
+        // 4. near-dup clusters over the CLEANED text; keep the copy with
+        // the most surviving tokens (ties → smallest id)
+        val pairs = Dedup.jaccardPairs(spannedOk, "doc_id", "clean_text",
+          minJaccard = 0.5).select("id1", "id2")
+        val best = Dedup.clusterKeepBest(spannedOk, "doc_id", pairs, col("n_tokens"))
+        val keptBest = spannedOk.join(
+          best.filter(col("kept")).select(col("id").as("doc_id")), Seq("doc_id"))
+        // 5. decontaminate the survivors' CLEANED text vs the benchmark
+        val surv = Contamination.decontaminate(
+          keptBest.withColumnRenamed("clean_text", "text"), bench,
+          "doc_id", "text", n = 3, minShared = 2L)
+        // 6. split assignment + sequence packing metadata for survivors
+        val packed = Sampling.packChunks(
+          surv.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+          nShards = 8, chunkTokens = 256L)
+          .withColumn("split",
+            Sampling.splitColumn(col("doc_id"), Sampling.DefaultSplits))
+        // one disposition row per corpus doc
+        quality
+          .join(lined.select(col("doc_id"), col("n_kept").as("__lk")),
+            Seq("doc_id"), "left")
+          .join(spanned.select(col("doc_id"), col("n_kept").as("__sk")),
+            Seq("doc_id"), "left")
+          .join(best.select(col("id").as("doc_id"), col("kept").as("__kb")),
+            Seq("doc_id"), "left")
+          .join(packed, Seq("doc_id"), "left")
+          .withColumn("status",
+            when(col("reason") =!= "ok", col("reason"))
+              .when(col("__lk") === 0, lit("boilerplate"))
+              .when(col("__sk") === 0, lit("span_empty"))
+              .when(!col("__kb"), lit("near_dup"))
+              .when(col("shard").isNull, lit("contaminated"))
+              .otherwise(lit("kept")))
+          .select(col("doc_id"), col("status"), col("split"), col("shard"),
+            col("n_tokens"), col("start_tok"), col("chunk_first"),
+            col("chunk_last"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |d AS (SELECT doc_id, text, $toksSql AS toks FROM documents
+              |      WHERE doc_id % 10 = 0),
+              |m AS (SELECT doc_id, len(toks) AS nt,
+              |  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+              |    i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              |  list_sum(list_transform(toks, t -> length(t))) AS tchars,
+              |  len(list_filter(toks, t -> t IN (${sqlList(TextAnalysis.DefaultStopwords)}))) AS nstop
+              |  FROM d),
+              |q AS (SELECT doc_id,
+              |  CASE WHEN nt < 30 THEN 'too_short'
+              |       WHEN len(g2) > 0 AND 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) > 0.08 THEN 'repetitive'
+              |       WHEN CAST(tchars AS DOUBLE) / nt < 3.8 OR CAST(tchars AS DOUBLE) / nt > 5.2 THEN 'token_len'
+              |       WHEN CAST(nstop AS DOUBLE) / nt < 0.02 THEN 'no_stopwords'
+              |       ELSE 'ok' END AS reason
+              |  FROM m),
+              |p AS (SELECT d.doc_id, d.toks FROM d JOIN q USING (doc_id)
+              |      WHERE q.reason = 'ok'),
+              |ln AS (SELECT doc_id, i AS line_no,
+              |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+              |       FROM p, UNNEST(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS r(i)),
+              |ldup AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+              |lagg AS (SELECT doc_id, count(*) AS n_kept,
+              |           string_agg(line, ' ' ORDER BY line_no) AS clean_text
+              |         FROM ln WHERE line NOT IN (SELECT line FROM ldup)
+              |         GROUP BY doc_id),
+              |l2 AS (SELECT doc_id, string_split(clean_text, ' ') AS toks FROM lagg),
+              |g AS (SELECT doc_id, i AS gpos,
+              |        md5(array_to_string(toks[i:i+2], ' ')) AS gh
+              |      FROM l2, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)),
+              |dg AS (SELECT doc_id, gpos,
+              |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rk,
+              |         count(*) OVER (PARTITION BY gh) AS cnt
+              |       FROM g),
+              |cov AS (SELECT DISTINCT doc_id, gpos + off AS pos
+              |        FROM dg, UNNEST(range(0, 3)) AS o(off)
+              |        WHERE cnt >= 2 AND rk > 1),
+              |pp AS (SELECT doc_id, i AS pos, toks[i] AS tok
+              |       FROM l2, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+              |sk AS (SELECT pp.doc_id, count(*) AS n_tokens,
+              |         string_agg(pp.tok, ' ' ORDER BY pp.pos) AS clean2
+              |       FROM pp WHERE NOT EXISTS (
+              |         SELECT 1 FROM cov c
+              |         WHERE c.doc_id = pp.doc_id AND c.pos = pp.pos)
+              |       GROUP BY 1),
+              |s2 AS (SELECT doc_id, n_tokens, string_split(clean2, ' ') AS toks FROM sk),
+              |w AS (SELECT DISTINCT doc_id, tok FROM s2, UNNEST(s2.toks) AS t(tok)),
+              |sz AS (SELECT doc_id, count(*) AS szv FROM w GROUP BY doc_id),
+              |cm AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+              |       FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |       GROUP BY 1, 2),
+              |jp AS (SELECT id1, id2 FROM (
+              |         SELECT id1, id2,
+              |           round(CAST(common AS DOUBLE) / (s1.szv + s2x.szv - common), 4) AS j
+              |         FROM cm JOIN sz s1 ON s1.doc_id = id1
+              |         JOIN sz s2x ON s2x.doc_id = id2)
+              |       WHERE j >= 0.5),
+              |edges AS (SELECT id1 AS src, id2 AS dst FROM jp
+              |          UNION SELECT id2, id1 FROM jp),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+              |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              |asg AS (SELECT s2.doc_id, coalesce(cc.cluster_id, s2.doc_id) AS cluster_id,
+              |          s2.n_tokens
+              |        FROM s2 LEFT JOIN cc ON cc.id = s2.doc_id),
+              |rn AS (SELECT doc_id, n_tokens,
+              |         row_number() OVER (PARTITION BY cluster_id
+              |           ORDER BY n_tokens DESC, doc_id ASC) AS rk
+              |       FROM asg),
+              |kb AS (SELECT doc_id, n_tokens FROM rn WHERE rk = 1),
+              |bsh AS (SELECT doc_id, list_distinct(list_transform(
+              |          range(1, greatest(len(toks) - 2, 0) + 1),
+              |          i -> array_to_string(toks[i:i+2], ' '))) AS grams
+              |        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+              |              WHERE doc_id % 97 = 0)),
+              |bw AS (SELECT DISTINCT doc_id AS bench_id, gram
+              |       FROM bsh, UNNEST(bsh.grams) AS g2(gram)),
+              |csh AS (SELECT s2.doc_id, list_distinct(list_transform(
+              |          range(1, greatest(len(s2.toks) - 2, 0) + 1),
+              |          i -> array_to_string(s2.toks[i:i+2], ' '))) AS grams
+              |        FROM s2 JOIN kb USING (doc_id)),
+              |cw AS (SELECT DISTINCT doc_id, gram
+              |       FROM csh, UNNEST(csh.grams) AS g3(gram)),
+              |ov AS (SELECT cw.doc_id, bw.bench_id, count(*) AS n_shared
+              |       FROM cw JOIN bw ON cw.gram = bw.gram GROUP BY 1, 2),
+              |contam AS (SELECT DISTINCT doc_id FROM ov WHERE n_shared >= 2),
+              |surv AS (SELECT kb.doc_id, kb.n_tokens FROM kb
+              |         WHERE kb.doc_id NOT IN (SELECT doc_id FROM contam)),
+              |b2 AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hh
+              |       FROM surv),
+              |k2 AS (SELECT doc_id, n_tokens,
+              |         CAST(($hashBucketSql) % 8 AS INTEGER) AS shard,
+              |         $hashBucketSql AS bucket FROM b2),
+              |o2 AS (SELECT doc_id, n_tokens, shard, bucket,
+              |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+              |  FROM k2),
+              |fin AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard, start_tok,
+              |  CAST(floor(start_tok / 256.0) AS BIGINT) AS chunk_first,
+              |  CAST(floor(greatest(start_tok + n_tokens - 1, start_tok) / 256.0) AS BIGINT) AS chunk_last,
+              |  $splitCaseSql AS split FROM o2)
+              |SELECT q.doc_id,
+              |  CASE WHEN q.reason <> 'ok' THEN q.reason
+              |       WHEN lagg.doc_id IS NULL THEN 'boilerplate'
+              |       WHEN sk.doc_id IS NULL THEN 'span_empty'
+              |       WHEN kb.doc_id IS NULL THEN 'near_dup'
+              |       WHEN fin.doc_id IS NULL THEN 'contaminated'
+              |       ELSE 'kept' END AS status,
+              |  fin.split, fin.shard, fin.n_tokens, fin.start_tok,
+              |  fin.chunk_first, fin.chunk_last
+              |FROM q
+              |LEFT JOIN lagg ON q.doc_id = lagg.doc_id
+              |LEFT JOIN sk ON q.doc_id = sk.doc_id
+              |LEFT JOIN kb ON q.doc_id = kb.doc_id
+              |LEFT JOIN fin ON q.doc_id = fin.doc_id
+              |ORDER BY q.doc_id""".stripMargin)
     ),
 
     // ───────────────────────── data profiling ────────────────────────────

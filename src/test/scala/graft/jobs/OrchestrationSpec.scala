@@ -237,7 +237,11 @@ class DefaultsSpec extends SparkSpec {
       "doc_id", "text", 8, 2, idx)
     val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker)
     runner.run(new LshIndexMaintenanceJob(idx), debug = true)
-    val perPrefix = new java.io.File(idx).listFiles()
+    // compaction folded the delta tail into the organized prefix dirs
+    val delta = Option(new java.io.File(idx, "delta").listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+    assert(delta == 0, "delta tail should be consumed")
+    val perPrefix = new java.io.File(idx, "organized").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("bh_px="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(perPrefix.nonEmpty && perPrefix.forall(_ == 1))

@@ -86,6 +86,29 @@ object DedupProperties extends Properties("Dedup") {
       Prop(got == naivePairs(rows, 0.5)) :| "skewed corpus pairs exact"
   }
 
+  // the driver union-find fast path and the distributed label-propagation
+  // loop are the same operator: identical (id, component) sets, min-id
+  // components, on arbitrary small graphs (chains, cliques, singleton
+  // edges, disconnected pieces)
+  property("componentsDriverPathMatchesDistributed") = {
+    val edgeGen = for {
+      n <- Gen.choose(0, 12)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    Prop.forAll(edgeGen) { es =>
+      import spark.implicits._
+      val df = es.toDF("id1", "id2")
+      def comps(maxDriver: Long) =
+        Dedup.connectedComponents(df, maxDriverPairs = maxDriver)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val driver = comps(1000000L)
+      val dist = comps(0L)
+      Prop(driver == dist) :| s"driver=$driver distributed=$dist"
+    }
+  }
+
   // identical docs always become LSH candidates (jaccard 1 survives every band)
   property("lshFindsExactDups") = Prop.forAll(corpusGen) { rows =>
     val dup   = rows :+ (100L, rows.head._2)

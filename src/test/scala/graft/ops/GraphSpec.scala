@@ -75,4 +75,24 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) == (15L * init) / 100L)
     assert(out(3L) > out(1L)) // sink accumulates more than the source
   }
+
+  test("driver fast paths match the distributed loops exactly") {
+    import spark.implicits._
+    // a messy graph: cycle, chain, dangling sink, disconnected pair,
+    // duplicate edge
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (7L, 8L), (1L, 2L)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val prFast = rows(Graph.pagerank(es, "src", "dst", iterations = 7,
+      checkpointEvery = 2))
+    val prDist = rows(Graph.pagerank(es, "src", "dst", iterations = 7,
+      checkpointEvery = 2, maxDriverEdges = 0))
+    assert(prFast == prDist, s"pagerank fast=$prFast dist=$prDist")
+    val seeds = Seq(1L, 7L).toDF("seed")
+    val bfFast = rows(Graph.bfsLevels(es, "src", "dst", seeds, "seed", maxHops = 3))
+    val bfDist = rows(Graph.bfsLevels(es, "src", "dst", seeds, "seed",
+      maxHops = 3, maxDriverEdges = 0))
+    assert(bfFast == bfDist, s"bfs fast=$bfFast dist=$bfDist")
+  }
 }

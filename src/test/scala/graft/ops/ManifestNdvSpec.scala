@@ -169,4 +169,33 @@ class ManifestNdvSpec extends SparkSpec {
       assert(new java.io.File(dir, f + ".ndv.id").exists())
     }
   }
+
+  test("separate analyzes of different columns UNION declarations (OCC-safe merge)") {
+    // analyzeNdv now declares only its own cols and relies on commit()'s
+    // per-file union against the rebased snapshot — the same code path a
+    // CONCURRENT analyze of a different column exercises on OCC rebase.
+    // With an overwrite merge, the second analyze would clobber the
+    // first's declaration and approxDistinct("id") would fall back to a
+    // full scan (silently); the manifest text pins both declarations.
+    val dir = tmp("ndvu")
+    Manifest.append(spark.range(0, 1000).toDF("id")
+      .withColumn("s", concat(lit("u"), col("id") % 50)).coalesce(1), dir)
+    Manifest.analyzeNdv(spark, dir, Seq("id"))
+    Manifest.analyzeNdv(spark, dir, Seq("s"))
+    val v = Manifest.tableInfo(spark, dir) // resolves latest complete version
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest.v")).sortBy(
+        f => f.getName.stripPrefix("_manifest.v").toLong)
+    val ndvLines = scala.io.Source.fromFile(manifests.last).getLines()
+      .filter(_.startsWith("#ndv ")).toSeq
+    assert(ndvLines.nonEmpty, "no #ndv declarations in the head manifest")
+    ndvLines.foreach { l =>
+      val cols = l.split(' ').last.split(',').toSet
+      assert(cols == Set("id", "s"), s"declaration lost a column: $l")
+    }
+    // both estimates answer from sidecars on the declared path
+    assert(math.abs(Manifest.approxDistinct(spark, dir, "id") - 1000.0) <= 50)
+    assert(math.abs(Manifest.approxDistinct(spark, dir, "s") - 50.0) <= 5)
+    v.entries.nonEmpty
+  }
 }
