@@ -540,17 +540,33 @@ object Dedup {
       // a rebuild supersedes any delta tail of a previous incarnation
       fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true): Unit
     } else
+      // each append owns a fresh UUID batch directory: Spark's output
+      // committer stages under <outputDir>/_temporary/<jobId=0>, which is
+      // SHARED when two writers append to the same directory — one job's
+      // commit/cleanup deletes the staging tree under the other
+      // (observed: FileNotFoundException on _temporary/0 under racing
+      // appends). Unique dirs give every append its own staging tree, so
+      // concurrent gate batches / crawlers never interfere.
       withPx.sortWithinPartitions("bh_px", "band_hash")
-        .write.mode("append").parquet(deltaDir(path))
+        .write.mode("error")
+        .parquet(deltaDir(path) + "/b-" + java.util.UUID.randomUUID().toString)
   }
 
-  /** Data files currently in the delta tail (ignores _SUCCESS markers). */
+  /** Data files currently in the delta tail: one UUID directory per
+    * append batch, files visible once the batch's committer lands them
+    * (ignores _SUCCESS markers and in-flight _temporary trees).
+    */
   private def deltaFiles(fs: org.apache.hadoop.fs.FileSystem,
                          path: String): Seq[String] = {
     val d = new org.apache.hadoop.fs.Path(deltaDir(path))
     if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+      else Nil
+    }
   }
 
   /** The index as one frame, pruned to the given bh_px prefixes: the
@@ -619,6 +635,19 @@ object Dedup {
       organizedDir(path), Seq("bh_px"))
     consumed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit)
+    // drop fully-consumed batch directories: safe because appends never
+    // write into an EXISTING batch dir (each owns a fresh UUID), so a dir
+    // whose remaining contents are only the _SUCCESS marker is dead. A dir
+    // still carrying parquet files (landed after the snapshot) or a
+    // _temporary tree (append mid-commit) is left for the next run.
+    consumed.map(f => new org.apache.hadoop.fs.Path(f).getParent).distinct
+      .filter(_.getName.startsWith("b-"))
+      .foreach { dir =>
+        val left = try fs.listStatus(dir).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+        if (left.nonEmpty && left.forall(_.getPath.getName == "_SUCCESS"))
+          fs.delete(dir, true): Unit
+      }
   }
 
   /** Probe a persisted LSH index with an incoming batch: candidate

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Cardinalities: the DEFAULT `exactDistinct = false` uses
   * `approx_count_distinct` (HLL) — a regular single-pass aggregate with a
-  * fixed-size sketch per column, no row multiplication. The exact
-  * `countDistinct` form (needed for oracle parity) plans as an Expand
-  * (one pass, rows × #cols intermediate): acceptable at verification
-  * scale, but at 100 TB the Expand multiplies shuffle input #cols-fold,
-  * so the sketch is the production default.
+  * fixed-size sketch per column, no row multiplication. The exact form
+  * (needed for oracle parity) runs ONE SINGLE-distinct aggregate per
+  * column plus the shared non-distinct pass, cross-joined as 1-row
+  * frames: several narrow scans of a columnar projection instead of the
+  * multi-distinct Expand that multiplies every input row #cols-fold
+  * before the shuffle — cheaper at every scale for columnar sources,
+  * and each single-distinct agg takes Spark's two-phase
+  * partial-distinct plan with no row multiplication at all.
   *
   * Means are decimal-exact sums divided once in double, so any row order
   * (and any engine) produces identical bits.
@@ -34,13 +37,20 @@ object Profile {
       Seq(
         count(lit(1)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        (if (exactDistinct) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"${c}__nd"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        sum(col(c).cast(sumType)).cast("double").as(s"${c}__sum"))
+        sum(col(c).cast(sumType)).cast("double").as(s"${c}__sum")) ++
+        (if (exactDistinct) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"${c}__nd")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    // exact cardinalities: one SINGLE-distinct aggregate per column
+    // (two-phase partial-distinct plan, no Expand) cross-joined as 1-row
+    // frames — see the scale note above
+    val one =
+      if (!exactDistinct) base
+      else cols.map(c => df.agg(countDistinct(col(c)).as(s"${c}__nd")))
+        .foldLeft(base)(_.crossJoin(_))
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`, `${c}__sum`"
     ).mkString(", ")

@@ -128,6 +128,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., VLDB'07's idea at hamming radius
+    * 1): each query probes its own hyperplane bucket AND every bucket one
+    * bit-flip away — the near neighbors single-bucket LSH loses are
+    * overwhelmingly in signatures differing by exactly the one plane the
+    * neighbor sat closest to, so radius-1 probing multiplies recall for a
+    * (planes+1)× candidate cost instead of the 2^planes× of fewer planes.
+    * A candidate owns exactly ONE bucket while a query's probe set holds
+    * planes+1 DISTINCT buckets, so each (query, candidate) pair joins at
+    * most once — no dedup stage. The probe side (queries × (planes+1))
+    * stays broadcast; corpus cost is unchanged bucket-join cost.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        planes: Int, dims: Int): DataFrame = {
+    val bucket = lshBucket(col(vecCol), planes, dims)
+    def flipAt(b: Column, i: Int): Column = concat(
+      substring(b, 1, i - 1),
+      when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b, i + 1, planes - i))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), bucket.as("__b"))
+    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(array(col("__b") +:
+        (1 to planes).map(i => flipAt(col("__b"), i)): _*)).as("bucket"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), bucket.as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** [[bruteForceTopK]] with the heap aggregate
     * ([[graft.functions.TopKByScore]]) instead of a rank window: map-side
     * partial top-k buffers collapse each partition to k rows per query

@@ -156,7 +156,11 @@ object ExtendedQueries {
       // synthetic embeddings — P(neighbor shares all 4 planes) ≈ 0.57⁴
       // ≈ 0.1 when top-5 cosines sit near 0.2; this is the known
       // weakness multi-probe/banding fixes, floored honestly, not hidden
-      "lsh" -> 0.05)
+      "lsh" -> 0.05,
+      // hamming-radius-1 multi-probe over the same 4 planes: the fix the
+      // plain-lsh row motivates (measured 0.50 — 5× the single-bucket
+      // recall at 5× probe cost)
+      "lsh_mp" -> 0.25)
 
   // Target source-mix for the rebalancing query: src3 is the binding
   // source (kept whole), src0/1/2 are downsampled toward the shares.
@@ -969,6 +973,43 @@ object ExtendedQueries {
               |ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // Multi-probe LSH: each query also probes every bucket ONE bit-flip
+    // away (hamming radius 1) — the standard recall fix for single-bucket
+    // hyperplane LSH at a (planes+1)× probe cost. The oracle replays the
+    // probe-set expansion as a UNION ALL of flipped-bucket selects.
+    QueryDef(
+      "ann_lsh_multiprobe_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.lshTopKMultiProbe(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, planes = 8, dims = Dims)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def flipSql(i: Int, planes: Int) =
+          s"""substr(bucket, 1, ${i - 1}) ||
+             | (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+             | substr(bucket, ${i + 1}, ${planes - i})""".stripMargin.replaceAll("\n", "")
+        val probeUnion = (s"SELECT query_id, qv, bucket FROM q0" +:
+          (1 to 8).map(i =>
+            s"SELECT query_id, qv, ${flipSql(i, 8)} AS bucket FROM q0"))
+          .mkString("\n|       UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8, Dims)} AS bucket FROM embeddings),
+           |q0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+           |qp AS ($probeUnion),
+           |sc AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "cv", Dims)}, 6) AS cos
+           |       FROM (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e) c
+           |       JOIN qp USING (bucket) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           |        cos
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ANN over int8-quantized vectors: 4× smaller corpus, integer dot
     // products (order-independent — no float-fold parity care needed),
     // cosine from integer norms. floor(x+0.5) rounding on both engines.
@@ -1027,11 +1068,22 @@ object ExtendedQueries {
             // 4 planes (16 buckets): the recall-floor fixture wants
             // populated buckets, not the 256-bucket scale setting
             Similarity.lshTopK(q, e, "vec_id", "embedding", k, planes = 4, dims = Dims)))
+          .unionByName(recallRow("lsh_mp", AnnRecallFloors("lsh_mp"),
+            // same 4 planes, hamming-radius-1 multi-probe: the row that
+            // shows what the probe expansion buys over plain lsh
+            Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding", k,
+              planes = 4, dims = Dims)))
           .orderBy("method")
       },
       Some {
         val cosQC = cosSql("qv", "cv", Dims)
         val cosVC = cosSql("v", "cent_v", Dims)
+        def flipSql(i: Int, planes: Int) =
+          s"substr(bucket, 1, ${i - 1}) || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 1}, ${planes - i})"
+        val mpProbeUnion = (s"SELECT query_id, qv, bucket FROM lq0" +:
+          (1 to 4).map(i =>
+            s"SELECT query_id, qv, ${flipSql(i, 4)} AS bucket FROM lq0"))
+          .mkString(" UNION ALL ")
         def rec(m: String, cte: String) =
           s"""SELECT '$m' AS method,
              |  round(CAST((SELECT count(*) FROM $cte a
@@ -1056,6 +1108,16 @@ object ExtendedQueries {
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            |    FROM lsc) WHERE rk <= 5),
+           |lq0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM le WHERE vec_id < 8),
+           |lqp AS ($mpProbeUnion),
+           |lmsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |           round(${cosSql("qv", "c.embedding", Dims)}, 6) AS cos
+           |         FROM le c JOIN lqp USING (bucket)
+           |         WHERE query_id <> c.vec_id),
+           |lmp5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM lmsc) WHERE rk <= 5),
            |cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
            |assign AS (
            |  SELECT vec_id, cent_id FROM (
@@ -1086,7 +1148,8 @@ object ExtendedQueries {
            |    FROM zsc) WHERE rk <= 5),
            |rc AS (${rec("int8", "i85")}
            |  UNION ALL ${rec("ivf", "ivf5")}
-           |  UNION ALL ${rec("lsh", "lsh5")})
+           |  UNION ALL ${rec("lsh", "lsh5")}
+           |  UNION ALL ${rec("lsh_mp", "lmp5")})
            |SELECT method, recall, floor, recall >= floor AS meets_floor
            |FROM rc ORDER BY method""".stripMargin
       }

@@ -358,7 +358,10 @@ class DedupSpec extends SparkSpec {
     def parquets(dir: java.io.File): Seq[java.io.File] =
       Option(dir.listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet"))
-    def deltaCount(): Int = parquets(new java.io.File(idx, "delta")).size
+    // delta appends each own a UUID batch directory
+    def deltaCount(): Int =
+      Option(new java.io.File(idx, "delta").listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(parquets(_).size).sum
     def filesPerPrefix(): Map[String, Int] = {
       val root = new java.io.File(idx, "organized")
       Option(root.listFiles()).toSeq.flatten
@@ -619,6 +622,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansCentroids(blobs, "vec_id", "embedding", 2, 3))
       .collect()
     assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == 2L) // nearest same-blob vector
+  }
+
+  test("lshTopKMultiProbe: superset of single-bucket results, same cos, finds twin") {
+    val single = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 5, planes = 4, dims = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val multi = Similarity.lshTopKMultiProbe(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 5, planes = 4, dims = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // radius-1 probing only ADDS candidates; the scorer is identical
+    assert(single.keySet.subsetOf(multi.keySet),
+      s"single=$single multi=$multi")
+    single.foreach { case (id, c) => assert(multi(id) == c) }
+    assert(multi.contains(1L)) // the identical twin shares the own-bucket
   }
 
   test("lshQuantizedTopK: twin recall survives the quantized scorer, no cartesian") {
