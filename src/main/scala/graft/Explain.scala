@@ -35,7 +35,13 @@ object Explain {
       "dedup_semantic",                                        // k-centroid broadcast assign
       // sketch-vs-exact tolerance verdicts: the estimate row (1 row) is
       // crossed with the exact-answer row (1 row) to form the verdict
-      "agg_hll_mergeable", "agg_kll_mergeable", "agg_hll_intersection")
+      "agg_hll_mergeable", "agg_kll_mergeable", "agg_hll_intersection",
+      // recall floors: brute-force ground truth (designed baseline) plus
+      // 1-row per-method recall frames unioned
+      "ann_recall",
+      // exact profile: 1-row base aggregate crossed with 1-row
+      // single-distinct aggregates (the no-Expand shape)
+      "profile_columns")
     // Queries whose plan is METADATA-ONLY by design: the optimizer
     // collapses the scan+aggregate to a LocalRelation, so "no
     // WholeStageCodegen" means "no work", not "interpreted work".

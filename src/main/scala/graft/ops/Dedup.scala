@@ -607,8 +607,9 @@ object Dedup {
     * never a torn mix of rows — though the swap has a short window where
     * `organized/` is absent, so a CONCURRENT probe that listed files
     * pre-swap can fail with FileNotFoundException rather than return
-    * wrong rows ([[gateBatchWithBands]] retries its probe once on exactly
-    * that signature; standalone [[probeLshIndex]] callers racing a
+    * wrong rows ([[gateBatchWithBands]] retries its probe on exactly
+    * that signature (bounded retries; each re-lists a consistent state);
+    * standalone [[probeLshIndex]] callers racing a
     * compaction should do the same). A crash between the swap and the
     * delta deletes leaves rows present on BOTH sides — harmless (probes
     * `distinct` their candidates) and healed by the next compaction.
@@ -793,9 +794,7 @@ object Dedup {
       .select(col("new_id"), col(idCol).as("corpus_id"))
       .distinct()
       .localCheckpoint()
-    val candsX =
-      try probeIndex()
-      catch { case e: Throwable if fileGone(e) => probeIndex() }
+    val candsX = retryFileGone(3)(probeIndex())
     // cross-batch verify: batch token arrays are in `repToks` already
     // (kept ⊆ reps); corpus side tokenizes the candidate ids' text only.
     // Cached — the verify joins read it twice
@@ -826,16 +825,39 @@ object Dedup {
 
   /** True when any cause in the chain is a missing-file error — the
     * signature of a probe racing a [[compactLshIndex]] directory swap.
+    * Spark surfaces it either as a wrapped FileNotFoundException or as
+    * the [FAILED_READ_FILE.FILE_NOT_EXIST] SparkException (file listed
+    * pre-swap, retired before the read task opened it).
     */
-  private def fileGone(t: Throwable): Boolean = {
+  private[ops] def fileGone(t: Throwable): Boolean = {
     var c = t
     var depth = 0
     while (c != null && depth < 16) {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = c.getMessage
+      if (m != null &&
+        (m.contains("FILE_NOT_EXIST") || m.contains("FileNotFound"))) return true
       c = c.getCause
       depth += 1
     }
     false
+  }
+
+  /** Retry `f` while it dies on the missing-file signature — a probe's
+    * listing AND read together can straddle a compaction's swap + retired
+    * delete, so one retry is not always enough; each retry re-lists and
+    * reads a consistent (old-or-new) state. Attempts are bounded: any
+    * other failure, or `attempts` misses in a row, propagates.
+    */
+  private[ops] def retryFileGone[A](attempts: Int)(f: => A): A = {
+    var left = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if fileGone(e) && left > 1 => left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Fixed-width "lines": (id, line_no, line) rows chunking each doc's

@@ -32,9 +32,9 @@ class LshIndexConcurrencySpec extends SparkSpec {
     def probeAll(): Set[Long] = {
       val incoming = (0L until 16L).map(doc).toDF("doc_id", "text")
         .withColumn("doc_id", col("doc_id") + 1000L) // disjoint probe ids
-      def once() = Dedup.probeLshIndex(spark, idx, incoming,
-        "doc_id", "text", 8, 2).collect().map(_.getLong(1)).toSet
-      try once() catch { case _: Throwable => once() }
+      Dedup.retryFileGone(5)(
+        Dedup.probeLshIndex(spark, idx, incoming,
+          "doc_id", "text", 8, 2).collect().map(_.getLong(1)).toSet)
     }
     val fs = Seq(
       Future(Dedup.compactLshIndex(spark, idx)),
