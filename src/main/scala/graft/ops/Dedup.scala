@@ -535,10 +535,16 @@ object Dedup {
       val spark = bands.sparkSession
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the old delta tail is superseded by this rebuild, and it goes
+      // FIRST: deleting it after the organized write would leave a crash
+      // window where probes silently union the NEW organized rows with
+      // the OLD incarnation's delta rows (and the next compaction bakes
+      // the stale rows in permanently). Crashing after this delete
+      // instead leaves the old organized layout alone — a consistent
+      // pre-rebuild state — and a rebuild is a restartable batch job.
+      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true): Unit
       withPx.repartition(col("bh_px"))
         .write.mode("overwrite").partitionBy("bh_px").parquet(organizedDir(path))
-      // a rebuild supersedes any delta tail of a previous incarnation
-      fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true): Unit
     } else
       // each append owns a fresh UUID batch directory: Spark's output
       // committer stages under <outputDir>/_temporary/<jobId=0>, which is
@@ -569,19 +575,60 @@ object Dedup {
     }
   }
 
+  /** Legacy (pre-LSM) layout detection: `bh_px=…` hive dirs directly
+    * under the index root, from the release whose compaction rewrote the
+    * root in place. Read with basePath = root so the partition column
+    * resolves; never mixed with organized/delta dirs by a writer.
+    */
+  private def legacyDirs(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bh_px="))
+      .map(_.getPath.toString)
+  }
+
+  /** True while a [[compactLshIndex]] directory swap is mid-flight:
+    * `organized/` is absent but its `.tmp` staging or a `.retired.*`
+    * copy exists. A probe in this window must NOT silently fall back to
+    * a delta-only scan (every organized row would vanish from the
+    * results with no error, defeating the bounded retry); it surfaces
+    * the retryable missing-file signature instead.
+    */
+  private def organizedSwapInFlight(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String): Boolean = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(organizedDir(path) + ".tmp")))
+      return true
+    val retired = fs.globStatus(
+      new org.apache.hadoop.fs.Path(organizedDir(path) + ".retired.*"))
+    retired != null && retired.nonEmpty
+  }
+
   /** The index as one frame, pruned to the given bh_px prefixes: the
     * organized side prunes at the DIRECTORY level (partition filter —
     * never scans unrelated prefixes), the delta side at the FILE level
     * (bh_px rides as a sorted data column, so parquet min/max stats skip
-    * non-matching row groups). Loud when neither side exists.
+    * non-matching row groups), and a legacy pre-LSM root layout is read
+    * as-is (no upgrade migration required; the next compaction folds it
+    * into organized/). Loud when no side exists; RETRYABLY loud when the
+    * organized side is mid-swap.
     */
   private def readIndexPruned(spark: org.apache.spark.sql.SparkSession,
                               path: String, prefixes: Seq[String]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
-    val sides =
-      (if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString)) else Nil) ++
+    val orgSide =
+      if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString))
+      else if (organizedSwapInFlight(fs, path))
+        throw new java.io.FileNotFoundException(
+          s"organized layout of $path is mid-swap (compaction in flight)")
+      else legacyDirs(fs, path) match {
+        case Nil => Nil
+        case dirs => Seq(spark.read.option("basePath", path).parquet(dirs: _*))
+      }
+    val sides = orgSide ++
       (deltaFiles(fs, path) match {
         case Nil => Nil
         case fsq => Seq(spark.read.parquet(fsq: _*))
@@ -607,10 +654,9 @@ object Dedup {
     * never a torn mix of rows — though the swap has a short window where
     * `organized/` is absent, so a CONCURRENT probe that listed files
     * pre-swap can fail with FileNotFoundException rather than return
-    * wrong rows ([[gateBatchWithBands]] retries its probe on exactly
-    * that signature (bounded retries; each re-lists a consistent state);
-    * standalone [[probeLshIndex]] callers racing a
-    * compaction should do the same). A crash between the swap and the
+    * wrong rows ([[gateBatchWithBands]] and [[probeLshIndex]] both do
+    * bounded internal retries on exactly that signature; each retry
+    * re-lists a consistent state). A crash between the swap and the
     * delta deletes leaves rows present on BOTH sides — harmless (probes
     * `distinct` their candidates) and healed by the next compaction.
     * Schedule it like any other maintenance (e.g. nightly, or when the
@@ -626,8 +672,18 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val consumed = deltaFiles(fs, path) // snapshot BEFORE reading
     val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
+    // a legacy pre-LSM index (bh_px=… dirs at the root) folds into the
+    // organized layout here — the upgrade migration is just the next
+    // scheduled compaction; the consumed legacy dirs are dropped after
+    // the swap like consumed delta files (they are immutable post-upgrade:
+    // no writer targets the root layout anymore)
+    val legacy = if (fs.exists(orgPath)) Nil else legacyDirs(fs, path)
     val sides =
       (if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString)) else Nil) ++
+      (legacy match {
+        case Nil => Nil
+        case dirs => Seq(spark.read.option("basePath", path).parquet(dirs: _*))
+      }) ++
       (if (consumed.nonEmpty) Seq(spark.read.parquet(consumed: _*)) else Nil)
     if (sides.isEmpty) return
     val cols = sides.head.columns.map(col).toSeq
@@ -636,6 +692,8 @@ object Dedup {
       organizedDir(path), Seq("bh_px"))
     consumed.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit)
+    legacy.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit)
     // drop fully-consumed batch directories: safe because appends never
     // write into an EXISTING batch dir (each owns a fresh UUID), so a dir
     // whose remaining contents are only the _SUCCESS marker is dead. A dir
@@ -670,11 +728,20 @@ object Dedup {
     val prefixes = inBands
       .select(bandPrefix(col("band_hash")).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq // ≤256 rows: bounded
-    readIndexPruned(spark, path, prefixes)
-      .join(broadcast(inBands), Seq("band", "band_hash"))
-      .filter(col("new_id") =!= col(idCol))
-      .select(col("new_id"), col(idCol).as("corpus_id"))
-      .distinct()
+    // EAGER with bounded retry: the pruned scan can race a nightly
+    // [[compactLshIndex]] (its swap window surfaces as a missing-file
+    // error); each retry re-lists and reads a consistent old-or-new
+    // state. Eagerness is what makes the retry possible — a lazy frame
+    // would defer the racy read to the caller's action. The compact
+    // candidate-pair result is the caller's one persistent entry
+    // (cache policy; release with CacheControl.release when done).
+    retryFileGone(3)(
+      readIndexPruned(spark, path, prefixes)
+        .join(broadcast(inBands), Seq("band", "band_hash"))
+        .filter(col("new_id") =!= col(idCol))
+        .select(col("new_id"), col(idCol).as("corpus_id"))
+        .distinct()
+        .localCheckpoint())
   }
 
   /** One step of the CONTINUOUS corpus-dedup gate — the online form of
@@ -1027,42 +1094,39 @@ object Dedup {
     // next to the corpus (it is the operator's OUTPUT, not its input), and
     // the distributed loop below costs a fixed ~2 Spark jobs per round
     // regardless of size. Up to `maxDriverPairs` edges (bounded metadata —
-    // ~16 MB of ids at the default, the same class of driver-side bound as
-    // the ≤256 probe prefixes), an exact union-find on the driver returns
-    // the identical min-id components in one collect; bigger graphs take
-    // the label-propagation loop. `maxDriverPairs = 0` forces the
+    // ~16 MB of ids at the default, the same class of driver-side bound
+    // as the ≤256 probe prefixes) the components compute on the driver as
+    // bounded MIN-LABEL RELAXATION — the exact replay of the distributed
+    // loop INCLUDING its `maxIter` cap: after round k every node's label
+    // is the min id within k hops, the loop stops on no-change or
+    // maxIter, so even graphs whose diameter exceeds maxIter truncate
+    // identically on both paths. `maxDriverPairs = 0` forces the
     // distributed path (the equivalence spec runs both).
-    val nPairs = p.limit(maxDriverPairs.toInt + 1).count() // bounded probe
-    if (nPairs <= maxDriverPairs) {
-      val rows = p.collect()
-      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
+    DriverLocal.boundedCollect(p, maxDriverPairs).foreach { rows =>
       @annotation.nowarn("msg=eliminated by erasure")
       def lt(a: Any, b: Any): Boolean = (a, b) match {
         case (x: Comparable[Any] @unchecked, y) => x.compareTo(y) < 0
         case _ => a.toString < b.toString
       }
-      rows.foreach { r =>
-        val (a, b) = (find(r.get(0)), find(r.get(1)))
-        if (a != b) { if (lt(a, b)) parent(b) = a else parent(a) = b }
+      val edges = rows.flatMap(r =>
+        Seq((r.get(0), r.get(1)), (r.get(1), r.get(0))))
+      var label = scala.collection.mutable.HashMap.empty[Any, Any]
+      edges.foreach { case (s, _) => label(s) = s }
+      var iter = 0
+      var changed = label.nonEmpty
+      while (changed && iter < maxIter) {
+        // synchronous round: next(v) = min over v's closed neighborhood
+        // of the PREVIOUS round's labels (the self-loop is label(v))
+        val next = label.clone()
+        edges.foreach { case (s, d) => if (lt(label(s), next(d))) next(d) = label(s) }
+        changed = label.exists { case (v, l) => next(v) != l }
+        label = next
+        iter += 1
       }
-      val ids = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
-        .toSet[Any].toSeq
       val spark = pairs.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", p.schema.head.dataType),
-        org.apache.spark.sql.types.StructField("component", p.schema.head.dataType)))
-      val out = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            ids.map(i => org.apache.spark.sql.Row(i, find(i)))).asJava),
-        schema)
+      val out = DriverLocal.twoColDF(spark,
+        label.toSeq.map { case (v, l) => org.apache.spark.sql.Row(v, l) },
+        "id", p.schema.head.dataType, "component", p.schema.head.dataType)
       CacheControl.release(p)
       return out
     }

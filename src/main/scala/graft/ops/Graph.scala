@@ -67,9 +67,8 @@ object Graph {
     // longs). `0` forces the distributed loop (the equivalence spec runs
     // both). Every `div` below is on non-negative longs, where Java `/`
     // and SQL `div` agree.
-    val nEdgesProbe = e.limit(maxDriverEdges.toInt + 1).count()
-    if (nEdgesProbe <= maxDriverEdges) {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    DriverLocal.boundedCollect(e, maxDriverEdges).foreach { rows =>
+      val es = rows.map(r => (r.getLong(0), r.getLong(1)))
       CacheControl.release(e)
       val nodeIds = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet.toSeq
       require(nodeIds.nonEmpty, "graph has no nodes")
@@ -84,16 +83,10 @@ object Graph {
         rank = nodeIds.map(v =>
           v -> (teleport + (dampNum * contrib(v)) / dampDen)).toMap
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rank_fp",
-          org.apache.spark.sql.types.LongType)))
-      return edges.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            nodeIds.map(v => org.apache.spark.sql.Row(v, rank(v)))).asJava),
-        schema)
+      return DriverLocal.twoColDF(edges.sparkSession,
+        nodeIds.map(v => org.apache.spark.sql.Row(v, rank(v))),
+        "node", org.apache.spark.sql.types.LongType,
+        "rank_fp", org.apache.spark.sql.types.LongType)
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -151,33 +144,27 @@ object Graph {
     // as many seeds) returns identical rows without the per-hop
     // checkpoint jobs. `0` forces the distributed loop.
     val seedFrame = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-    val boundedProbe = math.max(
-      e.limit(maxDriverEdges.toInt + 1).count(),
-      seedFrame.limit(maxDriverEdges.toInt + 1).count())
-    if (boundedProbe <= maxDriverEdges) {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val smallGraph = for {
+      eRows <- DriverLocal.boundedCollect(e, maxDriverEdges)
+      sRows <- DriverLocal.boundedCollect(seedFrame, maxDriverEdges)
+    } yield (eRows, sRows)
+    smallGraph.foreach { case (eRows, sRows) =>
+      val es = eRows.map(r => (r.getLong(0), r.getLong(1)))
       CacheControl.release(e)
       val adj: Map[Long, Seq[Long]] =
         es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSeq }
       val lvl = scala.collection.mutable.HashMap.empty[Long, Int]
-      var frontier = seedFrame.collect().map(_.getLong(0)).toSeq
+      var frontier = sRows.map(_.getLong(0)).toSeq
       frontier.foreach(lvl(_) = 0)
       for (h <- 1 to maxHops) {
         frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
           .distinct.filterNot(n => lvl.contains(n))
         frontier.foreach(lvl(_) = h)
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("node",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("level",
-          org.apache.spark.sql.types.IntegerType)))
-      return edges.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            lvl.toSeq.map { case (n, l) =>
-              org.apache.spark.sql.Row(n, l) }).asJava),
-        schema)
+      return DriverLocal.twoColDF(edges.sparkSession,
+        lvl.toSeq.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
+        "node", org.apache.spark.sql.types.LongType,
+        "level", org.apache.spark.sql.types.IntegerType)
     }
     var levels = seedFrame.withColumn("level", lit(0))
     var prevCkpt: Option[DataFrame] = None

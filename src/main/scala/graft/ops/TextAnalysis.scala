@@ -177,17 +177,21 @@ object TextAnalysis {
     * between full shingle sets and one whole-doc hash. Shorter docs
     * (fewer than w grams) contribute their single overall minimum.
     */
-  def winnowOfGramHashes(grams: Column, w: Int): Column =
+  def winnowOfGramHashes(grams: Column, w: Int): Column = {
+    // w = 1 degenerates to "keep every gram" — and `least()` needs > 1
+    // arguments, so the windowed form below would fail analysis
+    if (w <= 1) return array_distinct(grams)
     when(size(grams) === 0, array().cast("array<bigint>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
         // window min as least() over clamped element_at reads — same
         // value as array_min(slice(...)) (clamping repeats the last
         // element, which cannot change a min) without allocating a
-        // w-element array per position; measured ~35% off the
+        // w-element array per position; measured ~30% off the
         // winnowing pass at sf0.1
         i => least((0 until w).map(j =>
           element_at(grams, least(i + lit(j), size(grams)))): _*))))
+  }
 
   /** Corpus-level winnowing fingerprints: distinct (id, fp) rows — the
     * join-ready form for plagiarism/near-dup matching (group by fp, pairs

@@ -109,6 +109,23 @@ object DedupProperties extends Properties("Dedup") {
     }
   }
 
+  // the driver path replays the loop's maxIter TRUNCATION too: on a long
+  // chain with a small iteration cap, both paths stop at the identical
+  // partially-converged labels (min id within maxIter hops)
+  property("componentsDriverPathMatchesTruncatedDistributed") = {
+    import spark.implicits._
+    val chain = (0L until 30L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id1", "id2")
+    def comps(maxDriver: Long) =
+      Dedup.connectedComponents(chain, maxIter = 4, maxDriverPairs = maxDriver)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val driver = comps(1000000L)
+    val dist = comps(0L)
+    Prop(driver == dist) :| s"truncated driver=$driver distributed=$dist" &&
+      // sanity: 4 rounds cannot fully converge a 30-node chain
+      Prop(driver.map(_._2).toSet.size > 1) :| "chain unexpectedly converged"
+  }
+
   // identical docs always become LSH candidates (jaccard 1 survives every band)
   property("lshFindsExactDups") = Prop.forAll(corpusGen) { rows =>
     val dup   = rows :+ (100L, rows.head._2)

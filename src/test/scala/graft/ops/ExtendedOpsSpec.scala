@@ -6,6 +6,13 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("winnow degenerate w=1 keeps every gram (least() arity regression)") {
+    val out = TextAnalysis.winnowFingerprints(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 2, w = 1).collect()
+    assert(out.length == 4) // every 2-gram hash survives, distinct
+  }
+
   test("tokens lowercase, trim, drop empties") {
     val out = Seq("  The Quick  fox ").toDF("text")
       .select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
@@ -256,8 +263,13 @@ class DedupSpec extends SparkSpec {
     Dedup.buildLshIndex(corpus, "doc_id", "text", k = 8, rowsPerBand = 2, idx)
     val probe = Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text",
       k = 8, rowsPerBand = 2)
-    // prefix pruning reaches the scan: bh_px is a partition filter
-    val plan = probe.queryExecution.executedPlan.toString
+    // prefix pruning reaches the scan: bh_px is a partition filter on the
+    // organized layout. The probe itself returns an eagerly-materialized
+    // checkpoint (so it can retry across a racing compaction), so the
+    // pruning is asserted on the layout's scan shape directly.
+    val plan = spark.read.parquet(idx + "/organized")
+      .filter(col("bh_px") === "p00")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bh_px"),
       s"expected bh_px partition pruning:\n$plan")
     // candidates == the in-memory band self-join restricted to cross pairs
@@ -375,6 +387,53 @@ class DedupSpec extends SparkSpec {
     assert(deltaCount() == 0, "compaction should consume the delta tail")
     assert(filesPerPrefix().nonEmpty && filesPerPrefix().values.forall(_ == 1),
       s"expected one file per prefix dir, got ${filesPerPrefix()}")
+  }
+
+  test("legacy root-layout index: probes read it, compaction migrates it") {
+    import org.apache.spark.sql.functions.{concat, lit, substring}
+    val idx = java.nio.file.Files.createTempDirectory("lshleg").toString + "/idx"
+    val corpus = docs.filter(col("doc_id") =!= 3L)
+    val incoming = docs.filter(col("doc_id") === 3L)
+    // write the PRE-LSM layout by hand: bh_px=… hive dirs at the root
+    Dedup.lshBands(Dedup.minhashSignatures(corpus, "doc_id", "text", 8), "doc_id", 8, 2)
+      .withColumn("bh_px", concat(lit("p"), substring(col("band_hash"), 1, 2)))
+      .repartition(col("bh_px"))
+      .write.partitionBy("bh_px").parquet(idx)
+    def pairs() = Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(before.nonEmpty, "legacy layout should be probeable without migration")
+    // an append lands in delta/ alongside the legacy dirs; probe unions both
+    Dedup.appendLshIndex(docs.filter(col("doc_id") === 4L), "doc_id", "text", 8, 2, idx)
+    val withAppend = pairs()
+    assert(before.subsetOf(withAppend))
+    // compaction folds legacy + delta into organized/ and drops the legacy dirs
+    Dedup.compactLshIndex(spark, idx)
+    assert(pairs() == withAppend, "migration changed probe results")
+    val legacyLeft = Option(new java.io.File(idx).listFiles()).toSeq.flatten
+      .count(d => d.isDirectory && d.getName.startsWith("bh_px="))
+    assert(legacyLeft == 0, "legacy dirs should be consumed by compaction")
+    assert(new java.io.File(idx, "organized").isDirectory)
+  }
+
+  test("probe surfaces a retryable failure mid-swap instead of silent delta-only results") {
+    val idx = java.nio.file.Files.createTempDirectory("lshswap").toString + "/idx"
+    Dedup.buildLshIndex(docs.filter(col("doc_id") =!= 3L), "doc_id", "text", 8, 2, idx)
+    val incoming = docs.filter(col("doc_id") === 3L)
+    def pairs() = Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    // simulate a compaction caught mid-swap: organized/ retired, not yet replaced
+    val org = new java.io.File(idx, "organized")
+    val retired = new java.io.File(idx, "organized.retired.test")
+    assert(org.renameTo(retired))
+    val thrown = intercept[Exception](pairs())
+    assert(Dedup.fileGone(thrown),
+      s"mid-swap probe must fail with the retryable signature, got $thrown")
+    // swap completes; probes recover with identical results
+    assert(retired.renameTo(org))
+    assert(pairs() == before)
   }
 
   test("LSH index append: probe sees appended docs identically to a full rebuild") {
