@@ -81,6 +81,18 @@ object Bench {
     }
     val maxRatio = if (sentinelChecks.isEmpty) 1.0 else sentinelChecks.map(_._4).max
     val contended = maxRatio > 3.0
+    // Stream-lane health: streaming entries drift ±10-40% between runs
+    // with unchanged code (micro-batch startup noise), and they are ~20%
+    // of the total — a regression call on the BATCH lane must never be
+    // confounded by them. streaming_stable = max first/second spread over
+    // the stream cohort: when false, treat the streaming subtotal of THIS
+    // artifact as noisy and compare batch_total only.
+    val streamSpread = results.collect {
+      case (n, Right((a, b))) if isStreaming(n) =>
+        math.max(a, b) / math.max(math.min(a, b), 1e-9)
+    }
+    val streamMaxSpread = if (streamSpread.isEmpty) 1.0 else streamSpread.max
+    val streamingStable = streamMaxSpread <= 1.5
     val total = ok.map(_._2).sum
     val streamingTotal = ok.collect { case (n, s) if isStreaming(n) => s }.sum
     val batchTotal = total - streamingTotal
@@ -98,7 +110,7 @@ object Bench {
         ",\"ratio\":" + sec(ratio) + "}"
     }.mkString("{", ",", "}")
     val ccFields =
-      s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"contention_check":$cc"""
+      s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},"contention_check":$cc"""
     // warm/cold provenance for the 20 most expensive queries PLUS every
     // streaming query: both timed passes, so a recorded number dominated
     // by first-touch warm-up (dedup_incremental measured 3.1 s first pass

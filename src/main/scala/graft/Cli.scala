@@ -36,6 +36,11 @@ object Cli {
         require(n == 1000)
       }
     })
+
+    // The capstone corpus-curation dataflow as a first-class job:
+    // `run corpus_pipeline <sfDir>` — batch audit row, per-stage phases,
+    // disposition parquet identical to the pipeline_end_to_end oracle.
+    registry.register(new CorpusPipelineJob(batches))
   }
 
   /** Args minus the value-carrying `-c <path>` pair: (config?, rest). */

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Empirical scale-curve harness for the dedup/graph/gate families: the
+  * 100 TB story everywhere else in this repo is argued from PLAN SHAPE at
+  * sf0.1 — this main measures it. It synthesizes derived corpora at
+  * 1×/10×/30× of a base scale factor and times each operator's
+  * distributed path, then fits the scaling exponent b in t ≈ a·m^b by
+  * least squares on (ln m, ln t). Linear-work operators should land near
+  * b ≈ 1 (sub-linear for the fixed-batch gate probe, whose cost is the
+  * batch + pruned index slices, not the corpus); anything clearly
+  * superlinear is a scale bug to diagnose, not a number to report.
+  *
+  * Corpus synthesis (testdata is read-only; derived copies live in /tmp):
+  * every copy c suffixes EVERY token with "q<c>", so copy vocabularies
+  * are disjoint — each copy reproduces the base corpus's internal
+  * near-dup structure exactly, while cross-copy pairs are impossible.
+  * That keeps the dedup rate (pairs per doc) CONSTANT as the corpus
+  * grows, the realistic regime: naive replication without perturbation
+  * would add m² cross-copy near-dup pairs per base doc and the measured
+  * "superlinearity" would be genuine output growth, not operator cost.
+  * Graph edges replicate the bench's orders⋈lineitem bipartite graph
+  * with per-copy node offsets (m× edges, m× nodes, same degree
+  * distribution).
+  *
+  * Usage: runMain graft.ScaleBench [baseSfDir] [multipliers] [outJson]
+  * (defaults: /root/testdata/sf0.1, "1,10,30", /tmp/scale_curves.json).
+  * Driver fast paths are FORCED OFF (maxDriver* = 0) so every point
+  * measures the distributed loop — the path that exists at 100 TB.
+  */
+object ScaleBench {
+
+  private def timeIt[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Least-squares slope of ln t over ln m — the fitted exponent. */
+  private def exponent(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(p._2))
+    val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0) 0.0 else num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mults = (if (args.length > 1) args(1) else "1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val outJson = if (args.length > 2) args(2) else "/tmp/scale_curves.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = "/tmp/scalebench"
+    val workFs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    workFs.delete(new org.apache.hadoop.fs.Path(work), true): Unit
+
+    // ---- derived corpora ---------------------------------------------
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def scaledDocs(m: Int): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
+      baseDocs.select(col("doc_id"), col("text"), copies)
+        .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit("q"), col("copy"))), " ")).as("text"))
+    }
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val basePairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+      .distinct()
+    def scaledEdges(m: Int): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
+      val p = basePairs.select(col("a"), col("b"), copies)
+        .select((col("a") + col("copy") * 10000000L).as("a"),
+          (col("b") + col("copy") * 10000000L).as("b"))
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+
+    // ---- measured operators ------------------------------------------
+    // Each returns the wall seconds of the DISTRIBUTED path; results are
+    // materialized (count) inside the timed region; corpora materialize
+    // OUTSIDE it (localCheckpoint) so synthesis cost never pollutes the
+    // operator measurement.
+    def measure(m: Int): Seq[(String, Double)] = {
+      val docs = scaledDocs(m).localCheckpoint()
+      val docsSample = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+      val sigs = Dedup.signatures(docsSample, "doc_id", "text")
+      val sets = sigs.select(col("id"), array_distinct(col("toks")).as("toks"))
+      val edges = scaledEdges(m).localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+      out += "jaccard_pairs" -> timeIt {
+        val r = Dedup.jaccardPairsOnSets(sets, 0.5)
+        r.count(); CacheControl.release(r)
+      }
+      val pairs = Dedup.lshCandidatePairsOnSets(sets)
+      out += "connected_components" -> timeIt {
+        val r = Dedup.connectedComponents(pairs, maxDriverPairs = 0L)
+        r.count(); CacheControl.release(r)
+      }
+      CacheControl.release(pairs)
+      out += "remove_duplicate_spans" -> timeIt {
+        val r = Dedup.removeDuplicateSpans(docsSample, "doc_id", "text",
+          n = 3, keepFirst = true)
+        r.count(); CacheControl.release(r)
+      }
+      out += "pagerank" -> timeIt {
+        val r = Graph.pagerank(edges, "src", "dst", iterations = 3,
+          maxDriverEdges = 0L)
+        r.count(); CacheControl.release(r)
+      }
+      // gate: the index holds the m-scaled corpus; the PROBE BATCH is
+      // fixed at base size (a crawl batch does not grow with the corpus).
+      // This is the sub-linear claim: per-batch cost ∝ batch + pruned
+      // index slices.
+      val idxPath = s"$work/idx-$m"
+      out += "index_build" -> timeIt {
+        Dedup.buildLshIndex(docs, "doc_id", "text", 8, 2, idxPath)
+      }
+      val batch = baseDocs.limit(2000)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" probeonly")).as("text"))
+        .localCheckpoint()
+      out += "gate_batch" -> timeIt {
+        val (accepted, bands) = Dedup.gateBatchWithBands(batch, "doc_id",
+          "text", idxPath, docs, 8, 2, 0.7)
+        accepted.count()
+        Dedup.writeLshIndexBands(bands, idxPath) // the real sink appends
+        bands.unpersist()
+        CacheControl.release(accepted)
+      }
+      out += "compact_index" -> timeIt { Dedup.compactLshIndex(spark, idxPath) }
+      Seq(batch, edges, sigs, docsSample, docs).foreach(CacheControl.release)
+      out.toSeq
+    }
+
+    // JIT/codegen warm-up on the smallest multiplier, untimed
+    measure(mults.min): Unit
+    val rows: Seq[(Int, Seq[(String, Double)])] = mults.map(m => m -> measure(m))
+    val ops = rows.head._2.map(_._1)
+    val byOp = ops.map { op =>
+      op -> rows.map { case (m, r) => m -> r.find(_._1 == op).get._2 }
+    }
+    def sec(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val json = byOp.map { case (op, pts) =>
+      val fitted = exponent(pts)
+      val ptsJson = pts.map { case (m, t) => s""""${m}x":${sec(t)}""" }.mkString(",")
+      s""""$op":{$ptsJson,"exponent":${sec(fitted)}}"""
+    }.mkString("{\"base\":\"" + sfDir + "\",\"cpus\":" + cpus + ",", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes("UTF-8")): Unit
+    println(json)
+    spark.stop()
+  }
+}

@@ -94,6 +94,42 @@ class QueryJob(batches: BatchTracker, val queryName: String,
   }
 }
 
+/** The capstone corpus-curation dataflow as an ORCHESTRATED loading job —
+  * the reference's whole identity is "jobs that run dataflows"
+  * (`lib/etl/loading.rb:134-221` composes mapping + update-join +
+  * finalize inside a Job with a batch audit row and per-stage phases);
+  * this registers [[graft.ops.Prep.corpusPipeline]] the same way:
+  * `prepare` creates the `etl_batches` audit row (LoadingJob), every
+  * stage stamps the status row's phase through `ctx.setPhase`, and the
+  * disposition frame publishes as parquet. Runnable via
+  * `Cli run corpus_pipeline <sourceDir>`; the OUTPUT is byte-identical
+  * to the oracle-gated `pipeline_end_to_end` query over the same source
+  * (same code path), so the job's correctness is already hash-pinned.
+  * Source dir resolves from the run argument, then the job's defaults
+  * domain; output dir from defaults or `<sourceDir>/../corpus_pipeline_out`.
+  */
+class CorpusPipelineJob(batches: BatchTracker,
+                        outPath: Option[String] = None) extends LoadingJob(batches) {
+  override val name: String = "corpus_pipeline"
+
+  override def run(ctx: JobContext): Unit = {
+    val dir = ctx.argument.orElse(ctx.defaults.get("source_dir")).getOrElse(
+      throw new IllegalArgumentException(
+        "no source dir: pass one as the run argument or set defaults('source_dir')"))
+    val out = outPath.orElse(ctx.defaults.get("output_dir"))
+      .getOrElse(new java.io.File(dir).getParent + "/corpus_pipeline_out")
+    val all = graft.Tables.documents(ctx.spark, dir)
+    import org.apache.spark.sql.functions.col
+    val disposition = graft.ops.Prep.corpusPipeline(
+      all.filter(col("doc_id") % 10 === 0),
+      all.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", ctx.setPhase)
+    ctx.setPhase("publish")
+    disposition.write.mode("overwrite").parquet(out)
+    graft.ops.CacheControl.release(disposition)
+  }
+}
+
 /** Scheduled maintenance of a manifest-versioned dataset — the
   * orchestration loop applied to the engine's own storage: bin-pack the
   * small-file tail ([[graft.ops.Manifest.compactSmallFiles]]), fold

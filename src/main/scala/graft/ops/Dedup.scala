@@ -36,6 +36,26 @@ object Dedup {
   def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
 
+  /** ONE shared signature pass for the whole detector family: the corpus
+    * is scanned and tokenized exactly once into an EAGER (id, toks) frame
+    * — `toks` the ordered token multiset, from which every detector
+    * derives its own view (`array_distinct` for set semantics, gram
+    * hashes for winnowing, `array_join` for edit-distance text) without
+    * touching the source again. A real pipeline runs several detectors
+    * over the SAME corpus snapshot (Jaccard + winnow + SimHash + fuzzy
+    * verify); per-detector re-tokenization makes the corpus scan the
+    * dominant repeated cost — this is the once-per-snapshot form.
+    * Consumers: [[jaccardPairsOnSets]] (via array_distinct),
+    * [[lshCandidatePairsOnSets]], [[verifyPairsEditDistanceOnTokens]],
+    * [[TextAnalysis.winnowPairsOfTokens]], [[simhashOfTokens]].
+    * Cache contract: the returned frame is the caller's one persistent
+    * entry — release with [[CacheControl.release]] after the detectors'
+    * results materialize.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+
   /** Word n-gram (shingle) array: "a b c d" with n=2 → ["a b","b c","c d"].
     * Empty when the doc has fewer than n tokens. The n-gram Jaccard unit —
     * order-sensitive where unigram sets are not.
@@ -109,14 +129,26 @@ object Dedup {
     * distinct across bands).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // cached: both join sides read it; the tokenize+signature projection
-    // behind it is the expensive pass. Released below (cache policy):
-    // the compact pair result checkpoints eagerly, the band cache drops.
-    val bands = lshBands(minhashSignatures(df, idCol, textCol, k), idCol, k, rowsPerBand)
+                        k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    lshCandidatePairsOnSets(
+      df.select(col(idCol).as("id"), TextAnalysis.tokenSet(col(textCol)).as("toks")),
+      k, rowsPerBand)
+
+  /** [[lshCandidatePairs]] over a pre-built (id, toks) token-SET frame —
+    * the [[signatures]]-fed form (pass `array_distinct(toks)` when coming
+    * from the multiset snapshot) so candidate generation shares the
+    * detector family's one tokenization pass. Output: (id1, id2).
+    */
+  def lshCandidatePairsOnSets(sets: DataFrame, k: Int = 8,
+                              rowsPerBand: Int = 2): DataFrame = {
+    // cached: both join sides read it; the signature projection behind it
+    // is the expensive pass. Released below (cache policy): the compact
+    // pair result checkpoints eagerly, the band cache drops.
+    val bands = lshBands(minhashSignaturesOfSets(sets, "id", "toks", k),
+        "id", k, rowsPerBand)
       .cache()
-    val a = bands.select(col("band"), col("band_hash"), col(idCol).as("id1"))
-    val b = bands.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    val a = bands.select(col("band"), col("band_hash"), col("id").as("id1"))
+    val b = bands.select(col("band"), col("band_hash"), col("id").as("id2"))
     val out = a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -337,9 +369,21 @@ object Dedup {
     */
   def verifyPairsEditDistance(docs: DataFrame, pairs: DataFrame,
                               idCol: String, textCol: String,
-                              maxDist: Int): DataFrame = {
-    val norm = concat_ws(" ", TextAnalysis.tokens(col(textCol)))
-    val t = docs.select(col(idCol).as("__id"), norm.as("__t"))
+                              maxDist: Int): DataFrame =
+    verifyPairsEditDistanceOnTokens(
+      docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks")),
+      pairs, maxDist)
+
+  /** [[verifyPairsEditDistance]] over a pre-tokenized (id, toks) multiset
+    * frame ([[signatures]] output): the whitespace-normalized text is
+    * `concat_ws(" ", toks)` — identical to normalizing the raw text — so
+    * the verify stage shares the detector family's one tokenization pass
+    * instead of re-reading and re-tokenizing the corpus.
+    */
+  def verifyPairsEditDistanceOnTokens(toksFrame: DataFrame, pairs: DataFrame,
+                                      maxDist: Int): DataFrame = {
+    val t = toksFrame.select(col("id").as("__id"),
+      concat_ws(" ", col("toks")).as("__t"))
     pairs
       .join(t.select(col("__id").as("id1"), col("__t").as("__t1")), Seq("id1"))
       .join(t.select(col("__id").as("id2"), col("__t").as("__t2")), Seq("id2"))
@@ -438,9 +482,18 @@ object Dedup {
     * ≥ 0. `bits` ≤ 32. One aggregation pass, `bits` sums — same map-side
     * collapse as MinHash.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    simhashOfTokens(
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", bits)
+
+  /** [[simhash]] over a pre-tokenized multiset column ([[signatures]]
+    * output) — one corpus tokenization shared across the detector family.
+    */
+  def simhashOfTokens(tf: DataFrame, idCol: String, toksCol: String,
+                      bits: Int = 16): DataFrame = {
     require(bits <= 32)
-    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val toks = tf.select(col(idCol), explode(col(toksCol)).as("tok"))
       .withColumn("h", md5(col("tok")))
     val sums = (1 to bits).map { j =>
       sum(when(substring(col("h"), j, 1).isInCollection(HighHexDigits), 1).otherwise(-1)).as(s"s$j")
@@ -508,6 +561,83 @@ object Dedup {
   private def organizedDir(path: String): String = path + "/organized"
   private def deltaDir(path: String): String = path + "/delta"
 
+  // ── pointer-commit (object-store-atomic) organized layout ───────────
+  // Rename-based directory swaps are atomic on HDFS/local only; on
+  // S3-style object stores a "rename" is copy+delete and the swap window
+  // is seconds-to-minutes. The pointer layout removes the window
+  // entirely: compacted generations live in immutable `organized-v<N>/`
+  // dirs and a tiny `organized.current` file names the live one; commit
+  // = write the new generation, then atomically replace the pointer
+  // (single-file rename-overwrite — a bounded metadata op everywhere).
+  // Readers NEVER observe an absent layout: the pointer always names a
+  // complete generation. Consumed inputs (delta files, the previous
+  // generation) are garbage-collected ONE CYCLE LATE — each generation
+  // records what it consumed in `_consumed`, and the NEXT compaction
+  // deletes that list — so an in-flight reader that resolved the
+  // previous pointer keeps a complete, readable state for a full
+  // compaction cycle (zero retries; only a reader straddling TWO
+  // compactions retries). Un-GC'd delta files double-count against the
+  // new generation for that cycle — harmless, probes distinct().
+  private def pointerFile(path: String): String = path + "/organized.current"
+  private def versionDir(path: String, v: Long): String = path + s"/organized-v$v"
+  private def consumedFile(path: String, v: Long): String =
+    versionDir(path, v) + "/_consumed" // underscore = invisible to parquet listing
+
+  // stream-to-EOF, never stat-then-readFully: the pointer file is
+  // atomically REPLACED by concurrent compactions, and a stat'd length
+  // can belong to a different incarnation than the opened stream —
+  // observed as EOFException under a commit race. An open stream reads
+  // one complete incarnation.
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(pointerFile(path))
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p).trim.toLong)
+  }
+
+  /** Atomically publish `organized.current` → v: write a uuid tmp file,
+    * rename-overwrite it into place via FileContext (atomic single-file
+    * replace on local/HDFS; a bounded metadata PUT on object stores).
+    */
+  private def publishPointer(spark: org.apache.spark.sql.SparkSession,
+                             path: String, v: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + "/.organized.current.tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(pointerFile(path)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readConsumed(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(consumedFile(path, v))
+    if (!fs.exists(p)) Nil
+    else readSmallFile(fs, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def writeConsumed(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, v: Long, items: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(consumedFile(path, v)), true)
+    try out.write(items.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   // 'p' sentinel: an all-digit hex prefix (e.g. "60") would make Spark's
   // hive-partition type inference read bh_px back as a NUMBER, and a
   // later string probe ('6b') dies in an ANSI cast; a leading letter
@@ -530,6 +660,12 @@ object Dedup {
     */
   def writeLshIndexBands(bands: DataFrame, path: String,
                          mode: String = "append"): Unit = {
+    // the parameter is NOT a Spark save mode: "overwrite" rebuilds the
+    // organized layout, "append" is an LSM delta append. Anything else
+    // ("ignore", "errorifexists") would silently become an append — fail
+    // loudly instead.
+    require(mode == "append" || mode == "overwrite",
+      s"unsupported LSH index write mode '$mode' (use append or overwrite)")
     val withPx = bands.withColumn("bh_px", bandPrefix(col("band_hash")))
     if (mode == "overwrite") {
       val spark = bands.sparkSession
@@ -545,6 +681,15 @@ object Dedup {
       fs.delete(new org.apache.hadoop.fs.Path(deltaDir(path)), true): Unit
       withPx.repartition(col("bh_px"))
         .write.mode("overwrite").partitionBy("bh_px").parquet(organizedDir(path))
+      // a rebuild supersedes a pointer layout too — but only AFTER the
+      // fresh organized/ is fully written (readers keep resolving the old
+      // pointer until it drops, then fall through to organized/; a crash
+      // before the drop leaves the pointer layout intact and consistent).
+      // The dead generation dirs go last; a reader that resolved the
+      // pointer just before the drop rides the bounded retry.
+      fs.delete(new org.apache.hadoop.fs.Path(pointerFile(path)), false): Unit
+      versionDirsOnDisk(fs, path).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, v)), true): Unit)
     } else
       // each append owns a fresh UUID batch directory: Spark's output
       // committer stages under <outputDir>/_temporary/<jobId=0>, which is
@@ -605,6 +750,35 @@ object Dedup {
     retired != null && retired.nonEmpty
   }
 
+  /** Heal the index after a compaction that crashed MID-SWAP (between
+    * [[Maintenance.swapDirs]]' retire and move-in renames): `organized/`
+    * is absent but an `organized.retired.*` copy survives. Without this
+    * guard the NEXT compaction would see neither organized nor legacy
+    * dirs, fold the delta tail alone into a fresh `organized/`, and
+    * delete the consumed delta — silently and permanently orphaning every
+    * row of the retired index; probes fail loudly only until that
+    * "healing" compaction bakes the loss in. Recovery renames the NEWEST
+    * retired copy back into place (the retire is rename-atomic, so the
+    * copy is a complete pre-swap organized layout); older retired copies
+    * — only possible from repeated crashes — are left on disk to be
+    * surfaced, exactly as [[Maintenance.swapDirs]] treats pre-existing
+    * ones. A leftover `organized.tmp` needs no handling here: the
+    * organized rewrite below overwrites it.
+    */
+  private def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Unit = {
+    val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
+    if (fs.exists(orgPath)) return
+    val retired = fs.globStatus(
+      new org.apache.hadoop.fs.Path(organizedDir(path) + ".retired.*"))
+    if (retired == null || retired.isEmpty) return
+    val newest = retired.maxBy(_.getModificationTime).getPath
+    if (!fs.rename(newest, orgPath))
+      throw new java.io.IOException(
+        s"found crashed-swap leftover $newest but could not restore it to " +
+          s"$orgPath; refusing to compact over a half-swapped index")
+  }
+
   /** The index as one frame, pruned to the given bh_px prefixes: the
     * organized side prunes at the DIRECTORY level (partition filter —
     * never scans unrelated prefixes), the delta side at the FILE level
@@ -614,20 +788,37 @@ object Dedup {
     * into organized/). Loud when no side exists; RETRYABLY loud when the
     * organized side is mid-swap.
     */
-  private def readIndexPruned(spark: org.apache.spark.sql.SparkSession,
-                              path: String, prefixes: Seq[String]): DataFrame = {
+  private[ops] def readIndexPruned(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, prefixes: Seq[String]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
-    val orgSide =
-      if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString))
-      else if (organizedSwapInFlight(fs, path))
-        throw new java.io.FileNotFoundException(
-          s"organized layout of $path is mid-swap (compaction in flight)")
-      else legacyDirs(fs, path) match {
-        case Nil => Nil
-        case dirs => Seq(spark.read.option("basePath", path).parquet(dirs: _*))
-      }
+    // Side order matters. The POINTER layout wins when present (its
+    // generation is complete by construction — commit is pointer-last;
+    // a vanished generation dir means this reader straddled two whole
+    // compactions and the retryable signature is correct). Then the
+    // rename layout. Then, for LIVENESS during a legacy→LSM migration:
+    // the first compaction of a pre-LSM index holds `organized.tmp` open
+    // for the entire organized rewrite (minutes at scale), while the
+    // legacy `bh_px=…` root dirs stay intact until AFTER the swap — so
+    // legacy dirs, when present, are always a readable consistent state
+    // and are preferred over throwing. The mid-swap throw remains for
+    // the normal rename-compaction case (organized absent, no legacy
+    // fallback): a silent delta-only scan would drop every organized row
+    // from the results.
+    val orgSide = readPointer(fs, path) match {
+      case Some(v) => Seq(spark.read.parquet(versionDir(path, v)))
+      case None =>
+        if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString))
+        else legacyDirs(fs, path) match {
+          case dirs if dirs.nonEmpty =>
+            Seq(spark.read.option("basePath", path).parquet(dirs: _*))
+          case _ if organizedSwapInFlight(fs, path) =>
+            throw new java.io.FileNotFoundException(
+              s"organized layout of $path is mid-swap (compaction in flight)")
+          case _ => Nil
+        }
+    }
     val sides = orgSide ++
       (deltaFiles(fs, path) match {
         case Nil => Nil
@@ -667,9 +858,14 @@ object Dedup {
     * docs/SCALE.md).
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
+                      path: String, pointerCommit: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCrashedSwap(fs, path)
+    // an index already on the pointer layout STAYS on it regardless of
+    // the flag (mixing layouts would leave two live organized states)
+    if (pointerCommit || readPointer(fs, path).nonEmpty)
+      return compactLshIndexPointer(spark, path)
     val consumed = deltaFiles(fs, path) // snapshot BEFORE reading
     val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
     // a legacy pre-LSM index (bh_px=… dirs at the root) folds into the
@@ -706,6 +902,98 @@ object Dedup {
         catch { case _: java.io.FileNotFoundException => Nil }
         if (left.nonEmpty && left.forall(_.getPath.getName == "_SUCCESS"))
           fs.delete(dir, true): Unit
+      }
+  }
+
+  private def versionDirsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("organized-v"))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("organized-v").toLong).toOption)
+  }
+
+  /** [[compactLshIndex]]'s POINTER-COMMIT form (see the layout comment at
+    * [[pointerFile]]): fold the current generation + the unconsumed delta
+    * tail into immutable `organized-v<N+1>/`, record what it consumed in
+    * the generation's `_consumed`, atomically replace the pointer, then
+    * garbage-collect generations superseded ≥ 2 versions ago (their
+    * consumed inputs are ≥ one full compaction cycle old, so no reader
+    * resolved from the previous pointer can still need them — ZERO
+    * retries for probes racing one compaction). GC state is re-derived
+    * from disk every run, so a crash at ANY point self-heals: before the
+    * pointer publish the half-written generation dir is overwritten by
+    * the next run; after it, deferred deletes simply happen a cycle
+    * later. Migration in: a rename-layout `organized/` or legacy
+    * `bh_px=…` root dirs fold as sides and GC like any generation.
+    */
+  private def compactLshIndexPointer(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = readPointer(fs, path)
+    // delta files already folded into SOME on-disk generation (their GC
+    // is merely deferred) must not fold twice — organized rows would
+    // silently duplicate a little more each cycle
+    val alreadyConsumed = versionDirsOnDisk(fs, path)
+      .flatMap(v => readConsumed(fs, path, v)).toSet
+    val consumed = deltaFiles(fs, path).filterNot(alreadyConsumed)
+    val orgPath = new org.apache.hadoop.fs.Path(organizedDir(path))
+    val renameSide =
+      if (ptr.isEmpty && fs.exists(orgPath)) Seq(organizedDir(path)) else Nil
+    val legacy =
+      if (ptr.isEmpty && renameSide.isEmpty) legacyDirs(fs, path) else Nil
+    val sides: Seq[DataFrame] =
+      ptr.map(v => spark.read.parquet(versionDir(path, v))).toSeq ++
+      renameSide.map(spark.read.parquet(_)) ++
+      (legacy match {
+        case Nil => Nil
+        case dirs => Seq(spark.read.option("basePath", path).parquet(dirs: _*))
+      }) ++
+      (if (consumed.nonEmpty) Seq(spark.read.parquet(consumed: _*)) else Nil)
+    if (sides.isEmpty) return
+    val newV = ptr.getOrElse(0L) + 1L
+    val vdir = versionDir(path, newV)
+    fs.delete(new org.apache.hadoop.fs.Path(vdir), true): Unit // crashed attempt
+    val cols = sides.head.columns.map(col).toSeq
+    val withPx = sides.map(_.select(cols: _*)).reduce(_ unionByName _)
+    (if (withPx.columns.contains("bh_px"))
+       withPx.repartition(col("bh_px")).write.partitionBy("bh_px")
+     else // sides read from hive layouts always carry bh_px; belt+braces
+       withPx.withColumn("bh_px", bandPrefix(col("band_hash")))
+         .repartition(col("bh_px")).write.partitionBy("bh_px"))
+      .mode("overwrite").parquet(vdir)
+    writeConsumed(fs, path, newV,
+      consumed ++ renameSide ++ legacy ++ ptr.map(versionDir(path, _)).toSeq)
+    publishPointer(spark, path, newV)
+    // deferred GC: generations ≤ newV-2 were superseded at least one full
+    // cycle ago — delete what they consumed, then the generation dirs
+    versionDirsOnDisk(fs, path).filter(_ <= newV - 2).foreach { w =>
+      readConsumed(fs, path, w).foreach(item =>
+        fs.delete(new org.apache.hadoop.fs.Path(item), true): Unit)
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, w)), true): Unit
+    }
+    dropEmptyBatchDirs(fs, path)
+  }
+
+  /** Drop delta batch directories whose data files are all gone (safe:
+    * appends never write into an existing batch dir, so a dir holding
+    * only its _SUCCESS marker is dead; one still carrying parquet files
+    * or a _temporary tree is left alone).
+    */
+  private def dropEmptyBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(deltaDir(path))
+    if (!fs.exists(d)) return
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b-"))
+      .foreach { st =>
+        val left = try fs.listStatus(st.getPath).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+        if (left.nonEmpty && left.forall(_.getPath.getName == "_SUCCESS"))
+          fs.delete(st.getPath, true): Unit
       }
   }
 
@@ -913,15 +1201,23 @@ object Dedup {
   /** Retry `f` while it dies on the missing-file signature — a probe's
     * listing AND read together can straddle a compaction's swap + retired
     * delete, so one retry is not always enough; each retry re-lists and
-    * reads a consistent (old-or-new) state. Attempts are bounded: any
-    * other failure, or `attempts` misses in a row, propagates.
+    * reads a consistent (old-or-new) state. A bounded exponential sleep
+    * (25·4^k ms) precedes each retry: the missing-file throw is
+    * driver-side microseconds, so back-to-back attempts could all land
+    * inside ONE swap window on a slow object store — the backoff makes
+    * the window arithmetic robust (3 attempts ride out a ~125 ms swap)
+    * without adding measurable cost to the no-race path. Attempts are
+    * bounded: any other failure, or `attempts` misses in a row,
+    * propagates.
     */
   private[ops] def retryFileGone[A](attempts: Int)(f: => A): A = {
-    var left = attempts
+    var used = 0
     while (true) {
       try return f
       catch {
-        case e: Throwable if fileGone(e) && left > 1 => left -= 1
+        case e: Throwable if fileGone(e) && used < attempts - 1 =>
+          Thread.sleep(25L << (2 * used)) // 25, 100, 400… ms
+          used += 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1105,6 +1401,14 @@ object Dedup {
     DriverLocal.boundedCollect(p, maxDriverPairs).foreach { rows =>
       @annotation.nowarn("msg=eliminated by erasure")
       def lt(a: Any, b: Any): Boolean = (a, b) match {
+        // Strings compare as UTF-8 BYTES, matching the distributed path's
+        // min() (Spark's UTF8String binary order = code-point order); java
+        // String.compareTo is UTF-16 code-UNIT order, which disagrees for
+        // supplementary characters and would let the two paths elect
+        // different component representatives.
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
         case (x: Comparable[Any] @unchecked, y) => x.compareTo(y) < 0
         case _ => a.toString < b.toString
       }

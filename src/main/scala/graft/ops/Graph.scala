@@ -56,9 +56,14 @@ object Graph {
       "damping must be a rational in [0, 1]")
     // materialize the canonical edge list ONCE: every iteration references
     // it (contribution join) and so do nodes/deg — without this the whole
-    // upstream plan (source joins + distinct) re-executes per iteration
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    // upstream plan (source joins + distinct) re-executes per iteration.
+    // HASH-PARTITIONED BY src AND SORTED before the checkpoint (LogicalRDD
+    // carries both through): every iteration's contribution join then
+    // consumes the edge side exchange-free and sort-free — the textbook
+    // iterative layout where the big immutable side is laid out once and
+    // ONLY the rank vector moves per round. Without this the k joins
+    // re-shuffle the full edge list k times.
+    val e = edgeLayout(edges, srcCol, dstCol)
     // Small-graph fast path (same bounded-metadata gate as
     // Dedup.connectedComponents): the distributed loop costs ~2 Spark
     // jobs per iteration regardless of size, and the fixed-point update
@@ -88,21 +93,27 @@ object Graph {
         "node", org.apache.spark.sql.types.LongType,
         "rank_fp", org.apache.spark.sql.types.LongType)
     }
+    // nodes sorted on the key for the same reason: the per-iteration
+    // `nodes ⋈ sums` left join reuses this layout (distinct already
+    // leaves hash(node) partitioning; sums is hash(node) straight out of
+    // its aggregation)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .sortWithinPartitions("node")
+      .localCheckpoint()
     val nNodes = nodes.count() // the one driver-side scalar: |V|
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
     val teleport = ((dampDen - dampNum) * init) / dampDen
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // deg inherits e's hash(src) layout through the aggregation; sorting
+    // it once here makes the per-iteration 3-way src join fully
+    // exchange-and-sort-free on both immutable sides
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .sortWithinPartitions("src").localCheckpoint()
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("rank_fp div deg").as("c"))
-      val sums = contribs.groupBy("node").agg(sum(col("c")).as("s"))
+      val sums = contribSums(e, ranks, deg)
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"), expr(
           s"$teleport + ($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")
@@ -123,6 +134,47 @@ object Graph {
     out
   }
 
+  /** The iterative layout: canonical (src, dst) long edges, deduplicated,
+    * HASH-PARTITIONED and SORTED by src, materialized once (LogicalRDD
+    * carries partitioning + ordering through the checkpoint). Shared by
+    * [[pagerank]] and [[bfsLevels]]; package-visible so the plan-shape
+    * spec can pin what the layout buys ([[contribSums]]).
+    */
+  private[ops] def edgeLayout(edges: DataFrame, srcCol: String,
+                              dstCol: String): DataFrame =
+    // repartition BEFORE distinct: HashPartitioning(src) satisfies the
+    // dedup aggregation's ClusteredDistribution(src, dst) — equal (src,
+    // dst) rows are already co-located — so the layout costs ONE edge
+    // exchange total, not distinct-then-repartition's two
+    edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).distinct()
+      .sortWithinPartitions("src")
+      .localCheckpoint()
+
+  /** One PageRank iteration's contribution aggregation — the loop body,
+    * factored out so the plan-shape spec can pin the iterative layout:
+    * with `e` and `deg` hash-partitioned and sorted on src (see
+    * [[pagerank]]'s checkpoints), the 3-way src join plans with NO
+    * exchange and NO sort on either immutable side; the only per-round
+    * shuffles move the rank vector (join key src, then the dst
+    * aggregation) — |V|-sized, never |E|.
+    */
+  private[ops] def contribSums(e: DataFrame, ranks: DataFrame,
+                               deg: DataFrame): DataFrame = {
+    // ranks⋈deg first: both are |V|-sized, so the per-source contribution
+    // rank div deg computes on |V| rows (not once per edge) and the edge
+    // list is touched by exactly ONE join per iteration — one broadcast
+    // build instead of two on the small-side plan, one shuffle-free probe
+    // on the co-partitioned plan. Integer ops unchanged → bit-identical.
+    val perSrc = ranks.withColumnRenamed("node", "src")
+      .join(deg, Seq("src"))
+      .select(col("src"), expr("rank_fp div deg").as("__c"))
+    e.join(perSrc, Seq("src"))
+      .select(col("dst").as("node"), col("__c").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+  }
+
   /** Breadth-first levels from `seeds` over directed `edges`: (node,
     * level) with level = length of the shortest path from any seed
     * (≤ `maxHops`; unreachable nodes are absent). Frontier expansion, the
@@ -136,9 +188,9 @@ object Graph {
                 maxHops: Int = 4,
                 maxDriverEdges: Long = 200000L): DataFrame = {
     require(maxHops >= 0, "maxHops must be ≥ 0")
-    // materialized once — every hop joins against it (see pagerank)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    // materialized once — every hop joins against it, partitioned+sorted
+    // on the join key so no hop re-shuffles the edge list (see pagerank)
+    val e = edgeLayout(edges, srcCol, dstCol)
     // Small-graph fast path (see pagerank): exact integer BFS labels are
     // engine-agnostic, so a driver BFS over ≤ maxDriverEdges edges (and
     // as many seeds) returns identical rows without the per-hop

@@ -19,6 +19,83 @@ import org.apache.spark.sql.functions._
   */
 object Prep {
 
+  /** The CAPSTONE corpus-curation dataflow (quality gate → cross-doc line
+    * dedup → verbatim span removal keep-first → near-dup clustering with
+    * quality-aware survivor selection → benchmark decontamination → split
+    * assignment + sequence packing), one disposition row per input doc.
+    * Shared verbatim by the oracle-gated `pipeline_end_to_end` query and
+    * by [[graft.jobs.CorpusPipelineJob]] (which feeds `phase` with the
+    * job tracker so every stage lands in the status row's phase trail —
+    * the reference's Loading jobs stamped 'mapping'/'finalize' the same
+    * way, `lib/etl/loading.rb:135,161,204`).
+    *
+    * EAGER + release: stage checkpoints (each operator's materialized
+    * result) are released once the compact disposition frame
+    * materializes — one persistent entry per call (cache policy).
+    */
+  def corpusPipeline(corpus: DataFrame, bench: DataFrame,
+                     idCol: String, textCol: String,
+                     phase: String => Unit = _ => ()): DataFrame = {
+    phase("quality_gate")
+    // EAGER: filtering the lazy quality frame would push the O(n²)
+    // quality expression trees into a pre-projection Filter (see
+    // prepPipeline); the checkpoint evaluates them once.
+    val quality = TextAnalysis.qualityFilter(corpus, idCol, textCol,
+      minTokens = 30, maxDup2Frac = 0.08, minMeanTokenLen = 3.8,
+      maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
+      .select(col(idCol), col("reason"))
+      .localCheckpoint()
+    val qualOk = corpus.join(
+      quality.filter(col("reason") === "ok").select(idCol), Seq(idCol))
+    phase("line_dedup")
+    val lined = Dedup.dedupLines(qualOk, idCol, textCol, tokensPerLine = 8)
+    val linedOk = lined.filter(col("n_kept") > 0)
+      .select(col(idCol), col("clean_text"))
+    phase("span_removal")
+    val spanned = Dedup.removeDuplicateSpans(linedOk, idCol, "clean_text",
+      n = 3, keepFirst = true)
+    val spannedOk = spanned.filter(col("n_kept") > 0)
+      .select(col(idCol), col("n_kept").as("n_tokens"), col("clean_text"))
+    phase("near_dup_cluster")
+    val pairs = Dedup.jaccardPairs(spannedOk, idCol, "clean_text",
+      minJaccard = 0.5).select("id1", "id2")
+    val best = Dedup.clusterKeepBest(spannedOk, idCol, pairs, col("n_tokens"))
+    val keptBest = spannedOk.join(
+      best.filter(col("kept")).select(col("id").as(idCol)), Seq(idCol))
+    phase("decontaminate")
+    val surv = Contamination.decontaminate(
+      keptBest.withColumnRenamed("clean_text", textCol), bench,
+      idCol, textCol, n = 3, minShared = 2L)
+    phase("split_pack")
+    val packed = Sampling.packChunks(
+      surv.select(col(idCol), col("n_tokens")), idCol, "n_tokens",
+      nShards = 8, chunkTokens = 256L)
+      .withColumn("split",
+        Sampling.splitColumn(col(idCol), Sampling.DefaultSplits))
+    val out = quality
+      .join(lined.select(col(idCol), col("n_kept").as("__lk")),
+        Seq(idCol), "left")
+      .join(spanned.select(col(idCol), col("n_kept").as("__sk")),
+        Seq(idCol), "left")
+      .join(best.select(col("id").as(idCol), col("kept").as("__kb")),
+        Seq(idCol), "left")
+      .join(packed, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("reason") =!= "ok", col("reason"))
+          .when(col("__lk") === 0, lit("boilerplate"))
+          .when(col("__sk") === 0, lit("span_empty"))
+          .when(!col("__kb"), lit("near_dup"))
+          .when(col("shard").isNull, lit("contaminated"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("status"), col("split"), col("shard"),
+        col("n_tokens"), col("start_tok"), col("chunk_first"),
+        col("chunk_last"))
+      .orderBy(idCol).localCheckpoint()
+    Seq(quality, lined, spanned, pairs, best, surv, packed)
+      .foreach(CacheControl.release)
+    out
+  }
+
   def prepPipeline(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
                    minTokens: Int, maxDup2Frac: Double,
                    minMeanTokenLen: Double, maxMeanTokenLen: Double,

@@ -163,6 +163,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** BANDED (OR-amplified) hyperplane-LSH top-k — the production recall
+    * setting single-bucket [[lshTopK]] and radius-1 [[lshTopKMultiProbe]]
+    * motivate: the `planes`-bit signature splits into `nBands` contiguous
+    * bands of r = planes/nBands bits, and a candidate joins a query when
+    * they agree on ANY full band (AND within a band, OR across bands —
+    * the classic s-curve construction, same shape as
+    * [[lshNearDupPairs]]/[[graft.ops.Dedup.lshBands]]).
+    *
+    * Tuning math (p = P(one plane agrees) = 1 − θ/π): recall per true
+    * neighbor = 1 − (1 − p^r)^b, and on uniformly-bucketed data the
+    * candidate fraction ≈ 1 − (1 − 2^-r)^b. More bands buys recall at
+    * linear probe cost; wider bands cuts cost exponentially but demands
+    * high p. Real near-dup corpora (cos ≥ 0.8 → p ≥ 0.85) run wide-band
+    * configs like r=8, b=16 (recall ≈ 0.97 at ~6% of the corpus probed);
+    * weakly-similar targets force narrow bands — see the honest cost
+    * statement at [[graft.queries.ExtendedQueries]]'s AnnRecallFloors.
+    *
+    * Scale shape: the pair search is a band-bucket equi-join producing
+    * NARROW (query_id, neighbor_id) rows (a pair agreeing in several
+    * bands collapses in the distinct BEFORE any vector rides a shuffle);
+    * exact cosines attach by one id-keyed join against the candidate
+    * side and a broadcast of the query side. At corpus scale the banded
+    * signature table is the thing you persist (the Dedup LSM band index
+    * stores exactly this layout) so the signature pass is paid once.
+    */
+  def lshTopKBanded(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    planes: Int, nBands: Int, dims: Int): DataFrame = {
+    require(planes % nBands == 0, "planes must divide into equal bands")
+    val w = planes / nBands
+    val sig = lshBucket(col(vecCol), planes, dims)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), substring(col("__sig"), b * w + 1, w).as("bh"))
+    }
+    def bandRows(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), sig.as("__sig"))
+        .select(col(id), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = bandRows(candidates, "neighbor_id")
+      .join(broadcast(bandRows(queries, "query_id")), Seq("band", "bh"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val scored = cands.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val rankW = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** [[bruteForceTopK]] with the heap aggregate
     * ([[graft.functions.TopKByScore]]) instead of a rank window: map-side
     * partial top-k buffers collapse each partition to k rows per query

@@ -148,6 +148,25 @@ object TextAnalysis {
         i => polyHash(slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Per-token hash values ([[polyHash]]'s v(tok)) as their own array —
+    * hash each token ONCE, then window folds are pure long arithmetic.
+    * Inside [[ngramHashesOfTokens]] every token's md5 re-computes for
+    * each of the n grams covering it; at corpus scale the md5 calls ARE
+    * the fingerprint pass, so the n× matters. Values are identical.
+    */
+  def tokenHashValues(toks: Column): Column = transform(toks, t => tokVal(t))
+
+  /** Gram polynomial hashes from a pre-projected [[tokenHashValues]]
+    * attribute: same fold, same modulus, bit-identical to
+    * [[ngramHashesOfTokens]] — minus the repeated md5s.
+    */
+  def ngramHashesOfValues(hvals: Column, n: Int): Column =
+    when(size(hvals) >= n,
+      transform(sequence(lit(1), size(hvals) - (n - 1)),
+        i => aggregate(slice(hvals, i, lit(n)), lit(0L),
+          (h, v) => (h * RollBase + v) % RollMod)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Near-dup candidate pairs from shared winnowing fingerprints: ids
     * co-occurring in ≥ `minShared` fingerprint groups. The equi-join on
     * the fingerprint is the whole pair search — bucket sizes drive cost,
@@ -155,12 +174,28 @@ object TextAnalysis {
     * exact verifier (Jaccard / edit distance) downstream.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  k: Int, w: Int, minShared: Long): DataFrame = {
+                  k: Int, w: Int, minShared: Long): DataFrame =
+    winnowPairsOfTokens(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")),
+      k, w, minShared)
+
+  /** [[winnowPairs]] over a pre-tokenized (id, toks) multiset frame
+    * ([[graft.ops.Dedup.signatures]] output) — the detector-family form
+    * sharing one corpus tokenization. Output: (id1, id2, n_shared).
+    */
+  def winnowPairsOfTokens(tf: DataFrame, k: Int, w: Int,
+                          minShared: Long): DataFrame = {
     // cached: both sides of the pair join read it, and the fingerprint
-    // selection (tokenize → gram-hash → windowed min) is the heavy pass
-    val fps = winnowFingerprints(df, idCol, textCol, k, w).cache()
-    val a = fps.select(col("fp"), col(idCol).as("id1"))
-    val b = fps.select(col("fp"), col(idCol).as("id2"))
+    // selection (gram-hash → windowed min) is the heavy pass. CACHED
+    // ALREADY HASH-PARTITIONED ON THE JOIN KEY: both self-join sides then
+    // consume the cache's partitioning directly — one exchange total for
+    // the pair search instead of one per side, the same trick as the
+    // graph edge layout (and unlike a collect_list-per-bucket pair
+    // expansion, still skew-safe on a boilerplate fingerprint).
+    val fps = winnowFingerprintsOfTokens(tf, "id", "toks", k, w)
+      .repartition(col("fp")).cache()
+    val a = fps.select(col("fp"), col("id").as("id1"))
+    val b = fps.select(col("fp"), col("id").as("id2"))
     val out = a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -201,10 +236,21 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), ngramHashesOfTokens(col("__toks"), k).as("__grams"))
+    winnowFingerprintsOfTokens(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", k, w)
+
+  /** [[winnowFingerprints]] over a pre-tokenized multiset column. Expects
+    * ONE row per id (every caller's doc-frame shape) — [[winnowOfGramHashes]]
+    * already `array_distinct`s each document's selection, so the exploded
+    * (id, fp) rows are distinct BY CONSTRUCTION and no corpus-wide
+    * distinct (a full shuffle of every fingerprint row) is ever needed.
+    */
+  def winnowFingerprintsOfTokens(tf: DataFrame, idCol: String, toksCol: String,
+                                 k: Int, w: Int): DataFrame =
+    tf.select(col(idCol), tokenHashValues(col(toksCol)).as("__hv"))
+      .select(col(idCol), ngramHashesOfValues(col("__hv"), k).as("__grams"))
       .select(col(idCol), explode(winnowOfGramHashes(col("__grams"), w)).as("fp"))
-      .distinct()
 
   /** Quality-feature bundle; ratios rounded to 4dp (IEEE division is
     * deterministic across engines, so rounding canonicalizes identically).

@@ -160,7 +160,19 @@ object ExtendedQueries {
       // hamming-radius-1 multi-probe over the same 4 planes: the fix the
       // plain-lsh row motivates (measured 0.50 — 5× the single-bucket
       // recall at 5× probe cost)
-      "lsh_mp" -> 0.25)
+      "lsh_mp" -> 0.25,
+      // banded OR-amplification, 24 planes in 12 bands of r=2 (match =
+      // agree on ANY full band): recall 1-(1-p^r)^b with p ≈ 0.56 on this
+      // fixture's weak top-5 cosines (~0.2) predicts ≈0.99; measured
+      // 1.0 at sf0.01. Probe cost, stated honestly: candidate fraction ≈
+      // 1-(1-2^-r)^b ≈ 0.97 of the corpus here — uniform random
+      // embeddings with near-orthogonal "neighbors" are LSH's worst case
+      // (ρ = ln p1/ln p2 → 1 as p1 → p2), so production-grade recall on
+      // THIS fixture costs nearly brute force. On a real near-dup corpus
+      // (cos ≥ 0.8 → p ≥ 0.85) the same operator runs r=8/b=16 for
+      // recall ≈ 0.97 probing ~6% of the corpus — the r/b knobs, not the
+      // operator shape, carry the trade (see Similarity.lshTopKBanded).
+      "lsh_banded" -> 0.8)
 
   // Target source-mix for the rebalancing query: src3 is the binding
   // source (kept whole), src0/1/2 are downsampled toward the shares.
@@ -625,20 +637,39 @@ object ExtendedQueries {
 
     // LSH candidates verified by EDIT DISTANCE (order-sensitive, the
     // complement of Jaccard): levenshtein over whitespace-normalized
-    // text, computed only on candidate pairs.
+    // text, computed only on candidate pairs. Bands are WIDE here (2
+    // bands × 4 minhashes): edit-distance verification is the most
+    // expensive verifier in the family (O(len·maxDist) per pair), so the
+    // candidate generator trades recall for precision — the knob a real
+    // fuzzy-dedup flow turns, since banded cost scales with candidate
+    // count, not corpus size. maxDist = 64 is a near-dup bound (~¼ of a
+    // typical doc), not the anything-goes 200 of earlier rounds.
     QueryDef(
       "dedup_fuzzy",
       (s, dir) => {
         val docs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
-        Dedup.verifyPairsEditDistance(docs,
-          Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 8, rowsPerBand = 2),
-          "doc_id", "text", maxDist = 200)
-          .orderBy("id1", "id2")
+        // ONE tokenization pass (Dedup.signatures): candidate generation
+        // derives the token SET from it, the edit-distance verify derives
+        // the normalized text — the corpus is scanned once, not three
+        // times. The verified pairs materialize BEFORE the orderBy (a
+        // range sort's sampling pass re-executes its child — that would
+        // run the whole levenshtein pass twice); the shared pass releases.
+        val sigs = Dedup.signatures(docs, "doc_id", "text")
+        val cands = Dedup.lshCandidatePairsOnSets(
+          sigs.select(col("id"), array_distinct(col("toks")).as("toks")),
+          k = 8, rowsPerBand = 4)
+        val verified = Dedup.verifyPairsEditDistanceOnTokens(sigs, cands,
+          maxDist = 64).localCheckpoint()
+        CacheControl.release(cands)
+        CacheControl.release(sigs)
+        val out = verified.orderBy("id1", "id2").localCheckpoint()
+        CacheControl.release(verified)
+        out
       },
       Some {
         val mins = (0 until 8).map(i => s"min(md5('$i|' || tok)) AS mh$i").mkString(", ")
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM s"
+        val bands = (0 until 2).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${4 * b} || mh${4 * b + 1} || mh${4 * b + 2} || mh${4 * b + 3}) AS bh FROM s"
         ).mkString(" UNION ALL ")
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0),
            |w AS (SELECT DISTINCT doc_id, tok FROM d, UNNEST(d.toks) AS t(tok)),
@@ -649,7 +680,7 @@ object ExtendedQueries {
            |txt AS (SELECT doc_id, array_to_string(toks, ' ') AS t FROM d)
            |SELECT id1, id2, CAST(levenshtein(t1.t, t2.t) AS INTEGER) AS edit_dist
            |FROM cand JOIN txt t1 ON id1 = t1.doc_id JOIN txt t2 ON id2 = t2.doc_id
-           |WHERE levenshtein(t1.t, t2.t) <= 200
+           |WHERE levenshtein(t1.t, t2.t) <= 64
            |ORDER BY id1, id2""".stripMargin
       }
     ),
@@ -1060,7 +1091,7 @@ object ExtendedQueries {
             .agg(round(count(lit(1)).cast("double") / lit(8 * k), 4).as("recall"))
             .select(lit(name).as("method"), col("recall"),
               lit(floor).as("floor"), (col("recall") >= floor).as("meets_floor"))
-        recallRow("int8", AnnRecallFloors("int8"),
+        val out = recallRow("int8", AnnRecallFloors("int8"),
             Similarity.quantizedTopK(q, e, "vec_id", "embedding", k))
           .unionByName(recallRow("ivf", AnnRecallFloors("ivf"),
             Similarity.ivfTopK(q, e, "vec_id", "embedding", k, nCentroids = 16)))
@@ -1073,7 +1104,19 @@ object ExtendedQueries {
             // shows what the probe expansion buys over plain lsh
             Similarity.lshTopKMultiProbe(q, e, "vec_id", "embedding", k,
               planes = 4, dims = Dims)))
-          .orderBy("method")
+          .unionByName(recallRow("lsh_banded", AnnRecallFloors("lsh_banded"),
+            // banded OR-amplification (b bands × r planes, match = share
+            // ANY full band): the production recall setting — see the
+            // trade documented at AnnRecallFloors
+            Similarity.lshTopKBanded(q, e, "vec_id", "embedding", k,
+              planes = 24, nBands = 12, dims = Dims)))
+          // EAGER + release (cache policy): the tiny per-method recall
+          // rows materialize, then the ground-truth checkpoint — repinned
+          // otherwise on every bench/session invocation — is dropped, so
+          // a long-lived session keeps one persistent entry per call.
+          .orderBy("method").localCheckpoint()
+        CacheControl.release(truth)
+        out
       },
       Some {
         val cosQC = cosSql("qv", "cv", Dims)
@@ -1083,6 +1126,10 @@ object ExtendedQueries {
         val mpProbeUnion = (s"SELECT query_id, qv, bucket FROM lq0" +:
           (1 to 4).map(i =>
             s"SELECT query_id, qv, ${flipSql(i, 4)} AS bucket FROM lq0"))
+          .mkString(" UNION ALL ")
+        // 12 bands of 2 bits over the 24-plane signature (lsh_banded row)
+        val bandedBandsSql = (0 until 12).map(b =>
+          s"SELECT vec_id, $b AS band, substr(sig, ${b * 2 + 1}, 2) AS bh FROM be")
           .mkString(" UNION ALL ")
         def rec(m: String, cte: String) =
           s"""SELECT '$m' AS method,
@@ -1118,6 +1165,19 @@ object ExtendedQueries {
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            |    FROM lmsc) WHERE rk <= 5),
+           |be AS (SELECT vec_id, embedding, ${bucketSql("embedding", 24, Dims)} AS sig FROM embeddings),
+           |bbands AS ($bandedBandsSql),
+           |bcand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |          FROM bbands c JOIN bbands q ON q.band = c.band AND q.bh = c.bh
+           |          WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |bsc AS (SELECT query_id, neighbor_id,
+           |          round(${cosSql("e1.embedding", "e2.embedding", Dims)}, 6) AS cos
+           |        FROM bcand JOIN be e1 ON e1.vec_id = query_id
+           |                   JOIN be e2 ON e2.vec_id = neighbor_id),
+           |lb5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM bsc) WHERE rk <= 5),
            |cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
            |assign AS (
            |  SELECT vec_id, cent_id FROM (
@@ -1149,6 +1209,7 @@ object ExtendedQueries {
            |rc AS (${rec("int8", "i85")}
            |  UNION ALL ${rec("ivf", "ivf5")}
            |  UNION ALL ${rec("lsh", "lsh5")}
+           |  UNION ALL ${rec("lsh_banded", "lb5")}
            |  UNION ALL ${rec("lsh_mp", "lmp5")})
            |SELECT method, recall, floor, recall >= floor AS meets_floor
            |FROM rc ORDER BY method""".stripMargin
@@ -2614,66 +2675,15 @@ object ExtendedQueries {
     QueryDef(
       "pipeline_end_to_end",
       (s, dir) => {
+        // the dataflow lives in Prep.corpusPipeline — shared verbatim
+        // with the orchestrated CorpusPipelineJob (phases per stage,
+        // batch audit, status row), so the CLI-run job produces exactly
+        // the disposition this oracle verifies
         val all = Tables.documents(s, dir)
-        val corpus = all.filter(col("doc_id") % 10 === 0)
-        val bench = all.filter(col("doc_id") % 97 === 0)
-        // 1. quality gate (reason per doc; only 'ok' docs continue).
-        // EAGER: filtering the lazy quality frame would push the O(n²)
-        // quality expression trees into a pre-projection Filter (see
-        // Prep.prepPipeline); the checkpoint evaluates them once.
-        val quality = TextAnalysis.qualityFilter(corpus, "doc_id", "text",
-          minTokens = 30, maxDup2Frac = 0.08, minMeanTokenLen = 3.8,
-          maxMeanTokenLen = 5.2, minStopwordRatio = 0.02)
-          .select(col("doc_id"), col("reason"))
-          .localCheckpoint()
-        val qualOk = corpus.join(
-          quality.filter(col("reason") === "ok").select("doc_id"), Seq("doc_id"))
-        // 2. cross-doc line dedup on the quality survivors
-        val lined = Dedup.dedupLines(qualOk, "doc_id", "text", tokensPerLine = 8)
-        val linedOk = lined.filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("clean_text"))
-        // 3. verbatim span removal (keep-first) on the LINE-DEDUPED text
-        val spanned = Dedup.removeDuplicateSpans(linedOk, "doc_id", "clean_text",
-          n = 3, keepFirst = true)
-        val spannedOk = spanned.filter(col("n_kept") > 0)
-          .select(col("doc_id"), col("n_kept").as("n_tokens"), col("clean_text"))
-        // 4. near-dup clusters over the CLEANED text; keep the copy with
-        // the most surviving tokens (ties → smallest id)
-        val pairs = Dedup.jaccardPairs(spannedOk, "doc_id", "clean_text",
-          minJaccard = 0.5).select("id1", "id2")
-        val best = Dedup.clusterKeepBest(spannedOk, "doc_id", pairs, col("n_tokens"))
-        val keptBest = spannedOk.join(
-          best.filter(col("kept")).select(col("id").as("doc_id")), Seq("doc_id"))
-        // 5. decontaminate the survivors' CLEANED text vs the benchmark
-        val surv = Contamination.decontaminate(
-          keptBest.withColumnRenamed("clean_text", "text"), bench,
-          "doc_id", "text", n = 3, minShared = 2L)
-        // 6. split assignment + sequence packing metadata for survivors
-        val packed = Sampling.packChunks(
-          surv.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
-          nShards = 8, chunkTokens = 256L)
-          .withColumn("split",
-            Sampling.splitColumn(col("doc_id"), Sampling.DefaultSplits))
-        // one disposition row per corpus doc
-        quality
-          .join(lined.select(col("doc_id"), col("n_kept").as("__lk")),
-            Seq("doc_id"), "left")
-          .join(spanned.select(col("doc_id"), col("n_kept").as("__sk")),
-            Seq("doc_id"), "left")
-          .join(best.select(col("id").as("doc_id"), col("kept").as("__kb")),
-            Seq("doc_id"), "left")
-          .join(packed, Seq("doc_id"), "left")
-          .withColumn("status",
-            when(col("reason") =!= "ok", col("reason"))
-              .when(col("__lk") === 0, lit("boilerplate"))
-              .when(col("__sk") === 0, lit("span_empty"))
-              .when(!col("__kb"), lit("near_dup"))
-              .when(col("shard").isNull, lit("contaminated"))
-              .otherwise(lit("kept")))
-          .select(col("doc_id"), col("status"), col("split"), col("shard"),
-            col("n_tokens"), col("start_tok"), col("chunk_first"),
-            col("chunk_last"))
-          .orderBy("doc_id")
+        Prep.corpusPipeline(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text")
       },
       Some(s"""WITH RECURSIVE
               |d AS (SELECT doc_id, text, $toksSql AS toks FROM documents

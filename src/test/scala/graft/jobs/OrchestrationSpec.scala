@@ -151,6 +151,37 @@ class JobTypesSpec extends SparkSpec {
     object E extends ExtractionJob { val name = "e"; def run(ctx: JobContext): Unit = () }
     assert(E.jobType == "extraction")
   }
+
+  test("CorpusPipelineJob: batch audit, stage phases, oracle-identical output") {
+    val batches = new BatchTracker
+    val tracker = new StatusTracker
+    val runner  = new JobRunner(spark, new DefaultsStore, tracker)
+    val sf  = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("cpjob").toString + "/disposition"
+    runner.run(new CorpusPipelineJob(batches, Some(out)), Some(sf), debug = true)
+    // status row: ok, last phase = publish (the stage trail's tail)
+    val st = tracker.forJob("corpus_pipeline").head
+    assert(st.status == "ok", st)
+    assert(st.phase.contains("publish"), st)
+    // batch audit row — the reference Loading contract (loading.rb:29-46)
+    assert(batches.all.exists(b =>
+      b.batchType == "loading" && b.batchSource == "corpus_pipeline"))
+    // the job's published parquet is EXACTLY the oracle-gated query's
+    // result over the same source (shared code path — Prep.corpusPipeline)
+    val viaJob = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    val viaQuery = graft.SparkEntry.queries("pipeline_end_to_end")(spark, sf)
+    assert(viaJob == viaQuery.orderBy("doc_id").collect().toSeq)
+    graft.ops.CacheControl.release(viaQuery)
+    // per-stage phase trail, in dataflow order
+    val phases = scala.collection.mutable.ArrayBuffer.empty[String]
+    val all = graft.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    graft.ops.CacheControl.release(
+      graft.ops.Prep.corpusPipeline(all.filter(col("doc_id") % 10 === 0),
+        all.filter(col("doc_id") % 97 === 0), "doc_id", "text", phases += _))
+    assert(phases.toSeq == Seq("quality_gate", "line_dedup", "span_removal",
+      "near_dup_cluster", "decontaminate", "split_pack"))
+  }
 }
 
 class DefaultsSpec extends SparkSpec {

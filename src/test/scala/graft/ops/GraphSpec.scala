@@ -76,6 +76,57 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) > out(1L)) // sink accumulates more than the source
   }
 
+  test("pagerank iterations re-shuffle only the rank vector, never the edges") {
+    // the iterative-layout contract: edges + degrees are partitioned and
+    // sorted on src ONCE (edgeLayout); every iteration's 3-way join must
+    // then plan with no Exchange and no Sort above either immutable side
+    // — only the rank vector (and the dst aggregation) moves per round
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rnd = new scala.util.Random(7)
+      val es = (1 to 500)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .toDF("s", "d")
+      val e = Graph.edgeLayout(es, "s", "d")
+      val deg = e.groupBy("src")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("deg"))
+        .sortWithinPartitions("src").localCheckpoint()
+      // rank vector from an UNRELATED source so its subtree can't be
+      // mistaken for the edge scan
+      val ranks = spark.range(40)
+        .select(org.apache.spark.sql.functions.col("id").as("node"),
+          org.apache.spark.sql.functions.lit(1000L).as("rank_fp"))
+      val plan = Graph.contribSums(e, ranks, deg).queryExecution.executedPlan
+      // "directly over the edge scan" = reaches the (src, dst) leaf
+      // without passing a join or an aggregate — a shuffle/sort there
+      // means the per-iteration plan re-laid-out the edge list; the
+      // post-join aggregation exchange (which also has the scan somewhere
+      // below it) is the legitimate per-round rank movement
+      def directlyOverEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+          case leaf if leaf.children.isEmpty =>
+            leaf.output.map(_.name) == Seq("src", "dst")
+          case other => other.children.exists(directlyOverEdgeScan)
+        }
+      assert(plan.collectLeaves().exists(_.output.map(_.name) == Seq("src", "dst")),
+        s"edge scan not found in plan:\n$plan")
+      val badShuffle = plan.collect {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if directlyOverEdgeScan(x.child) => x }
+      val badSort = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+          if directlyOverEdgeScan(s.child) => s }
+      assert(badShuffle.isEmpty,
+        s"edge list re-shuffled inside the iteration plan:\n$plan")
+      assert(badSort.isEmpty,
+        s"edge list re-sorted inside the iteration plan:\n$plan")
+      CacheControl.release(e); CacheControl.release(deg)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("driver fast paths match the distributed loops exactly") {
     import spark.implicits._
     // a messy graph: cycle, chain, dangling sink, disconnected pair,

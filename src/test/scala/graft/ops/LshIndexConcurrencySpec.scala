@@ -61,4 +61,40 @@ class LshIndexConcurrencySpec extends SparkSpec {
       .flatten.count(_.getName.endsWith(".parquet"))
     assert(delta == 0, "quiesced compaction should consume the full tail")
   }
+
+  test("compaction heals a crashed prior swap instead of orphaning it") {
+    val idx = java.nio.file.Files.createTempDirectory("lshcrash").toString + "/idx"
+    Dedup.buildLshIndex((0L until 6L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    Dedup.appendLshIndex(Seq(doc(6L)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    // simulate a compaction that died between swapDirs' two renames:
+    // organized/ retired, tmp never moved in
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orgDir = new org.apache.hadoop.fs.Path(idx + "/organized")
+    val retired = new org.apache.hadoop.fs.Path(
+      idx + "/organized.retired." + java.util.UUID.randomUUID().toString)
+    assert(fs.rename(orgDir, retired), "test setup: retire rename failed")
+    // a probe in this state fails loudly (retryable), never silently
+    // returns delta-only rows
+    val incoming = (0L until 8L).map(doc).toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id") + 1000L)
+    intercept[Exception] {
+      Dedup.probeLshIndex(spark, idx, incoming, "doc_id", "text", 8, 2)
+    }
+    // the next scheduled compaction RECOVERS the retired organized rows
+    // (pre-fix it would fold the delta tail alone and delete it,
+    // permanently orphaning docs 0-5)
+    Dedup.compactLshIndex(spark, idx)
+    val seen = Dedup.probeLshIndex(spark, idx, incoming,
+      "doc_id", "text", 8, 2).collect().map(_.getLong(1)).toSet
+    assert((0L until 7L).toSet.subsetOf(seen),
+      s"crashed-swap recovery lost rows: $seen")
+    // the healed state carries no swap markers
+    val leftovers = fs.globStatus(
+      new org.apache.hadoop.fs.Path(idx + "/organized.retired.*"))
+    assert(leftovers == null || leftovers.isEmpty,
+      "recovery should consume the newest retired copy")
+  }
 }
