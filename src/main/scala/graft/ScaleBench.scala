@@ -30,6 +30,9 @@ import graft.ops._
   * (defaults: /root/testdata/sf0.1, "1,10,30", /tmp/scale_curves.json).
   * Driver fast paths are FORCED OFF (maxDriver* = 0) so every point
   * measures the distributed loop — the path that exists at 100 TB.
+  * Run with SPARK_DRIVER_MEM=48g: the 30× corpus plus its localCheckpoint
+  * pins exceed the 8g default of this single-JVM harness (a cluster
+  * spreads the same blocks over executors).
   */
 object ScaleBench {
 
@@ -136,7 +139,11 @@ object ScaleBench {
       out += "index_build" -> timeIt {
         Dedup.buildLshIndex(docs, "doc_id", "text", 8, 2, idxPath)
       }
-      val batch = baseDocs.limit(2000)
+      // fixed-size crawl batch; 500 docs — every one is a near-copy of a
+      // corpus doc AND shares vocabulary with the others (the worst case
+      // for in-batch verification), so the batch-local quadratic term is
+      // kept honest but bounded
+      val batch = baseDocs.limit(500)
         .select((col("doc_id") + 900000000L).as("doc_id"),
           concat(col("text"), lit(" probeonly")).as("text"))
         .localCheckpoint()
@@ -155,7 +162,17 @@ object ScaleBench {
 
     // JIT/codegen warm-up on the smallest multiplier, untimed
     measure(mults.min): Unit
-    val rows: Seq[(Int, Seq[(String, Double)])] = mults.map(m => m -> measure(m))
+    // min over two INTERLEAVED full sweeps — the same defense the bench
+    // uses, arranged so a noisy-neighbor window cannot contaminate both
+    // samples of one point: back-to-back passes of the same multiplier
+    // share any multi-minute contention window (observed: a 10× segment
+    // 3-8× off while 30× stayed clean), whereas a full-sweep interleave
+    // puts ~sweep-length between the two samples of every point
+    val sweep1 = mults.map(m => m -> measure(m)).toMap
+    val sweep2 = mults.map(m => m -> measure(m).toMap).toMap
+    val rows: Seq[(Int, Seq[(String, Double)])] = mults.map { m =>
+      m -> sweep1(m).map { case (op, t) => op -> math.min(t, sweep2(m)(op)) }
+    }
     val ops = rows.head._2.map(_._1)
     val byOp = ops.map { op =>
       op -> rows.map { case (m, r) => m -> r.find(_._1 == op).get._2 }

@@ -954,6 +954,22 @@ object Dedup {
       }) ++
       (if (consumed.nonEmpty) Seq(spark.read.parquet(consumed: _*)) else Nil)
     if (sides.isEmpty) return
+    // quiescent index (nothing new to fold): do NOT rewrite the whole
+    // organized generation — a nightly maintenance cron on an idle index
+    // would otherwise pay a full O(index) rewrite per run. Run only the
+    // deferred GC and leave the pointer alone. Generations < ptr are a
+    // full maintenance interval old by the time a SECOND compaction runs
+    // (the same one-cycle grace the commit path gives), so they and what
+    // they consumed are collectable.
+    if (ptr.nonEmpty && consumed.isEmpty && renameSide.isEmpty && legacy.isEmpty) {
+      versionDirsOnDisk(fs, path).filter(_ <= ptr.get - 1).foreach { w =>
+        readConsumed(fs, path, w).foreach(item =>
+          fs.delete(new org.apache.hadoop.fs.Path(item), true): Unit)
+        fs.delete(new org.apache.hadoop.fs.Path(versionDir(path, w)), true): Unit
+      }
+      dropEmptyBatchDirs(fs, path)
+      return
+    }
     val newV = ptr.getOrElse(0L) + 1L
     val vdir = versionDir(path, newV)
     fs.delete(new org.apache.hadoop.fs.Path(vdir), true): Unit // crashed attempt

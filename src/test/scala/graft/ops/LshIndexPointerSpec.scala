@@ -102,4 +102,34 @@ class LshIndexPointerSpec extends SparkSpec {
     val finalSeen = readAllNoRetry(idx)
     assert(finalSeen == (0L until 11L).toSet, s"final state wrong: $finalSeen")
   }
+
+  test("quiescent compaction skips the O(index) rewrite but still GCs") {
+    // A maintenance cron on an idle index must not rewrite the whole
+    // organized generation every run — only the deferred GC runs, with
+    // the same one-cycle grace as the commit path (gens ≤ ptr-1).
+    val idx = java.nio.file.Files.createTempDirectory("lshptr3").toString + "/idx"
+    Dedup.buildLshIndex((0L until 4L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    Dedup.compactLshIndex(spark, idx, pointerCommit = true) // v1
+    Dedup.appendLshIndex(Seq(doc(4L)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    Dedup.compactLshIndex(spark, idx)                       // v2; v1 kept (grace)
+    def gens: Set[Long] = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("organized-v"))
+      .map(_.stripPrefix("organized-v").toLong).toSet
+    assert(gens == Set(1L, 2L))
+    val ptrBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "organized.current"))
+    val v2Files = new java.io.File(idx, "organized-v2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    Dedup.compactLshIndex(spark, idx) // quiescent: nothing new to fold
+    assert(gens == Set(2L), "quiescent run should GC the superseded gen")
+    assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(idx, "organized.current")).sameElements(ptrBytes),
+      "quiescent run must not move the pointer")
+    val v2After = new java.io.File(idx, "organized-v2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(v2After == v2Files, "quiescent run must not rewrite the live gen")
+    assert(readAllNoRetry(idx) == (0L until 5L).toSet)
+  }
 }
