@@ -151,7 +151,13 @@ object ScaleBench {
         val (accepted, bands) = Dedup.gateBatchWithBands(batch, "doc_id",
           "text", idxPath, docs, 8, 2, 0.7)
         accepted.count()
-        Dedup.writeLshIndexBands(bands, idxPath) // the real sink appends
+        // the real sink (StreamOps.lshDedupGateSink) appends only the
+        // ACCEPTED docs' band rows — appending all of them would grow
+        // the benched index with rows production never holds (this batch
+        // is built to be mostly rejected), skewing compact_index's input
+        Dedup.writeLshIndexBands(
+          bands.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi"),
+          idxPath)
         bands.unpersist()
         CacheControl.release(accepted)
       }

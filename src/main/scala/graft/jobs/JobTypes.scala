@@ -106,7 +106,11 @@ class QueryJob(batches: BatchTracker, val queryName: String,
   * to the oracle-gated `pipeline_end_to_end` query over the same source
   * (same code path), so the job's correctness is already hash-pinned.
   * Source dir resolves from the run argument, then the job's defaults
-  * domain; output dir from defaults or `<sourceDir>/../corpus_pipeline_out`.
+  * domain; the output dir MUST come from the constructor or
+  * defaults('output_dir') — a guessed sibling of the source dir would
+  * write next to (or, for a relative arg, at the literal path
+  * "null/…" outside) a source tree the job has no business writing
+  * into; fixtures like /root/testdata are read-only.
   */
 class CorpusPipelineJob(batches: BatchTracker,
                         outPath: Option[String] = None) extends LoadingJob(batches) {
@@ -116,8 +120,11 @@ class CorpusPipelineJob(batches: BatchTracker,
     val dir = ctx.argument.orElse(ctx.defaults.get("source_dir")).getOrElse(
       throw new IllegalArgumentException(
         "no source dir: pass one as the run argument or set defaults('source_dir')"))
-    val out = outPath.orElse(ctx.defaults.get("output_dir"))
-      .getOrElse(new java.io.File(dir).getParent + "/corpus_pipeline_out")
+    val out = outPath.orElse(ctx.defaults.get("output_dir")).getOrElse(
+      throw new IllegalArgumentException(
+        "no output dir: construct CorpusPipelineJob(outPath=...) or set " +
+          "defaults('output_dir') — refusing to guess a path beside the " +
+          "source tree"))
     val all = graft.Tables.documents(ctx.spark, dir)
     import org.apache.spark.sql.functions.col
     val disposition = graft.ops.Prep.corpusPipeline(

@@ -576,8 +576,13 @@ object Dedup {
   // deletes that list — so an in-flight reader that resolved the
   // previous pointer keeps a complete, readable state for a full
   // compaction cycle (zero retries; only a reader straddling TWO
-  // compactions retries). Un-GC'd delta files double-count against the
-  // new generation for that cycle — harmless, probes distinct().
+  // compactions retries). Readers EXCLUDE delta files recorded as
+  // consumed by their resolved generation (or its ancestors): those rows
+  // are already inside the generation, and — decisively — the next
+  // compaction's GC deletes exactly those files, so a reader that listed
+  // them would lose the one-cycle guarantee from the third generation
+  // onward (the GC set is empty for v1→v2, which is why only a
+  // steady-state test can catch it).
   private def pointerFile(path: String): String = path + "/organized.current"
   private def versionDir(path: String, v: Long): String = path + s"/organized-v$v"
   private def consumedFile(path: String, v: Long): String =
@@ -591,38 +596,77 @@ object Dedup {
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
-    try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
   }
 
+  /** The pointer read is bounded-retried against the REPLACE window's
+    * transient signatures: on ChecksumFs (local) the rename-overwrite is
+    * two renames (data file + .crc sidecar), so a concurrent open can
+    * pair a new data file with a stale checksum (ChecksumException) or
+    * catch the swap itself (EOF/FileNotFound); a mid-write direct PUT on
+    * the no-FileContext fallback path can briefly read empty
+    * (NumberFormatException). All are microsecond windows around a
+    * tiny-file replace — retry, and re-check existence each attempt (a
+    * rebuild legitimately DELETES the pointer; that must resolve to None,
+    * not an error).
+    */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
                           path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(pointerFile(path))
-    if (!fs.exists(p)) None
-    else Some(readSmallFile(fs, p).trim.toLong)
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      try return Some(readSmallFile(fs, p).trim.toLong)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.EOFException |
+                  _: java.io.FileNotFoundException |
+                  _: NumberFormatException) =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    None // unreachable
   }
 
   /** Atomically publish `organized.current` → v: write a uuid tmp file,
     * rename-overwrite it into place via FileContext (atomic single-file
-    * replace on local/HDFS; a bounded metadata PUT on object stores).
+    * replace on local/HDFS). FileContext needs an `AbstractFileSystem`
+    * binding per scheme, and stock Hadoop only ships them for
+    * local/hdfs/viewfs — object-store schemes (s3a, gs, abfs) are
+    * typically unbound unless `fs.AbstractFileSystem.<scheme>.impl` is
+    * configured. For those we fall back to a direct overwrite-create:
+    * on S3-class stores a create+close is ONE atomic PUT (readers see
+    * the old or the new object, never a torn one — the exact property
+    * the rename gives elsewhere), so the fallback is only non-atomic on
+    * filesystems that would have had a FileContext binding anyway.
     */
   private def publishPointer(spark: org.apache.spark.sql.SparkSession,
                              path: String, v: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(
-      path + "/.organized.current.tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new org.apache.hadoop.fs.Path(path).toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(pointerFile(path)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val ptrPath = new org.apache.hadoop.fs.Path(pointerFile(path))
+    val bytes = v.toString.getBytes("UTF-8")
+    val fcOpt =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+        new org.apache.hadoop.fs.Path(path).toUri, conf))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+      }
+    fcOpt match {
+      case Some(fc) =>
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + "/.organized.current.tmp-" + java.util.UUID.randomUUID())
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fc.rename(tmp, ptrPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        val out = fs.create(ptrPath, true)
+        try out.write(bytes) finally out.close()
+    }
   }
 
   private def readConsumed(fs: org.apache.hadoop.fs.FileSystem,
@@ -806,7 +850,8 @@ object Dedup {
     // the normal rename-compaction case (organized absent, no legacy
     // fallback): a silent delta-only scan would drop every organized row
     // from the results.
-    val orgSide = readPointer(fs, path) match {
+    val ptr = readPointer(fs, path)
+    val orgSide = ptr match {
       case Some(v) => Seq(spark.read.parquet(versionDir(path, v)))
       case None =>
         if (fs.exists(orgPath)) Seq(spark.read.parquet(orgPath.toString))
@@ -819,8 +864,28 @@ object Dedup {
           case _ => Nil
         }
     }
+    // Pointer layout: delta files consumed by the resolved generation or
+    // its ancestors are EXCLUDED — their rows are inside the generation
+    // already (reading them only double-counts), and the next
+    // compaction's deferred GC deletes exactly those files, so listing
+    // them would break the "zero retries across ONE racing compaction"
+    // guarantee from the third generation onward. Files consumed by
+    // generations NEWER than the resolved pointer (a compaction committed
+    // between our pointer read and this listing) must STAY listed: their
+    // rows are only in generations this reader is not reading, and they
+    // survive ≥ two further cycles.
+    val deltaSide = {
+      val all = deltaFiles(fs, path)
+      ptr match {
+        case Some(v) =>
+          val folded = versionDirsOnDisk(fs, path).filter(_ <= v)
+            .flatMap(w => readConsumed(fs, path, w)).toSet
+          all.filterNot(folded)
+        case None => all
+      }
+    }
     val sides = orgSide ++
-      (deltaFiles(fs, path) match {
+      (deltaSide match {
         case Nil => Nil
         case fsq => Seq(spark.read.parquet(fsq: _*))
       })

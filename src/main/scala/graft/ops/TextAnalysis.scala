@@ -192,8 +192,14 @@ object TextAnalysis {
     // the pair search instead of one per side, the same trick as the
     // graph edge layout (and unlike a collect_list-per-bucket pair
     // expansion, still skew-safe on a boilerplate fingerprint).
+    // dropDuplicates guards the pair counts against duplicate-id input
+    // (e.g. a union of batches sharing ids): a doc emitting each
+    // fingerprint twice would double n_shared and let pairs sharing
+    // minShared-1 fingerprints through. It rides the fp repartition for
+    // FREE — HashPartitioning(fp) already satisfies the (id, fp)
+    // aggregate's clustering requirement, so no second exchange.
     val fps = winnowFingerprintsOfTokens(tf, "id", "toks", k, w)
-      .repartition(col("fp")).cache()
+      .repartition(col("fp")).dropDuplicates("id", "fp").cache()
     val a = fps.select(col("fp"), col("id").as("id1"))
     val b = fps.select(col("fp"), col("id").as("id2"))
     val out = a.join(b, Seq("fp")).filter(col("id1") < col("id2"))
@@ -228,11 +234,18 @@ object TextAnalysis {
           element_at(grams, least(i + lit(j), size(grams)))): _*))))
   }
 
-  /** Corpus-level winnowing fingerprints: distinct (id, fp) rows — the
-    * join-ready form for plagiarism/near-dup matching (group by fp, pairs
-    * within groups). Tokens and gram hashes materialize as their own
+  /** Corpus-level winnowing fingerprints: (id, fp) rows — the join-ready
+    * form for plagiarism/near-dup matching (group by fp, pairs within
+    * groups). Tokens and gram hashes materialize as their own
     * projections so every lambda walks an attribute; the whole selection
     * is one narrow scan-side pass per document.
+    *
+    * PRECONDITION (both forms): one input row per id — the usual doc
+    * frame shape. Rows are then distinct by construction with no
+    * corpus-wide distinct (a full shuffle of every fingerprint row); a
+    * duplicated id emits its fingerprints once per row. [[winnowPairs]]
+    * dedups defensively (free on its existing exchange); frames that may
+    * carry duplicate ids should `dropDuplicates(idCol)` first.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame =

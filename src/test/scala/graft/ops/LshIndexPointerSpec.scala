@@ -103,6 +103,38 @@ class LshIndexPointerSpec extends SparkSpec {
     assert(finalSeen == (0L until 11L).toSet, s"final state wrong: $finalSeen")
   }
 
+  test("STEADY STATE: a pre-listed read survives the v3+ compaction whose " +
+    "GC deletes older generations' consumed delta files") {
+    // The v1→v2 window has an EMPTY deferred-GC set, so the original
+    // one-compaction test could not catch this: a reader must exclude
+    // delta files recorded as consumed by its resolved generation's
+    // ancestors — those are exactly the files the NEXT compaction's GC
+    // deletes. Sequence: D1 consumed by v1 is still on disk at ptr=v2
+    // (GC'd only when v3 commits); a reader listing D1 would throw
+    // FileNotFoundException after racing ONE compaction.
+    val idx = java.nio.file.Files.createTempDirectory("lshptr4").toString + "/idx"
+    Dedup.buildLshIndex((0L until 4L).map(doc).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    Dedup.appendLshIndex(Seq(doc(4L)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)                           // delta D1
+    Dedup.compactLshIndex(spark, idx, pointerCommit = true)  // v1 consumes D1
+    Dedup.appendLshIndex(Seq(doc(5L)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)                           // delta D2
+    Dedup.compactLshIndex(spark, idx)                        // v2; D1 still on disk
+    assert(new java.io.File(idx, "delta").listFiles().exists(
+        d => d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))),
+      "precondition: consumed-but-not-yet-GCd delta files must exist at ptr=v2")
+    val preListed = Dedup.readIndexPruned(spark, idx, allPrefixes)
+    Dedup.appendLshIndex(Seq(doc(6L)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 2, idx)
+    Dedup.compactLshIndex(spark, idx)                        // v3: GC deletes D1 + v1
+    val seen = preListed.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(seen == (0L until 6L).toSet,
+      s"pre-listed steady-state read must return its resolved state: $seen")
+    assert(readAllNoRetry(idx) == (0L until 7L).toSet)
+  }
+
   test("quiescent compaction skips the O(index) rewrite but still GCs") {
     // A maintenance cron on an idle index must not rewrite the whole
     // organized generation every run — only the deferred GC runs, with
