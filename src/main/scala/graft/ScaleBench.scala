@@ -82,6 +82,20 @@ object ScaleBench {
               transform(split(col("text"), " "),
                 t => concat(t, lit("q"), col("copy"))), " ")).as("text"))
     }
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // per-copy embedding perturbation: one rotated element per copy keeps
+    // vectors distinct across copies (no degenerate all-tied top-k) while
+    // preserving the base corpus's neighborhood structure within a copy
+    def scaledEmb(m: Int): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
+      baseEmb.select(col("vec_id"), col("embedding"), copies)
+        .select((col("vec_id") + col("copy") * 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + (col("copy") % 7).cast("float") *
+              when(i === col("copy") % 8, lit(0.01f)).otherwise(lit(0f)))
+            .as("embedding"))
+    }
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -162,7 +176,53 @@ object ScaleBench {
         CacheControl.release(accepted)
       }
       out += "compact_index" -> timeIt { Dedup.compactLshIndex(spark, idxPath) }
-      Seq(batch, edges, sigs, docsSample, docs).foreach(CacheControl.release)
+      out += "winnow_pairs" -> timeIt {
+        val r = TextAnalysis.winnowPairsOfTokens(sigs, k = 5, w = 4,
+          minShared = 2)
+        r.count(); CacheControl.release(r)
+      }
+      out += "dedup_lines" -> timeIt {
+        val r = Dedup.dedupLines(docsSample, "doc_id", "text",
+          tokensPerLine = 8)
+        r.count(); CacheControl.release(r)
+      }
+      // ANN: the candidate set scales with the corpus; the query set is
+      // FIXED (200 vectors) — per-query probe cost is the scale claim
+      // (IVF: ~N/nCentroids per query on balanced lists, so ~linear at
+      // fixed nCentroids; a real deployment grows nCentroids ~√N)
+      val emb = scaledEmb(m).localCheckpoint()
+      val annQueries = baseEmb.limit(200)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      out += "ann_ivf_topk" -> timeIt {
+        val r = Similarity.ivfTopK(annQueries, emb, "vec_id", "embedding",
+          k = 5, nCentroids = 64)
+        r.count(); CacheControl.release(r)
+      }
+      // manifest: commit + point-scan latency against an m-commit,
+      // m×-data table — the metadata path (rebase + version listing +
+      // min/max pruning) must stay bounded by the FILE count, not rows.
+      // History builds OUTSIDE the timed region; the timed work is one
+      // fixed-size append and one pruned point scan.
+      // fresh table per measure() call — the warm-up and both sweeps
+      // would otherwise keep growing one table's history across passes
+      val mfPath = s"$work/mf-$m"
+      workFs.delete(new org.apache.hadoop.fs.Path(mfPath), true): Unit
+      val mfBatch = baseDocs.limit(500)
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .localCheckpoint()
+      (0 until m).foreach { c =>
+        Manifest.append(mfBatch.withColumn("doc_id",
+          col("doc_id") + lit(c * 10000000L)), mfPath): Unit
+      }
+      out += "manifest_commit_scan" -> timeIt {
+        Manifest.append(mfBatch.withColumn("doc_id",
+          col("doc_id") + lit(900000000L)), mfPath): Unit
+        Manifest.read(spark, mfPath)
+          .filter(col("doc_id") === 900000042L).count(): Unit
+      }
+      Seq(mfBatch, annQueries, emb, batch, edges, sigs, docsSample, docs)
+        .foreach(CacheControl.release)
       out.toSeq
     }
 
