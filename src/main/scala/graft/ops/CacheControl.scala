@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deterministic release for the eager-operator cache policy
   * (docs/SCALE.md §"Cache release policy").
@@ -16,6 +16,35 @@ import org.apache.spark.sql.DataFrame
   * be used again — its data is gone and its lineage was truncated.
   */
 object CacheControl {
+
+  /** Eager `localCheckpoint()` that PRESERVES the plan's output
+    * partitioning and ordering in the resulting LogicalRDD.
+    *
+    * Under AQE (the production default) the adaptive root reports
+    * `UnknownPartitioning` at capture time, so a plain checkpoint
+    * silently discards the layout an iterative operator paid an
+    * exchange + sort to establish — every downstream consumer then
+    * re-shuffles the pinned frame (observed: PageRank's per-iteration
+    * contribution join re-exchanging the edge list the layout was
+    * built FOR, in exactly the config the bench and the driver run).
+    * Disabling AQE for just this one materialization makes the capture
+    * exact; the consumers themselves still plan adaptively.
+    *
+    * `build` is a thunk: the frame must be PLANNED inside the window
+    * (Spark plans lazily at first action, so any frame not yet
+    * materialized qualifies — a frame that was already executed keeps
+    * its cached adaptive plan and gains nothing). The conf flip is
+    * visible to concurrent planner threads in the same session for the
+    * duration of the materialization; AQE is an optimization, so such
+    * a query is still correct, merely planned without adaptation.
+    */
+  def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try build.localCheckpoint() finally spark.conf.set(key, prev)
+  }
+
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = true)
     df.queryExecution.analyzed.foreach {

@@ -1519,11 +1519,23 @@ object Dedup {
     // Self-loops make "min over closed neighborhood" a single join+agg —
     // the loop body then has no Union, so every round's plan is one flat
     // shuffle join over two checkpointed relations.
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = nodes.select(col("src").as("id"))
-      .withColumn("component", col("id")).localCheckpoint()
+    // hash(src) layout, captured through the checkpoint (repartition
+    // before distinct is free: HashPartitioning(src) satisfies the dedup
+    // agg's ClusteredDistribution(src, dst)) — every round's
+    // edges⋈labels join then consumes the edge side exchange-free, the
+    // same iterative layout as Graph.edgeLayout. Without
+    // checkpointWithLayout, AQE records UnknownPartitioning at capture
+    // and each round re-shuffles the full edge list.
+    val edges = CacheControl.checkpointWithLayout(pairs.sparkSession) {
+      p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .union(nodes.select(col("src"), col("src").as("dst")))
+        .repartition(col("src")).distinct()
+        .sortWithinPartitions("src")
+    }
+    var labels = CacheControl.checkpointWithLayout(pairs.sparkSession) {
+      nodes.select(col("src").as("id"))
+        .withColumn("component", col("id"))
+    }
     // Fixpoint detection: labels only ever decrease, so the label sum is
     // strictly decreasing until convergence — one scan-only aggregate on
     // the just-materialized round, no comparison join. Decimal sum cannot
@@ -1534,10 +1546,14 @@ object Dedup {
     var iter = 0
     var converged = prevSum == null // no pairs → no nodes
     while (!converged && iter < maxIter) {
-      val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy("dst").agg(min("component").as("component"))
-        .withColumnRenamed("dst", "id")
-        .localCheckpoint()
+      // layout-preserving: the round aggregation leaves next hash(dst→id)
+      // partitioned — captured, the following round's join (key src =
+      // renamed id) moves only the label vector, never the edges
+      val next = CacheControl.checkpointWithLayout(pairs.sparkSession) {
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy("dst").agg(min("component").as("component"))
+          .withColumnRenamed("dst", "id")
+      }
       val s = labelSum(next)
       CacheControl.release(labels)
       labels = next

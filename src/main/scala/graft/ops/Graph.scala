@@ -97,10 +97,11 @@ object Graph {
     // `nodes ⋈ sums` left join reuses this layout (distinct already
     // leaves hash(node) partitioning; sums is hash(node) straight out of
     // its aggregation)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .sortWithinPartitions("node")
-      .localCheckpoint()
+    val nodes = CacheControl.checkpointWithLayout(edges.sparkSession) {
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .sortWithinPartitions("node")
+    }
     val nNodes = nodes.count() // the one driver-side scalar: |V|
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
@@ -108,8 +109,10 @@ object Graph {
     // deg inherits e's hash(src) layout through the aggregation; sorting
     // it once here makes the per-iteration 3-way src join fully
     // exchange-and-sort-free on both immutable sides
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .sortWithinPartitions("src").localCheckpoint()
+    val deg = CacheControl.checkpointWithLayout(edges.sparkSession) {
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .sortWithinPartitions("src")
+    }
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
@@ -121,7 +124,10 @@ object Graph {
       // bound lineage/plan depth on long runs without changing results;
       // the previous pin is dead the moment the new one materializes
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint()
+        // layout-preserving: ranks leaves the nodes⋈sums join hash(node)
+        // partitioned — captured, the next round's ranks⋈deg join (key
+        // src = renamed node) consumes it exchange-free
+        ranks = CacheControl.checkpointWithLayout(edges.sparkSession)(ranks)
         prevCkpt.foreach(CacheControl.release)
         prevCkpt = Some(ranks)
       }
@@ -145,12 +151,18 @@ object Graph {
     // repartition BEFORE distinct: HashPartitioning(src) satisfies the
     // dedup aggregation's ClusteredDistribution(src, dst) — equal (src,
     // dst) rows are already co-located — so the layout costs ONE edge
-    // exchange total, not distinct-then-repartition's two
-    edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .repartition(col("src")).distinct()
-      .sortWithinPartitions("src")
-      .localCheckpoint()
+    // exchange total, not distinct-then-repartition's two.
+    // checkpointWithLayout (not a plain localCheckpoint): under AQE the
+    // capture would record UnknownPartitioning and every iteration's
+    // contribution join would re-exchange + re-sort this edge list —
+    // the exact cost the layout exists to pay once (the plan-shape spec
+    // pins this under adaptive execution, the production config)
+    CacheControl.checkpointWithLayout(edges.sparkSession) {
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .repartition(col("src")).distinct()
+        .sortWithinPartitions("src")
+    }
 
   /** One PageRank iteration's contribution aggregation — the loop body,
     * factored out so the plan-shape spec can pin the iterative layout:
@@ -229,9 +241,13 @@ object Graph {
       // whole prefix 2^h times; the label set is |V|-bounded — cheap to
       // pin, and the previous hop's pin is released as soon as the new
       // one materializes
-      levels = levels.union(next)
-        .groupBy("node").agg(min(col("level")).as("level"))
-        .localCheckpoint()
+      // layout-preserving: the hop aggregation leaves levels hash(node)
+      // partitioned — captured, the NEXT hop's frontier⋈e join needs no
+      // exchange on the frontier side (key node) either
+      levels = CacheControl.checkpointWithLayout(edges.sparkSession) {
+        levels.union(next)
+          .groupBy("node").agg(min(col("level")).as("level"))
+      }
       prevCkpt.foreach(CacheControl.release)
       prevCkpt = Some(levels)
     }

@@ -3734,13 +3734,20 @@ object ExtendedQueries {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
+        // one linear pipeline: broadcast the order→customer map into the
+        // lineitem scan, emit both directions with ONE explode, and let
+        // edgeLayout's single repartition+distinct dedup — no pairs-level
+        // distinct shuffle and no union branch double-executing the join
+        // (same edge SET either way, so the fixed-point hash is unchanged)
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val edges = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + 1000000L).as("b")).distinct()
-        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+            (col("l_suppkey") + 1000000L).as("b"))
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         Graph.pagerank(edges, "src", "dst", iterations = 3)
           .orderBy("node")
       },
@@ -3785,13 +3792,17 @@ object ExtendedQueries {
     QueryDef(
       "graph_bfs_levels",
       (s, dir) => {
+        // same single-pass construction as graph_pagerank (see the
+        // rationale there); edgeLayout dedups, edge set identical
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val edges = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + 1000000L).as("b")).distinct()
-        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+            (col("l_suppkey") + 1000000L).as("b"))
+          .select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = Tables.customer(s, dir)
           .filter(col("c_nationkey") === 1).select(col("c_custkey"))
         Graph.bfsLevels(edges, "src", "dst", seeds, "c_custkey", maxHops = 3)

@@ -78,53 +78,83 @@ class GraphSpec extends SparkSpec {
 
   test("pagerank iterations re-shuffle only the rank vector, never the edges") {
     // the iterative-layout contract: edges + degrees are partitioned and
-    // sorted on src ONCE (edgeLayout); every iteration's 3-way join must
-    // then plan with no Exchange and no Sort above either immutable side
-    // — only the rank vector (and the dst aggregation) moves per round
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val rnd = new scala.util.Random(7)
-      val es = (1 to 500)
-        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
-        .toDF("s", "d")
-      val e = Graph.edgeLayout(es, "s", "d")
-      val deg = e.groupBy("src")
+    // sorted on src ONCE (edgeLayout, via checkpointWithLayout so the
+    // capture survives AQE); every iteration's 3-way join must then plan
+    // with no Exchange and no Sort above either immutable side — only
+    // the rank vector (and the dst aggregation) moves per round.
+    // Asserted UNDER AQE: that is the bench/driver config, and it is
+    // exactly the config where a plain localCheckpoint loses the layout
+    // (the adaptive root reports UnknownPartitioning at capture time) —
+    // an AQE-off assertion would pin a plan production never runs
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 500)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("s", "d")
+    val e = Graph.edgeLayout(es, "s", "d")
+    val deg = CacheControl.checkpointWithLayout(spark) {
+      e.groupBy("src")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("deg"))
-        .sortWithinPartitions("src").localCheckpoint()
-      // rank vector from an UNRELATED source so its subtree can't be
-      // mistaken for the edge scan
-      val ranks = spark.range(40)
-        .select(org.apache.spark.sql.functions.col("id").as("node"),
-          org.apache.spark.sql.functions.lit(1000L).as("rank_fp"))
-      val plan = Graph.contribSums(e, ranks, deg).queryExecution.executedPlan
-      // "directly over the edge scan" = reaches the (src, dst) leaf
-      // without passing a join or an aggregate — a shuffle/sort there
-      // means the per-iteration plan re-laid-out the edge list; the
-      // post-join aggregation exchange (which also has the scan somewhere
-      // below it) is the legitimate per-round rank movement
-      def directlyOverEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p match {
-          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
-          case leaf if leaf.children.isEmpty =>
-            leaf.output.map(_.name) == Seq("src", "dst")
-          case other => other.children.exists(directlyOverEdgeScan)
-        }
-      assert(plan.collectLeaves().exists(_.output.map(_.name) == Seq("src", "dst")),
-        s"edge scan not found in plan:\n$plan")
-      val badShuffle = plan.collect {
-        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if directlyOverEdgeScan(x.child) => x }
-      val badSort = plan.collect {
-        case s: org.apache.spark.sql.execution.SortExec
-          if directlyOverEdgeScan(s.child) => s }
-      assert(badShuffle.isEmpty,
-        s"edge list re-shuffled inside the iteration plan:\n$plan")
-      assert(badSort.isEmpty,
-        s"edge list re-sorted inside the iteration plan:\n$plan")
-      CacheControl.release(e); CacheControl.release(deg)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+        .sortWithinPartitions("src")
+    }
+    // rank vector from an UNRELATED source so its subtree can't be
+    // mistaken for the edge scan
+    val ranks = spark.range(40)
+      .select(org.apache.spark.sql.functions.col("id").as("node"),
+        org.apache.spark.sql.functions.lit(1000L).as("rank_fp"))
+    val sums = Graph.contribSums(e, ranks, deg)
+    sums.count() // drive AQE to its final plan before inspecting it
+    val plan = sums.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // "directly over the edge scan" = reaches the (src, dst) leaf
+    // without passing a join or an aggregate — a shuffle/sort there
+    // means the per-iteration plan re-laid-out the edge list; the
+    // post-join aggregation exchange (which also has the scan somewhere
+    // below it) is the legitimate per-round rank movement. AQE wraps
+    // stages in QueryStageExec nodes whose children are empty — recurse
+    // through their `plan` instead
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)(
+        f: org.apache.spark.sql.execution.SparkPlan => Boolean): Boolean =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)(f)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)(f)
+        case other => f(other)
+      }
+    def directlyOverEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      walk(p) {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case leaf if leaf.children.isEmpty =>
+          leaf.output.map(_.name) == Seq("src", "dst")
+        case other => other.children.exists(directlyOverEdgeScan)
+      }
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: collectAll(qs.plan)
+        case other => other +: other.children.flatMap(collectAll)
+      }
+    val all = collectAll(plan)
+    assert(all.exists(n => n.children.isEmpty &&
+        n.output.map(_.name) == Seq("src", "dst")),
+      s"edge scan not found in plan:\n$plan")
+    val badShuffle = all.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if directlyOverEdgeScan(x.child) => x }
+    val badSort = all.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if directlyOverEdgeScan(s.child) => s }
+    assert(badShuffle.isEmpty,
+      s"edge list re-shuffled inside the iteration plan:\n$plan")
+    assert(badSort.isEmpty,
+      s"edge list re-sorted inside the iteration plan:\n$plan")
+    CacheControl.release(e); CacheControl.release(deg)
   }
 
   test("driver fast paths match the distributed loops exactly") {
