@@ -100,6 +100,20 @@ object ScaleBench {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"))
+    // skewed fact table: key 0 owns ~1/3 of the rows at EVERY m — the
+    // planned-hot-key regime Skew.* exists for. The hot key's absolute
+    // row count grows m×, so an unsalted groupBy/join would put m× rows
+    // on one reducer; the salted paths must instead scale like uniform
+    // data (≈ linear in total rows)
+    def scaledSkewed(m: Int): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
+      li.select(col("l_orderkey").as("id0"),
+          col("l_suppkey").cast("long").as("v"), copies)
+        .select((col("id0") + col("copy") * 100000000L).as("id"),
+          when(pmod(col("id0"), lit(3)) === 0, lit(0L))
+            .otherwise(pmod(col("id0"), lit(1000L))).as("k"),
+          col("v"))
+    }
     val basePairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
       .distinct()
@@ -221,8 +235,24 @@ object ScaleBench {
         Manifest.read(spark, mfPath)
           .filter(col("doc_id") === 900000042L).count(): Unit
       }
-      Seq(mfBatch, annQueries, emb, batch, edges, sigs, docsSample, docs)
-        .foreach(CacheControl.release)
+      // skew: salted two-phase agg + salted join over the hot-key fact —
+      // results equal the unsalted forms (oracle-gated at sf0.01 by the
+      // skew_salted_* queries); here the claim under measure is the
+      // SCALING of the mitigation itself
+      val skewed = scaledSkewed(m).localCheckpoint()
+      val dim = spark.range(1000)
+        .select(col("id").as("k"), (col("id") * 7L).as("w"))
+      out += "skew_salted_agg" -> timeIt {
+        Skew.saltedSumCount(skewed, Seq("k"), "v",
+          saltN = 32, saltBy = Seq("id")).count(): Unit
+      }
+      out += "skew_salted_join" -> timeIt {
+        Skew.saltedJoin(skewed, dim, Seq("k"),
+          saltN = 32, saltBy = Seq("id"))
+          .agg(sum(col("w"))).count(): Unit
+      }
+      Seq(skewed, mfBatch, annQueries, emb, batch, edges, sigs, docsSample,
+        docs).foreach(CacheControl.release)
       out.toSeq
     }
 
