@@ -86,14 +86,19 @@ object ScaleBench {
       .select("vec_id", "embedding")
     // per-copy embedding perturbation: one rotated element per copy keeps
     // vectors distinct across copies (no degenerate all-tied top-k) while
-    // preserving the base corpus's neighborhood structure within a copy
+    // preserving the base corpus's neighborhood structure within a copy.
+    // multiplier is (copy%7)+1 for copy>0 — NEVER zero, else copies that
+    // are multiples of 7 would be byte-identical to the base and top-k
+    // would tie across them; two copies collide only at copy ≡ copy'
+    // (mod 56), beyond any multiplier this harness runs
     def scaledEmb(m: Int): DataFrame = {
       val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
       baseEmb.select(col("vec_id"), col("embedding"), copies)
         .select((col("vec_id") + col("copy") * 10000000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => x + (col("copy") % 7).cast("float") *
-              when(i === col("copy") % 8, lit(0.01f)).otherwise(lit(0f)))
+          when(col("copy") === 0, col("embedding")).otherwise(
+            transform(col("embedding"),
+              (x, i) => x + ((col("copy") % 7) + 1).cast("float") *
+                when(i === col("copy") % 8, lit(0.01f)).otherwise(lit(0f))))
             .as("embedding"))
     }
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -225,6 +230,11 @@ object ScaleBench {
       val mfBatch = baseDocs.limit(500)
         .select(col("doc_id"), length(col("text")).as("len"))
         .localCheckpoint()
+      // probe key taken from an ACTUAL batch row — an assumed id could
+      // be absent from the unordered limit(500) sample, and the "point
+      // scan" would then match zero files and measure only pruning
+      val probeId = mfBatch.agg(min(col("doc_id"))).head.getLong(0) +
+        900000000L
       (0 until m).foreach { c =>
         Manifest.append(mfBatch.withColumn("doc_id",
           col("doc_id") + lit(c * 10000000L)), mfPath): Unit
@@ -232,8 +242,9 @@ object ScaleBench {
       out += "manifest_commit_scan" -> timeIt {
         Manifest.append(mfBatch.withColumn("doc_id",
           col("doc_id") + lit(900000000L)), mfPath): Unit
-        Manifest.read(spark, mfPath)
-          .filter(col("doc_id") === 900000042L).count(): Unit
+        val n = Manifest.read(spark, mfPath)
+          .filter(col("doc_id") === probeId).count()
+        require(n > 0, s"point scan matched nothing (doc_id=$probeId)")
       }
       // skew: salted two-phase agg + salted join over the hot-key fact —
       // results equal the unsalted forms (oracle-gated at sf0.01 by the

@@ -33,17 +33,31 @@ object CacheControl {
     * `build` is a thunk: the frame must be PLANNED inside the window
     * (Spark plans lazily at first action, so any frame not yet
     * materialized qualifies — a frame that was already executed keeps
-    * its cached adaptive plan and gains nothing). The conf flip is
-    * visible to concurrent planner threads in the same session for the
-    * duration of the materialization; AQE is an optimization, so such
-    * a query is still correct, merely planned without adaptation.
+    * its cached adaptive plan and gains nothing). Everything planned
+    * inside the window is non-adaptive — including, for the iterative
+    * loops that pin EVERY round (connected components, BFS hops), the
+    * round's own join+agg. That trade is deliberate: with both sides
+    * pre-partitioned on the join key there is no shuffle stage for
+    * AQE's skew split or coalescing to act on anyway, and the
+    * non-adaptive round is the classic iterative shape. The conf flip
+    * is also visible to UNRELATED planner threads in the session for
+    * the window's duration; such a query is still correct, merely
+    * planned without adaptation.
+    *
+    * Invocations serialize on a lock: the save/flip/restore of the
+    * session-global conf is otherwise racy — two overlapping calls
+    * could capture each other's "false" as the value to restore and
+    * leave AQE permanently disabled for the session.
     */
-  def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try build.localCheckpoint() finally spark.conf.set(key, prev)
-  }
+  def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame =
+    aqeFlip.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try build.localCheckpoint() finally spark.conf.set(key, prev)
+    }
+
+  private[this] val aqeFlip = new Object
 
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = true)

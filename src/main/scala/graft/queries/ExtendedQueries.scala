@@ -20,6 +20,30 @@ object ExtendedQueries {
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** The symmetric customer↔supplier co-purchase edge list both graph
+    * queries run on, built as ONE linear pipeline: join the order→customer
+    * map into the lineitem scan and emit both directions with a single
+    * explode, letting edgeLayout's one repartition+distinct dedup — no
+    * pairs-level distinct shuffle and no union branch double-executing the
+    * join (same edge SET either way, so the fixed-point hashes are
+    * unchanged). No broadcast hint: at sf0.1 the orders projection sits
+    * under the static broadcast threshold anyway, and at larger scale
+    * factors a forced broadcast of a full fact-table projection is
+    * exactly the OOM the planner's size check exists to prevent.
+    */
+  private def orderSupplierEdges(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + 1000000L).as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
   /** DuckDB double dot product with the same left-to-right fold as
     * Similarity.dot. */
   private def dotSql(a: String, b: String, dims: Int): String =
@@ -3734,21 +3758,8 @@ object ExtendedQueries {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
-        // one linear pipeline: broadcast the order→customer map into the
-        // lineitem scan, emit both directions with ONE explode, and let
-        // edgeLayout's single repartition+distinct dedup — no pairs-level
-        // distinct shuffle and no union branch double-executing the join
-        // (same edge SET either way, so the fixed-point hash is unchanged)
-        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        val edges = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + 1000000L).as("b"))
-          .select(explode(array(
-            struct(col("a").as("src"), col("b").as("dst")),
-            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        Graph.pagerank(edges, "src", "dst", iterations = 3)
+        Graph.pagerank(orderSupplierEdges(s, dir), "src", "dst",
+            iterations = 3)
           .orderBy("node")
       },
       Some("""WITH pairs AS (
@@ -3792,17 +3803,7 @@ object ExtendedQueries {
     QueryDef(
       "graph_bfs_levels",
       (s, dir) => {
-        // same single-pass construction as graph_pagerank (see the
-        // rationale there); edgeLayout dedups, edge set identical
-        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        val edges = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("a"),
-            (col("l_suppkey") + 1000000L).as("b"))
-          .select(explode(array(
-            struct(col("a").as("src"), col("b").as("dst")),
-            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val edges = orderSupplierEdges(s, dir)
         val seeds = Tables.customer(s, dir)
           .filter(col("c_nationkey") === 1).select(col("c_custkey"))
         Graph.bfsLevels(edges, "src", "dst", seeds, "c_custkey", maxHops = 3)
