@@ -274,9 +274,20 @@ object ScaleBench {
     // samples of one point: back-to-back passes of the same multiplier
     // share any multi-minute contention window (observed: a 10× segment
     // 3-8× off while 30× stayed clean), whereas a full-sweep interleave
-    // puts ~sweep-length between the two samples of every point
-    val sweep1 = mults.map(m => m -> measure(m)).toMap
-    val sweep2 = mults.map(m => m -> measure(m).toMap).toMap
+    // puts ~sweep-length between the two samples of every point.
+    // Raw per-sweep samples go to stderr with wall-clock stamps so a
+    // surprising published point can be adjudicated from one artifact
+    // (which sample was slow, and when) instead of re-running blind.
+    def logSweep(tag: String, m: Int, r: Seq[(String, Double)]): Unit =
+      System.err.println(s"[scalebench] $tag m=$m " +
+        java.time.Instant.now().toString + " " +
+        r.map { case (op, t) => f"$op=$t%.2f" }.mkString(" "))
+    val sweep1 = mults.map { m =>
+      val r = measure(m); logSweep("sweep1", m, r); m -> r
+    }.toMap
+    val sweep2 = mults.map { m =>
+      val r = measure(m); logSweep("sweep2", m, r); m -> r.toMap
+    }.toMap
     val rows: Seq[(Int, Seq[(String, Double)])] = mults.map { m =>
       m -> sweep1(m).map { case (op, t) => op -> math.min(t, sweep2(m)(op)) }
     }
