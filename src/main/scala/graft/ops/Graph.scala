@@ -44,13 +44,22 @@ object Graph {
     * }}}
     * Output: (node, rank_fp) with rank_fp in 1/scale units,
     * Σ rank_fp ≤ scale. Deterministic to the bit at any parallelism.
+    *
+    * `symmetricEdges = true` is a caller PROMISE that every edge appears
+    * in both orientations (undirected graphs fed as a both-directions
+    * list): the node set then equals the distinct source set and is read
+    * off the degree aggregate for free instead of a second union+distinct
+    * pass over the edge list. Results are identical when the promise
+    * holds; a violated promise silently drops sink-only nodes — leave it
+    * false for genuinely directed input.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3,
                dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000000000L,
                checkpointEvery: Int = 5,
-               maxDriverEdges: Long = 200000L): DataFrame = {
+               maxDriverEdges: Long = 200000L,
+               symmetricEdges: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must be a rational in [0, 1]")
@@ -93,19 +102,6 @@ object Graph {
         "node", org.apache.spark.sql.types.LongType,
         "rank_fp", org.apache.spark.sql.types.LongType)
     }
-    // nodes sorted on the key for the same reason: the per-iteration
-    // `nodes ⋈ sums` left join reuses this layout (distinct already
-    // leaves hash(node) partitioning; sums is hash(node) straight out of
-    // its aggregation)
-    val nodes = CacheControl.checkpointWithLayout(edges.sparkSession) {
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .sortWithinPartitions("node")
-    }
-    val nNodes = nodes.count() // the one driver-side scalar: |V|
-    require(nNodes > 0, "graph has no nodes")
-    val init = scale / nNodes
-    val teleport = ((dampDen - dampNum) * init) / dampDen
     // deg inherits e's hash(src) layout through the aggregation; sorting
     // it once here makes the per-iteration 3-way src join fully
     // exchange-and-sort-free on both immutable sides
@@ -113,6 +109,28 @@ object Graph {
       e.groupBy("src").agg(count(lit(1)).as("deg"))
         .sortWithinPartitions("src")
     }
+    // nodes sorted on the key for the same reason: the per-iteration
+    // `nodes ⋈ sums` left join reuses this layout (distinct already
+    // leaves hash(node) partitioning; sums is hash(node) straight out of
+    // its aggregation). When the CALLER guarantees every edge appears in
+    // both orientations (`symmetricEdges` — e.g. an undirected co-purchase
+    // graph emitted via a both-directions explode), the node set IS the
+    // distinct source set, which `deg` just computed: nodes becomes a
+    // zero-cost projection of deg (alias-preserved hash(src) layout, same
+    // sort) and the union+distinct pass over 2·|E| rows — a full extra
+    // scan + shuffle + checkpoint of the edge list — is skipped entirely.
+    // Same node set either way, so results are bit-identical.
+    val nodes =
+      if (symmetricEdges) deg.select(col("src").as("node"))
+      else CacheControl.checkpointWithLayout(edges.sparkSession) {
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .sortWithinPartitions("node")
+      }
+    val nNodes = nodes.count() // the one driver-side scalar: |V|
+    require(nNodes > 0, "graph has no nodes")
+    val init = scale / nNodes
+    val teleport = ((dampDen - dampNum) * init) / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
@@ -136,7 +154,12 @@ object Graph {
     // the returned frame is the one persistent entry (cache policy)
     val out = ranks.localCheckpoint()
     prevCkpt.foreach(CacheControl.release)
-    CacheControl.release(e); CacheControl.release(nodes); CacheControl.release(deg)
+    // symmetric path: nodes is a projection OVER deg's checkpoint (no pin
+    // of its own) — releasing it would walk into deg's LogicalRDD, which
+    // the deg release below already handles
+    CacheControl.release(e)
+    if (!symmetricEdges) CacheControl.release(nodes)
+    CacheControl.release(deg)
     out
   }
 

@@ -3758,8 +3758,11 @@ object ExtendedQueries {
     QueryDef(
       "graph_pagerank",
       (s, dir) => {
+        // symmetricEdges: orderSupplierEdges emits both orientations of
+        // every co-purchase pair, so the node set = distinct src set and
+        // pagerank skips the nodes union/distinct pass over the edge list
         Graph.pagerank(orderSupplierEdges(s, dir), "src", "dst",
-            iterations = 3)
+            iterations = 3, symmetricEdges = true)
           .orderBy("node")
       },
       Some("""WITH pairs AS (

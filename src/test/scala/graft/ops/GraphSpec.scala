@@ -157,6 +157,28 @@ class GraphSpec extends SparkSpec {
     CacheControl.release(e); CacheControl.release(deg)
   }
 
+  test("symmetricEdges skips the node-set pass without changing results") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    // both orientations of every pair — the promise the flag encodes
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("s", "d")
+    // distributed loops on both paths (maxDriverEdges = 0): the flag must
+    // be a pure plan change, bit-identical output
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val general = rows(Graph.pagerank(sym, "s", "d", iterations = 4,
+      maxDriverEdges = 0))
+    val fast = rows(Graph.pagerank(sym, "s", "d", iterations = 4,
+      maxDriverEdges = 0, symmetricEdges = true))
+    assert(fast == general)
+    // driver fast path is orthogonal to the flag
+    val drv = rows(Graph.pagerank(sym, "s", "d", iterations = 4,
+      symmetricEdges = true))
+    assert(drv == general)
+  }
+
   test("driver fast paths match the distributed loops exactly") {
     import spark.implicits._
     // a messy graph: cycle, chain, dangling sink, disconnected pair,
