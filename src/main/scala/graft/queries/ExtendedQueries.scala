@@ -1653,9 +1653,13 @@ object ExtendedQueries {
           .select(col("w.start").as("window_start"), col("event_type"),
             col("n_events"), col("sum_value"))
         val name = s"ev_stream_${System.nanoTime()}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        // state layout sized to the stream, not the batch session (see
+        // StreamOps.withStatePartitions); only start() needs the window
+        val q = graft.streaming.StreamOps.withStatePartitions(s, 8) {
+          agg.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
         q.awaitTermination()
         s.table(name).orderBy("window_start", "event_type")
       },
@@ -1753,8 +1757,13 @@ object ExtendedQueries {
             .as[graft.streaming.StreamOps.Event],
           Seq("view", "click", "purchase"), java.time.Duration.ofHours(24))
         val name = s"ev_funnel_${System.nanoTime()}"
+        // statePartitions: stateful stream queries size their state layout
+        // to the stream (one AvailableNow batch of ~100k rows → 8), not
+        // the session's batch shuffle setting — every micro-batch pays one
+        // state-store commit per partition per stateful operator (see
+        // StreamOps.withStatePartitions)
         graft.streaming.StreamOps.runToMemory(funnel.toDF(), name,
-          outputMode = "update")
+          outputMode = "update", statePartitions = Some(8))
         // users with no stage-1 event have no row in the batch shape
         s.table(name).filter(col("reached") >= 1).orderBy("user_id")
       },
@@ -1955,7 +1964,8 @@ object ExtendedQueries {
           .select(col("user_id"), col("sw.start").as("session_start"),
             col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
         val name = s"ev_sw_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(agg, name, outputMode = "complete")
+        graft.streaming.StreamOps.runToMemory(agg, name,
+          outputMode = "complete", statePartitions = Some(8))
         s.table(name).orderBy("user_id", "session_start")
       },
       Some(sessionWindowOracleSql)
@@ -2008,7 +2018,8 @@ object ExtendedQueries {
         val agg = graft.streaming.StreamOps.windowedCounts(
           withTs, "ts", "1 hour", "10 minutes")
         val name = s"ev_append_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(agg, name, outputMode = "append")
+        graft.streaming.StreamOps.runToMemory(agg, name,
+          outputMode = "append", statePartitions = Some(8))
         s.table(name).orderBy("window_start", "event_type")
       },
       Some("""WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -2040,7 +2051,8 @@ object ExtendedQueries {
         val dedup = graft.streaming.StreamOps.dedupStream(
           withTs, Seq("event_id"), "ts", "10 minutes")
         val name = s"ev_dedup_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(dedup, name, outputMode = "append")
+        graft.streaming.StreamOps.runToMemory(dedup, name,
+          outputMode = "append", statePartitions = Some(8))
         s.table(name)
           .select("event_id", "user_id", "event_type", "value", "ts")
           .orderBy("event_id")
@@ -2070,7 +2082,8 @@ object ExtendedQueries {
           withTs.select("event_id", "user_id", "event_type", "value", "ts")
             .as[graft.streaming.StreamOps.Event], gapMinutes = 30)
         val name = s"ev_sess_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(sessions.toDF(), name, outputMode = "append")
+        graft.streaming.StreamOps.runToMemory(sessions.toDF(), name,
+          outputMode = "append", statePartitions = Some(8))
         s.table(name)
           .groupBy("user_id", "session_id")
           .agg(max("n_events").as("n_events"))
@@ -2397,7 +2410,8 @@ object ExtendedQueries {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 3)
         val name = s"contam_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(out, name, outputMode = "complete")
+        graft.streaming.StreamOps.runToMemory(out, name,
+          outputMode = "complete", statePartitions = Some(8))
         s.table(name).orderBy("doc_id", "bench_id")
       },
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -152,7 +152,13 @@ object SketchStreamQueries {
           "user_id", "view_ts", "purchase_ts",
           watermarkDelay = "10 minutes", joinWindow = "1 hour")
         val name = s"ev_ssj_${System.nanoTime()}"
-        graft.streaming.StreamOps.runToMemory(joined, name, outputMode = "append")
+        // statePartitions: a stream-stream join keeps FOUR state stores per
+        // partition, so the per-micro-batch commit cost is 4× the partition
+        // count no matter how small the batch — size it to the stream
+        // (measured here: 6.1 s at the 32-partition session default → 2.4 s
+        // at 8, identical results; see StreamOps.withStatePartitions)
+        graft.streaming.StreamOps.runToMemory(joined, name,
+          outputMode = "append", statePartitions = Some(8))
         s.table(name)
           .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
           .orderBy("user_id", "view_id", "purchase_id")

@@ -352,18 +352,66 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Start a streaming query with its STATE partition count pinned to `n`
+    * instead of inheriting the session's batch shuffle setting.
+    *
+    * Why this is a first-class knob and not bench tuning: a stateful
+    * streaming query's shuffle-partition count is captured at FIRST start
+    * (StreamExecution clones the session conf synchronously inside
+    * `start()`) and then frozen into the checkpoint for the query's whole
+    * life — it cannot be changed on restart, and AQE never touches
+    * stateful streaming exchanges. So the number is a per-stream sizing
+    * decision (key cardinality × per-batch volume), consciously chosen,
+    * NOT the batch session default: every micro-batch pays one state-store
+    * commit (file create + write + rename) PER PARTITION PER STATEFUL
+    * OPERATOR even when the batch is tiny — a stream-stream join keeps 4
+    * stores per partition, so a 32-partition session setting costs 128
+    * commits per batch (measured on the bench join: 6.1 s at 32 partitions
+    * → 2.4 s at 8, same data, same results). At ingest scale the same
+    * sizing goes the other way: state for a 100 TB/day join wants HUNDREDS
+    * of partitions regardless of what the session uses for batch work.
+    *
+    * Only `startQuery` (which must START the query synchronously — the
+    * conf clone happens inside `start()`) runs under the flipped conf;
+    * the previous value is restored before this returns, and flips
+    * serialize on a lock so two overlapping starts can't capture each
+    * other's transient value as the restore target (the same save/flip/
+    * restore race [[graft.ops.CacheControl.checkpointWithLayout]] locks
+    * against).
+    */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(startQuery: => A): A =
+    statePartsFlip.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try startQuery
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+  private[this] val statePartsFlip = new Object
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the test/driver harness shape
     * (`Trigger.AvailableNow` ≈ the reference's cron-batch cycle O12).
+    * `statePartitions` pins the query's state layout via
+    * [[withStatePartitions]]; None inherits the session setting.
     */
   def runToMemory(df: DataFrame, queryName: String,
-                  outputMode: String = "append"): Unit = {
-    val q = df.writeStream
+                  outputMode: String = "append",
+                  statePartitions: Option[Int] = None): Unit = {
+    def begin() = df.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+    val q = statePartitions match {
+      case Some(n) => withStatePartitions(df.sparkSession, n)(begin())
+      case None => begin()
+    }
     q.awaitTermination()
   }
 }

@@ -52,6 +52,36 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("2026-01-01 10:00:00.0", "view", 2L), ("2026-01-01 11:00:00.0", "click", 1L)))
   }
 
+  test("withStatePartitions pins the query's state layout and restores the conf") {
+    val dir    = writeEventsParquet()
+    val schema = spark.read.parquet(dir).schema
+    val key    = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val agg = StreamOps.windowedCounts(
+      StreamOps.parquetStream(spark, dir, schema), "ts", "1 hour", "10 minutes")
+    val q = StreamOps.withStatePartitions(spark, 3) {
+      agg.writeStream.outputMode("append").format("memory")
+        .queryName("sp_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    // restored immediately after start() returns — the clone already
+    // captured the pinned value, the session gets its own back
+    assert(spark.conf.get(key) == before,
+      "conf must be restored once the query has started")
+    q.awaitTermination()
+    // the pin really reached the stream: the state operator reports its
+    // frozen partition count in the progress events
+    val stateParts = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numShufflePartitions)).distinct.toSeq
+    assert(stateParts == Seq(3L), s"state partitions were $stateParts")
+    // and a 3-partition state layout computes the same windows as default
+    val got = spark.table("sp_out")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    assert(got ==
+      Seq(("2026-01-01 10:00:00.0", "view", 2L), ("2026-01-01 11:00:00.0", "click", 1L)))
+  }
+
   test("append mode across micro-batches: watermark drops late data, bounds emission") {
     val dir = java.nio.file.Files.createTempDirectory("wm_src")
     val now = System.currentTimeMillis()
