@@ -164,6 +164,15 @@ object ScaleBench {
           maxDriverEdges = 0L)
         r.count(); CacheControl.release(r)
       }
+      // the symmetric-promise variant: scaledEdges emits both orientations,
+      // so the node set reads off the degree aggregate and the general
+      // path's union+distinct+checkpoint over 2·|E| rows is skipped — the
+      // delta between these two rows IS that pass's cost at each scale
+      out += "pagerank_sym" -> timeIt {
+        val r = Graph.pagerank(edges, "src", "dst", iterations = 3,
+          maxDriverEdges = 0L, symmetricEdges = true)
+        r.count(); CacheControl.release(r)
+      }
       // gate: the index holds the m-scaled corpus; the PROBE BATCH is
       // fixed at base size (a crawl batch does not grow with the corpus).
       // This is the sub-linear claim: per-batch cost ∝ batch + pruned

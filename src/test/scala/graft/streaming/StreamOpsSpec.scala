@@ -82,6 +82,35 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("2026-01-01 10:00:00.0", "view", 2L), ("2026-01-01 11:00:00.0", "click", 1L)))
   }
 
+  test("concurrent withStatePartitions starts: each stream gets its own pin") {
+    // the lock contract: two overlapping flips must not capture each
+    // other's transient value — each query's state layout is ITS pin, and
+    // the session conf ends where it started
+    val dir    = writeEventsParquet()
+    val schema = spark.read.parquet(dir).schema
+    val key    = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    def start(n: Int) = StreamOps.withStatePartitions(spark, n) {
+      StreamOps.windowedCounts(
+        StreamOps.parquetStream(spark, dir, schema), "ts", "1 hour", "10 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"cq_$n")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qs = Await.result(
+      Future.sequence(Seq(2, 5).map(n => Future(n -> start(n)))), 90.seconds)
+    qs.foreach(_._2.awaitTermination())
+    qs.foreach { case (n, q) =>
+      val got = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numShufflePartitions)).distinct.toSeq
+      assert(got == Seq(n.toLong), s"pin $n leaked: state partitions $got")
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("append mode across micro-batches: watermark drops late data, bounds emission") {
     val dir = java.nio.file.Files.createTempDirectory("wm_src")
     val now = System.currentTimeMillis()
