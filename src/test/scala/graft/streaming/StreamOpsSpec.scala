@@ -82,6 +82,19 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("2026-01-01 10:00:00.0", "view", 2L), ("2026-01-01 11:00:00.0", "click", 1L)))
   }
 
+  test("withStatePartitions restores the conf when the start itself throws") {
+    val key    = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val boom = intercept[RuntimeException] {
+      StreamOps.withStatePartitions(spark, 3) {
+        throw new RuntimeException("start failed")
+      }
+    }
+    assert(boom.getMessage == "start failed")
+    assert(spark.conf.get(key) == before,
+      "a failed start must not leave the session pinned")
+  }
+
   test("concurrent withStatePartitions starts: each stream gets its own pin") {
     // the lock contract: two overlapping flips must not capture each
     // other's transient value — each query's state layout is ITS pin, and
