@@ -34,10 +34,20 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
+    // Contention SELF-TEST hook (never set by the driver): a positive
+    // delay is slept inside each SWEEP pass's timed window — rechecks run
+    // without it — so a short run must publish contended=true or the
+    // sentinel is broken. This is how the bidirectional sentinel's
+    // end-to-end wiring is exercised without depending on a real noisy
+    // neighbor showing up on cue (tools/contention_selftest.sh).
+    val selftestMs =
+      sys.env.get("SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS")
+        .map(_.toLong).getOrElse(0L)
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              injectMs: Long): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
+        if (injectMs > 0) Thread.sleep(injectMs)
         fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
@@ -46,50 +56,65 @@ object Bench {
         case e: Throwable => Left(jsonSafe(s"${e.getClass.getName}: ${e.getMessage}"))
       }
     }
-    // min-of-2 timed passes per query: one timed pass has zero defense
-    // against a noisy neighbor on a shared machine (round 5's artifact
-    // recorded 852 s for an engine a quiet re-run measured at 109 s — a
-    // single contended pass inflated profile_columns 131×). The min of
-    // two consecutive passes is the better estimate of plan cost; the
-    // warm-up sweep above already paid JIT/codegen, so the extra pass
-    // costs roughly one engine-run, not a cold start.
-    val results: Seq[(String, Either[String, (Double, Double)])] = ordered.map {
-      case (name, fn) =>
-        name -> (timed(fn) match {
-          case Right(t1) => timed(fn).map(t2 => (t1, t2))
-          case Left(e) => Left(e)
-        })
-    }
-    val ok = results.collect { case (n, Right((a, b))) => n -> math.min(a, b) }
-    val bothRuns = results.collect { case (n, Right(p)) => n -> p }.toMap
-    val errs = results.collect { case (n, Left(e)) => n -> e }
-    // contention sentinel: re-time 3 batch queries spread across the cost
-    // spectrum AFTER the sweep and compare against their recorded min. A
-    // quiet machine re-times within noise; a contended one shows large
-    // ratios — the artifact then carries its own health signal instead of
-    // presenting contention as a plan regression.
+    // Two INTERLEAVED full sweeps (min per query), not min-of-2
+    // back-to-back passes: host contention arrives in multi-minute
+    // windows, and two consecutive passes of one query sit inside the
+    // same window — both inflate together and the min defends nothing
+    // (round 9: every spiky query's two back-to-back samples swung 2–4×
+    // in lockstep). Interleaving puts a full sweep-length between a
+    // query's two samples, so a window has to span the whole run to
+    // poison both — the exact lesson ScaleBench's 12-interleaved-sweep
+    // protocol already encodes (NOTES.md).
+    val passA = ordered.map { case (n, fn) => n -> timed(fn, selftestMs) }
+    val failedA = passA.collect { case (n, Left(_)) => n }.toSet
+    val live = ordered.filterNot(kv => failedA(kv._1))
+    val passB = live.map { case (n, fn) => n -> timed(fn, selftestMs) }
+    // Third sweep for the STREAMING cohort only: micro-batch runs drift
+    // ±10–40% on unchanged code, they are fixed-cost (cheap to repeat),
+    // and their stability verdict uses the two best of three samples
+    // (BenchCore.stableSpread) so one spiked run cannot fail the lane.
+    val passC = live.filter(kv => isStreaming(kv._1))
+      .map { case (n, fn) => n -> timed(fn, selftestMs) }
+    val allPasses = passA ++ passB ++ passC
+    // any pass crashing marks the query failed — a nondeterministic
+    // failure is a bug to surface, not a sample to drop
+    val errs = allPasses.collect { case (n, Left(e)) => n -> e }
+      .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
+    val failed = errs.map(_._1).toSet
+    val samples0: Map[String, Seq[Double]] = allPasses
+      .collect { case (n, Right(t)) if !failed(n) => n -> t }
+      .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+    val recorded0 = samples0.map { case (n, ts) => n -> ts.min }
+    // Outlier re-time + bidirectional contention sentinel: after the
+    // sweeps, re-time the 10 most expensive queries plus a cheap and a
+    // median spectrum probe, once each. The recheck is a genuine sample
+    // of plan cost, so its min FOLDS into the recorded number (a
+    // recorded pass inflated 41× must not survive as the published
+    // figure when the recheck refutes it); the verdict trips on
+    // max(ratio, 1/ratio) > 3 — whichever side was contended, the
+    // artifact labels itself instead of presenting machine noise as a
+    // plan change (BenchCore.scala has the round-9 post-mortem).
     val fnByName = ordered.toMap
-    val candidates = ok.filterNot(kv => isStreaming(kv._1)).filter(_._2 >= 0.2)
-      .sortBy(_._2)
-    val sentinels =
-      if (candidates.size < 3) candidates
-      else Seq(candidates.head, candidates(candidates.size / 2), candidates.last)
+    val eligible = recorded0.toSeq.filter(_._2 >= 0.2)
+    val sentinels = BenchCore.sentinelSet(eligible, topN = 10)
     val sentinelChecks = sentinels.flatMap { case (name, recorded) =>
-      timed(fnByName(name)).toOption.map { re =>
-        (name, recorded, re, re / math.max(recorded, 1e-9))
+      timed(fnByName(name), 0L).toOption.map { re =>
+        (name, recorded, re, BenchCore.sentinelRatio(recorded, re))
       }
     }
-    val maxRatio = if (sentinelChecks.isEmpty) 1.0 else sentinelChecks.map(_._4).max
-    val contended = maxRatio > 3.0
-    // Stream-lane health: streaming entries drift ±10-40% between runs
-    // with unchanged code (micro-batch startup noise), and they are ~20%
-    // of the total — a regression call on the BATCH lane must never be
-    // confounded by them. streaming_stable = max first/second spread over
-    // the stream cohort: when false, treat the streaming subtotal of THIS
-    // artifact as noisy and compare batch_total only.
-    val streamSpread = results.collect {
-      case (n, Right((a, b))) if isStreaming(n) =>
-        math.max(a, b) / math.max(math.min(a, b), 1e-9)
+    val (contended, maxRatio) =
+      BenchCore.contentionVerdict(sentinelChecks.map(c => (c._1, c._2, c._3)))
+    val samples = samples0 ++ sentinelChecks.map { case (n, _, re, _) =>
+      n -> (samples0(n) :+ re)
+    }
+    val ok = samples.map { case (n, ts) => n -> ts.min }.toSeq.sortBy(_._1)
+    // Stream-lane health: streaming entries are ~20% of the total and the
+    // noise-dominated cohort — a regression call on the BATCH lane must
+    // never be confounded by them. streaming_stable uses the two best of
+    // each stream query's ≥3 samples: when false, treat the streaming
+    // subtotal of THIS artifact as noisy and compare batch_total only.
+    val streamSpread = samples.collect {
+      case (n, ts) if isStreaming(n) => BenchCore.stableSpread(ts)
     }
     val streamMaxSpread = if (streamSpread.isEmpty) 1.0 else streamSpread.max
     val streamingStable = streamMaxSpread <= 1.5
@@ -110,21 +135,17 @@ object Bench {
         ",\"ratio\":" + sec(ratio) + "}"
     }.mkString("{", ",", "}")
     val ccFields =
-      s""""timing":"min_of_2","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},"contention_check":$cc"""
-    // warm/cold provenance for the 20 most expensive queries PLUS every
-    // streaming query: both timed passes, so a recorded number dominated
-    // by first-touch warm-up (dedup_incremental measured 3.1 s first pass
-    // vs 0.38 s second in r6) is visible in the artifact instead of
-    // reading as plan cost. Streaming entries are included wholesale —
-    // they are the noise-dominated cohort (micro-batch startup + cross-run
-    // drift of +10–40% with unchanged code in r7), so a regression call
-    // on them needs per-run data, not a single min.
+      s""""timing":"interleaved_sweeps_min","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},"contention_check":$cc"""
+    // per-pass provenance for the 20 most expensive queries PLUS every
+    // streaming query: every timed sample (sweeps + recheck where taken),
+    // so a recorded number dominated by one odd pass is diagnosable from
+    // the artifact itself instead of reading as plan cost.
     val provNames = (ok.sortBy(-_._2).take(20).map(_._1) ++
       ok.map(_._1).filter(isStreaming)).distinct
     val runs2 = provNames.map { n =>
-      val (a, b) = bothRuns(n)
-      "\"" + n + "\":{\"first\":" + sec(a) + ",\"second\":" + sec(b) +
-        ",\"warm_ratio\":" + sec(a / math.max(b, 1e-9)) + "}"
+      val ts = samples(n)
+      "\"" + n + "\":{\"passes\":[" + ts.map(sec).mkString(",") +
+        "],\"spread\":" + sec(BenchCore.stableSpread(ts)) + "}"
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","batch_total":${sec(batchTotal)},"streaming_total":${sec(streamingTotal)},"n_queries":${ok.size},"n_err":${errs.size},$ccFields,"sf":"$sfDir","runs_top20":$runs2,"errors":$es,"queries":$qs}"""
@@ -144,5 +165,8 @@ object Bench {
     spark.stop() // stop FIRST so no Spark shutdown logging prints after the JSON
     println(head(entries.size - kept.size) + kept.mkString(",") + "}}")
     if (errs.nonEmpty) sys.exit(1)
+    // dedicated strict flag (driver never sets it): a contended artifact
+    // exits nonzero so automation that opts in can refuse to grade it
+    if (contended && sys.env.contains("SPARK_GRAFT_BENCH_STRICT")) sys.exit(3)
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+/** Pure measurement-hygiene rules for [[Bench]], factored out so the
+  * contention sentinel and lane-stability logic are unit-testable
+  * without a SparkSession ([[BenchCoreSpec]]).
+  *
+  * Round-9 lesson motivating the bidirectional sentinel: the driver's
+  * artifact recorded `mm_phash_pairs` at 68.598 s while the post-sweep
+  * recheck re-timed the identical plan at 1.673 s — maximal evidence
+  * that the RECORDED sweep was the contended one — yet the
+  * one-directional `recheck/recorded > 3` test saw ratio 0.024 and
+  * published `"contended": false`, presenting a 3.7× machine-noise
+  * artifact as a plan regression. Contention is symmetric: two timings
+  * of one plan disagreeing 3× means the machine was noisy during one of
+  * them, and it does not matter which.
+  */
+object BenchCore {
+
+  /** How far apart two timings of the same plan are, direction-blind:
+    * `max(recheck/recorded, recorded/recheck)`. 1.0 = identical.
+    */
+  def sentinelRatio(recorded: Double, recheck: Double): Double = {
+    val r = recheck / math.max(recorded, 1e-9)
+    math.max(r, 1.0 / math.max(r, 1e-9))
+  }
+
+  /** (contended, worst ratio) over `(name, recorded, recheck)` checks:
+    * contended iff ANY check's bidirectional ratio exceeds `threshold`.
+    */
+  def contentionVerdict(checks: Seq[(String, Double, Double)],
+                        threshold: Double = 3.0): (Boolean, Double) = {
+    val maxR = checks.map { case (_, rec, re) => sentinelRatio(rec, re) }
+      .foldLeft(1.0)(math.max)
+    (maxR > threshold, maxR)
+  }
+
+  /** Stability spread of a query's timed passes: the ratio of the two
+    * BEST samples (second-min / min). With ≥3 samples, two agreeing lows
+    * prove the plan cost is reproducible and a single spiked pass is
+    * noise, not instability — the cohort must not fail its stability
+    * gate because one micro-batch run caught a contention window. With
+    * exactly 2 samples this degenerates to max/min (no spike to forgive).
+    */
+  def stableSpread(passes: Seq[Double]): Double = {
+    val s = passes.sorted
+    if (s.size < 2) 1.0 else s(1) / math.max(s.head, 1e-9)
+  }
+
+  /** The sentinel set to re-time after the sweeps: the `topN` most
+    * expensive queries (their cost dominates the graded total, so their
+    * recorded numbers must defend themselves) plus, when more eligible
+    * queries exist, the cheapest and the median eligible query —
+    * contention inflates the cheap end of the spectrum by the LARGEST
+    * ratios, so spectrum coverage makes the sentinel more sensitive, not
+    * less. Input: (name, recorded) with recorded already ≥ the noise
+    * floor; output preserves input order stability for determinism.
+    */
+  def sentinelSet(eligible: Seq[(String, Double)], topN: Int = 10)
+      : Seq[(String, Double)] = {
+    val byCostDesc = eligible.sortBy { case (n, c) => (-c, n) }
+    val top = byCostDesc.take(topN)
+    val rest = byCostDesc.drop(topN)
+    if (rest.isEmpty) top
+    else {
+      val asc = rest.sortBy { case (n, c) => (c, n) }
+      top ++ Seq(asc.head, asc(asc.size / 2)).distinct
+    }
+  }
+}

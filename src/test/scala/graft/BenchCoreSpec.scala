@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the measurement-hygiene rules behind [[Bench]] — most importantly
+  * the bidirectional contention sentinel, against the exact artifact that
+  * motivated it: BENCH_r09.json recorded `mm_phash_pairs` at 68.598 s
+  * while the post-sweep recheck measured 1.673 s, and the one-directional
+  * `recheck/recorded > 3` rule computed ratio 0.024 and published
+  * `"contended": false` — a 3.7× machine-noise total graded as a plan
+  * regression. These specs make both contention directions trip.
+  */
+class BenchCoreSpec extends AnyFunSuite {
+
+  test("sentinel trips when the RECORDED pass was the contended one (r9 case)") {
+    // the literal r9 numbers: recorded 68.598 s, recheck 1.673 s
+    val (contended, maxRatio) =
+      BenchCore.contentionVerdict(Seq(("mm_phash_pairs", 68.598, 1.673)))
+    assert(contended, "a 41x-inflated recorded pass must flag contention")
+    assert(maxRatio > 40.0 && maxRatio < 42.0)
+  }
+
+  test("sentinel trips when the RECHECK was the contended one") {
+    val (contended, _) = BenchCore.contentionVerdict(Seq(("q", 1.0, 3.5)))
+    assert(contended)
+  }
+
+  test("sentinel stays quiet on agreeing timings, either side slightly off") {
+    assert(!BenchCore.contentionVerdict(Seq(("a", 1.0, 1.2), ("b", 2.0, 0.9)))._1)
+    assert(BenchCore.contentionVerdict(Nil) == (false, 1.0))
+  }
+
+  test("sentinelRatio is symmetric and >= 1") {
+    assert(BenchCore.sentinelRatio(2.0, 8.0) == BenchCore.sentinelRatio(8.0, 2.0))
+    assert(BenchCore.sentinelRatio(5.0, 5.0) == 1.0)
+    assert(BenchCore.sentinelRatio(0.0, 1.0) > 3.0) // zero guard, no NaN/Inf blowup on the verdict side
+  }
+
+  test("stableSpread forgives one spiked pass out of three") {
+    // two agreeing lows + one 5x spike: the plan cost is reproducible
+    assert(math.abs(BenchCore.stableSpread(Seq(1.0, 1.1, 5.0)) - 1.1) < 1e-9)
+    // two samples: degenerates to max/min (no spike to forgive)
+    assert(math.abs(BenchCore.stableSpread(Seq(1.0, 3.0)) - 3.0) < 1e-9)
+    assert(BenchCore.stableSpread(Seq(1.0)) == 1.0)
+  }
+
+  test("sentinelSet = top-N by cost plus cheap + median spectrum probes") {
+    val eligible = (1 to 15).map(i => (s"q$i", i.toDouble))
+    val set = BenchCore.sentinelSet(eligible, topN = 10)
+    val names = set.map(_._1)
+    // top 10 by cost: q15..q6
+    assert((6 to 15).forall(i => names.contains(s"q$i")))
+    // spectrum probes from the remainder q1..q5: cheapest (q1) + median (q3)
+    assert(names.contains("q1") && names.contains("q3"))
+    assert(set.size == 12)
+    // fewer eligible than topN: everything is a sentinel, no dupes
+    val small = BenchCore.sentinelSet(Seq(("a", 1.0), ("b", 2.0)), topN = 10)
+    assert(small.map(_._1).sorted == Seq("a", "b"))
+  }
+}
