@@ -44,20 +44,19 @@ object CacheControl {
     * the window's duration; such a query is still correct, merely
     * planned without adaptation.
     *
-    * Invocations serialize on a lock: the save/flip/restore of the
-    * session-global conf is otherwise racy — two overlapping calls
-    * could capture each other's "false" as the value to restore and
-    * leave AQE permanently disabled for the session.
+    * Invocations serialize on THE shared conf-pin lock ([[ConfFlip]]):
+    * the save/flip/restore of the session-global conf is otherwise racy
+    * — two overlapping calls could capture each other's "false" as the
+    * value to restore and leave AQE permanently disabled for the
+    * session — and the lock is shared with every other conf-pinning
+    * helper (notably [[graft.streaming.StreamOps.withStatePartitions]])
+    * so a checkpoint here can never plan under, or be captured into, a
+    * stream start's transient shuffle-partition pin.
     */
   def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame =
-    aqeFlip.synchronized {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try build.localCheckpoint() finally spark.conf.set(key, prev)
+    ConfFlip.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      build.localCheckpoint()
     }
-
-  private[this] val aqeFlip = new Object
 
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = true)

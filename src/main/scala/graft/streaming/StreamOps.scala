@@ -373,25 +373,21 @@ object StreamOps {
     *
     * Only `startQuery` (which must START the query synchronously — the
     * conf clone happens inside `start()`) runs under the flipped conf;
-    * the previous value is restored before this returns, and flips
-    * serialize on a lock so two overlapping starts can't capture each
-    * other's transient value as the restore target (the same save/flip/
-    * restore race [[graft.ops.CacheControl.checkpointWithLayout]] locks
-    * against).
+    * the previous value is restored before this returns. Pins serialize
+    * on THE shared conf-flip lock ([[graft.ops.ConfFlip]]) — shared
+    * with [[graft.ops.CacheControl.checkpointWithLayout]] and any future
+    * conf-pinning helper — so neither two overlapping starts NOR a
+    * start overlapping a batch checkpoint's AQE pin can capture the
+    * other's transient value; for a stream that matters doubly, because
+    * a wrong shuffle-partition count captured at `start()` is frozen
+    * into the checkpoint for the query's whole life. Stream starts that
+    * bypass this wrapper on a session with concurrent pinned planning
+    * remain exposed (session conf is process-global): route them
+    * through here, or don't overlap them with pinned work.
     */
   def withStatePartitions[A](spark: SparkSession, n: Int)(startQuery: => A): A =
-    statePartsFlip.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, n.toString)
-      try startQuery
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-
-  private[this] val statePartsFlip = new Object
+    graft.ops.ConfFlip.withConf(spark, "spark.sql.shuffle.partitions",
+      n.toString)(startQuery)
 
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the test/driver harness shape
