@@ -55,6 +55,66 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Prepared-input convention: a frame carrying [[NormCol]] (the
+    * precomputed `norm(vec)` double) and/or [[SigCol]] (a precomputed
+    * [[lshBucket]] bit-string) makes every top-k method below REUSE
+    * those columns instead of recomputing norm/signature per method —
+    * the multi-method caller's pattern (one recall harness, five probe
+    * paths over the same corpus) pays the normalize-and-sign scan ONCE
+    * behind a checkpoint instead of once per method. Signature reuse
+    * leans on a structural property: plane p's hyperplane depends only
+    * on p, so the r-plane bucket is the LENGTH-r PREFIX of any wider
+    * signature — one 24-plane [[SigCol]] serves planes=4 single-bucket,
+    * radius-1 multi-probe, and 12×2 banded probes alike. The caller
+    * must prepare AT LEAST as many planes as any consuming method asks
+    * for (a too-short column would silently merge buckets — the one
+    * contract [[prepVectors]]'s scaladoc carries).
+    *
+    * Results are bit-identical with and without preparation: the same
+    * expressions over the same values, merely evaluated once.
+    */
+  val NormCol = "__graft_norm"
+  val SigCol = "__graft_sig"
+
+  /** Attach [[NormCol]] (always) and [[SigCol]] (when `sigPlanes` > 0)
+    * to `df`. Callers checkpoint the result once and feed it to any mix
+    * of top-k methods; see the convention note at [[NormCol]].
+    */
+  def prepVectors(df: DataFrame, vecCol: String,
+                  sigPlanes: Int = 0, dims: Int = 0): DataFrame = {
+    val withNorm = df.withColumn(NormCol, norm(col(vecCol)))
+    if (sigPlanes <= 0) withNorm
+    else withNorm.withColumn(SigCol, lshBucket(col(vecCol), sigPlanes, dims))
+  }
+
+  /** One side's (id, vec, norm) projection, honoring a prepared norm. */
+  private def side(df: DataFrame, idCol: String, vecCol: String,
+                   id: String, v: String, n: String): DataFrame =
+    if (df.columns.contains(NormCol))
+      df.select(col(idCol).as(id), col(vecCol).as(v), col(NormCol).as(n))
+    else
+      df.select(col(idCol).as(id), col(vecCol).as(v), norm(col(vecCol)).as(n))
+
+  /** The `planes`-bit signature, honoring a prepared (wider-or-equal)
+    * signature column via the prefix property documented at [[NormCol]].
+    * Must be evaluated against the frame that still CARRIES [[SigCol]]
+    * (i.e. inside the same select that projects it away).
+    */
+  private def sigOf(df: DataFrame, vecCol: String, planes: Int, dims: Int): Column =
+    if (df.columns.contains(SigCol)) substring(col(SigCol), 1, planes)
+    else lshBucket(col(vecCol), planes, dims)
+
+  /** [[side]] plus the `planes`-bit bucket, projected in ONE select from
+    * the original frame so prepared norm/sig columns stay resolvable.
+    */
+  private def sideWithSig(df: DataFrame, idCol: String, vecCol: String,
+                          id: String, v: String, n: String,
+                          planes: Int, dims: Int): DataFrame = {
+    val nCol = if (df.columns.contains(NormCol)) col(NormCol) else norm(col(vecCol))
+    df.select(col(idCol).as(id), col(vecCol).as(v), nCol.as(n),
+      sigOf(df, vecCol, planes, dims).as("bucket"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine (desc), ties broken by candidate id. The
     * candidate side is the big one — queries broadcast; the per-query
@@ -70,10 +130,8 @@ object Similarity {
                      maxRows: Long = DefaultQuadraticMaxRows): DataFrame = {
     requireSmall(candidates, maxRows, "bruteForceTopK",
       "ivfTopK/probeIvfIndexBatch (IVF) or lshTopK (hyperplane LSH)")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val q = side(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = side(candidates, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
@@ -115,10 +173,8 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), lshBucket(col(vecCol), planes, dims).as("bucket"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val q = sideWithSig(queries, idCol, vecCol, "query_id", "qv", "qn", planes, dims)
+    val c = sideWithSig(candidates, idCol, vecCol, "neighbor_id", "cv", "cn", planes, dims)
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
@@ -142,18 +198,17 @@ object Similarity {
   def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
                         idCol: String, vecCol: String, k: Int,
                         planes: Int, dims: Int): DataFrame = {
-    val bucket = lshBucket(col(vecCol), planes, dims)
     def flipAt(b: Column, i: Int): Column = concat(
       substring(b, 1, i - 1),
       when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
       substring(b, i + 1, planes - i))
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), bucket.as("__b"))
+    val q0 = sideWithSig(queries, idCol, vecCol, "query_id", "qv", "qn",
+      planes, dims).withColumnRenamed("bucket", "__b")
     val probes = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(array(col("__b") +:
         (1 to planes).map(i => flipAt(col("__b"), i)): _*)).as("bucket"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), bucket.as("bucket"))
+    val c = sideWithSig(candidates, idCol, vecCol, "neighbor_id", "cv", "cn",
+      planes, dims)
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
@@ -193,22 +248,19 @@ object Similarity {
                     planes: Int, nBands: Int, dims: Int): DataFrame = {
     require(planes % nBands == 0, "planes must divide into equal bands")
     val w = planes / nBands
-    val sig = lshBucket(col(vecCol), planes, dims)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"), substring(col("__sig"), b * w + 1, w).as("bh"))
     }
     def bandRows(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), sig.as("__sig"))
+      df.select(col(idCol).as(id), sigOf(df, vecCol, planes, dims).as("__sig"))
         .select(col(id), explode(array(bandCols: _*)).as("bb"))
         .select(col(id), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cands = bandRows(candidates, "neighbor_id")
       .join(broadcast(bandRows(queries, "query_id")), Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+    val c = side(candidates, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val q = side(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = cands.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val rankW = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
@@ -338,10 +390,10 @@ object Similarity {
           (norm(col(vec)) * norm(col("cent_v"))), 6))
       assignNearest(scored, id, carried)
     }
-    val c = assign(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn")), "neighbor_id", "cv")
-    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn")), "query_id", "qv")
+    val c = assign(side(candidates, idCol, vecCol, "neighbor_id", "cv", "cn"),
+      "neighbor_id", "cv")
+    val q = assign(side(queries, idCol, vecCol, "query_id", "qv", "qn"),
+      "query_id", "qv")
     val scored = c.join(broadcast(q), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
@@ -389,6 +441,38 @@ object Similarity {
   def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, path: String): Unit =
     writeIvfIndex(candidates, idCol, vecCol, centroids, path, "overwrite")
+
+  /** Deployment sizing rule for the IVF list count: √N. Per-query probe
+    * work is N/lists rows per probed list while quantizer work (assigning
+    * a query) is `lists` comparisons — √N balances the two, the standard
+    * IVF operating point. At FIXED lists the probe curve is linear in the
+    * corpus (the measured 0.66 exponent at nCentroids = 64 in
+    * docs/scale_curves.json is that by design); growing lists with √N is
+    * what restores the √N per-query cost a deployment actually runs.
+    */
+  def suggestedIvfLists(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** [[buildIvfIndex]] with [[suggestedIvfLists]] applied automatically:
+    * counts the corpus, takes the first √N vectors by id as deterministic
+    * centroids (the [[ivfTopK]] sampler — index structure over centroid
+    * quality; swap in [[kmeansCentroids]] when quality matters), builds
+    * the partitioned index, and RETURNS the centroid frame (checkpointed
+    * — the quantizer is part of the index contract; callers release it
+    * when done probing).
+    */
+  def buildIvfIndexAuto(candidates: DataFrame, idCol: String, vecCol: String,
+                        path: String): DataFrame = {
+    val lists = suggestedIvfLists(candidates.count())
+    // lists rows total: the single-partition window is bounded metadata
+    val w = Window.orderBy(col(idCol))
+    val cents = candidates.orderBy(col(idCol)).limit(lists)
+      .select((row_number().over(w) - 1).as("cent_id"),
+        col(vecCol).as("cent_v"))
+      .localCheckpoint()
+    buildIvfIndex(candidates, idCol, vecCol, cents, path)
+    cents
+  }
 
   /** Index maintenance: assign a NEW vector batch to the existing
     * centroids and append into the index's list partitions — no rebuild,

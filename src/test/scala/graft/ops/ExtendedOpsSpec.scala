@@ -601,6 +601,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("prepVectors-prepared input is bit-identical across every top-k method") {
+    // richer fixture than `vecs`: enough rows that buckets/centroids
+    // actually partition the space, exercising the signature PREFIX
+    // property (one 24-plane SigCol feeding 4-plane single/multi-probe
+    // and 8-plane-in-4-bands banded probes) and NormCol reuse
+    val many = spark.range(0, 40).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.37).cast("float"),
+        sin(col("id") * 0.37).cast("float"),
+        cos(col("id") * 0.11).cast("float")).as("embedding"))
+    val prepped = Similarity.prepVectors(many, "embedding",
+      sigPlanes = 24, dims = 3).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+    def check(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val qRaw = many.filter(col("vec_id") < 3)
+      val qPre = prepped.filter(col("vec_id") < 3)
+      assert(rows(f(qPre, prepped)) == rows(f(qRaw, many)))
+    }
+    check((q, c) => Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 4))
+    check((q, c) => Similarity.lshTopK(q, c, "vec_id", "embedding", 4,
+      planes = 4, dims = 3))
+    check((q, c) => Similarity.lshTopKMultiProbe(q, c, "vec_id", "embedding", 4,
+      planes = 4, dims = 3))
+    check((q, c) => Similarity.lshTopKBanded(q, c, "vec_id", "embedding", 4,
+      planes = 8, nBands = 4, dims = 3))
+    check((q, c) => Similarity.ivfTopK(q, c, "vec_id", "embedding", 4,
+      nCentroids = 4))
+    check((q, c) => Similarity.quantizedTopK(q, c, "vec_id", "embedding", 4))
+    CacheControl.release(prepped)
+  }
+
   test("lsh buckets: identical vectors share buckets; topk finds identical twin") {
     val out = Similarity.lshTopK(
       vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
@@ -727,6 +759,60 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 2, cents)
       .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == mem)
+  }
+
+  test("auto-sized IVF index: √N lists; probe reads ONLY the probed lists' files") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfauto").toString + "/idx"
+    assert(Similarity.suggestedIvfLists(1) == 1 &&
+      Similarity.suggestedIvfLists(40) == 6 &&
+      Similarity.suggestedIvfLists(1000000) == 1000)
+    val many = spark.range(0, 40).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.37).cast("float"),
+        sin(col("id") * 0.37).cast("float"),
+        cos(col("id") * 0.11).cast("float")).as("embedding"))
+    val cents = Similarity.buildIvfIndexAuto(many, "vec_id", "embedding", dir)
+    assert(cents.count() == 6)
+    // organize-on-write leaves one file per list directory
+    val listDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(listDirs.length == 6, s"expected 6 list dirs, got ${listDirs.length}")
+    listDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"list ${d.getName}: ${files.length} files")
+    }
+    // one query at nProbe=1 probes exactly one list → the executed scan
+    // must read exactly ONE of the six files (numFiles metric, the same
+    // evidence the manifest pruning specs use)
+    val one = many.filter(col("vec_id") === 0L)
+    val probe = Similarity.probeIvfIndexBatch(spark, dir, one,
+      "vec_id", "embedding", cents, k = 3)
+    probe.collect()
+    // the probe plan is adaptive (joins + a window): recurse through
+    // AQE stage wrappers — their `children` are empty — to reach the
+    // index scan's numFiles metric (same traversal GraphSpec uses)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: allNodes(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        qs +: allNodes(qs.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: allNodes(r.child)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scanned = allNodes(probe.queryExecution.executedPlan).collect {
+      case p if p.nodeName.startsWith("Scan") && p.metrics.contains("numFiles") =>
+        p.metrics("numFiles").value
+    }.sum
+    assert(scanned == 1, s"pruned probe read $scanned files, expected 1")
+    // and the probe agrees with the in-memory IVF over the same quantizer
+    val mem = Similarity.ivfTopKWith(one, many, "vec_id", "embedding",
+      k = 3, cents).orderBy("rank")
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val got = probe.orderBy("rank")
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == mem)
+    CacheControl.release(cents)
   }
 
   test("IVF index append: probes see appended vectors identically to a full rebuild") {
