@@ -51,7 +51,14 @@ object Graph {
     * off the degree aggregate for free instead of a second union+distinct
     * pass over the edge list. Results are identical when the promise
     * holds; a violated promise silently drops sink-only nodes — leave it
-    * false for genuinely directed input.
+    * false for genuinely directed input. `validatePromise = true` turns
+    * that silent hazard into a loud failure: a bounded edge sample (1024
+    * rows) is checked for reverse presence with one broadcast semi-join
+    * over the edge list — one extra edge scan, the debug-mode price; a
+    * missing reverse edge throws before any iteration runs. Sampling
+    * can miss a violation (it is a tripwire, not a proof) but catches
+    * the realistic failure — a caller passing a one-orientation edge
+    * list — with certainty, since then NO sampled edge has its reverse.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3,
@@ -59,7 +66,8 @@ object Graph {
                scale: Long = 1000000000000L,
                checkpointEvery: Int = 5,
                maxDriverEdges: Long = 200000L,
-               symmetricEdges: Boolean = false): DataFrame = {
+               symmetricEdges: Boolean = false,
+               validatePromise: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       "damping must be a rational in [0, 1]")
@@ -73,6 +81,23 @@ object Graph {
     // ONLY the rank vector moves per round. Without this the k joins
     // re-shuffle the full edge list k times.
     val e = edgeLayout(edges, srcCol, dstCol)
+    if (symmetricEdges && validatePromise) {
+      // bounded sample (driver-side metadata, ≤1024 narrow rows), then
+      // ONE broadcast semi-join scan of e counting which reversed pairs
+      // exist; e is distinct so each reversed pair matches ≤1 row —
+      // found < sampled ⇔ some sampled edge lacks its reverse
+      val sampled = e.limit(1024).collect().map(r => (r.getLong(1), r.getLong(0)))
+      if (sampled.nonEmpty) {
+        import edges.sparkSession.implicits._
+        val rev = sampled.toSeq.toDF("src", "dst")
+        val found = e.join(broadcast(rev), Seq("src", "dst"), "left_semi").count()
+        require(found == sampled.length,
+          s"symmetricEdges promise violated: ${sampled.length - found} of " +
+            s"${sampled.length} sampled edges lack their reverse orientation " +
+            "— sink-only nodes would be silently dropped; pass " +
+            "symmetricEdges = false for directed input")
+      }
+    }
     // Small-graph fast path (same bounded-metadata gate as
     // Dedup.connectedComponents): the distributed loop costs ~2 Spark
     // jobs per iteration regardless of size, and the fixed-point update
@@ -282,36 +307,67 @@ object Graph {
   }
 
   /** Per-node triangle counts over an UNDIRECTED graph (`aCol`—`bCol` in
-    * either orientation; parallel edges and self-loops collapse away):
-    * edges canonicalize to a < b, two self-joins enumerate each triangle
-    * once as (a < b < c), then each corner gets credited. Exact integers —
-    * hash-stable against any engine. Scale note: the canonical
-    * orientation counts every triangle exactly once (vs 6× for naive
-    * all-directions), and the wedge join (e1.b = e2.a) is the standard
-    * distributed triangle shape; for power-law graphs, orient edges
-    * low-degree → high-degree first to bound wedge fan-out (the classic
-    * Schank–Wagner / Cohen MapReduce refinement).
+    * either orientation; parallel edges and self-loops collapse away).
+    * Exact integers — hash-stable against any engine, and independent of
+    * the enumeration order, so the algorithm below is free to pick the
+    * orientation that bounds the join.
+    *
+    * DEGREE-ORIENTED enumeration (Schank–Wagner / Cohen): edges orient
+    * from the endpoint that is SMALLER under the total order
+    * ≺ = (degree, id) toward the larger, wedges form only between a
+    * node's OUT-neighbors, and the closing edge is probed in the same
+    * orientation. Every triangle {x ≺ y ≺ z} appears exactly once — as
+    * the wedge (x→y, x→z) closed by y→z. Why this is the 100 TB shape:
+    * out-degree under ≺ is O(√|E|) even on power-law graphs (a hub's
+    * edges orient INTO it from its lower-degree neighbors — credited,
+    * never fanned out), so wedge count is Σ out-deg² ≤ O(|E|^1.5)
+    * instead of the id-ordered join's Σ deg²/4, which a single
+    * million-degree hub turns into 10¹² wedges on one key.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // materialized once: the canonical edge set is referenced THREE times
-    // (both wedge sides + the closing-edge probe) — without this the
-    // upstream plan executes three times over
-    val e = edges.select(
+    val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint()
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      .filter(col("a") < col("b")).distinct()
+    // undirected degree per node — |V|-sized, two joins attach it to the
+    // edge list's endpoints (shuffles on a then b, each |E|-sized, paid
+    // once at build; the enumeration joins below are what must not blow up)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val aLtB = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge u→v with u ≺ v; dv (v's degree) rides along so the
+    // wedge join can compare two heads under ≺ without re-joining deg.
+    // Materialized once, HASH-PARTITIONED AND SORTED ON u: the wedge
+    // self-join (both sides keyed u) consumes it exchange-free and
+    // sort-free; it is also the closing probe's build side (keys u,v —
+    // hash(u) still clusters them).
+    val o = CacheControl.checkpointWithLayout(edges.sparkSession) {
+      und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(aLtB, col("a")).otherwise(col("b")).as("u"),
+          when(aLtB, col("b")).otherwise(col("a")).as("v"),
+          when(aLtB, col("db")).otherwise(col("da")).as("dv"))
+        .repartition(col("u")).sortWithinPartitions("u")
+    }
+    val headLt = col("e1.dv") < col("e2.dv") ||
+      (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
+    // wedge (x→y, x→z) with y ≺ z: the ≺-ordered pair of x's out-neighbors
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.u") === col("e2.u") && headLt)
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // closing edge y—z is stored oriented y→z precisely because y ≺ z
     val tris = wedges.as("w")
-      .join(e.as("e3"), col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
-      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
-    val out = tris.select(col("a").as("node"))
-      .union(tris.select(col("b").as("node")))
-      .union(tris.select(col("c").as("node")))
+      .join(o.as("e3"), col("w.y") === col("e3.u") && col("w.z") === col("e3.v"))
+      .select(col("w.x").as("x"), col("w.y").as("y"), col("w.z").as("z"))
+    val out = tris.select(col("x").as("node"))
+      .union(tris.select(col("y").as("node")))
+      .union(tris.select(col("z").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .localCheckpoint() // per-node counts materialize; the edge pin drops
-    CacheControl.release(e)
+    CacheControl.release(o)
     out
   }
 }

@@ -63,6 +63,49 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCounts on a hub-heavy graph matches brute force") {
+    // hub 0 adjacent to everyone (the power-law hazard the degree
+    // orientation exists for) + a random graph among the spokes; verify
+    // against an in-memory brute-force count over the same edge set
+    val rnd = new scala.util.Random(7)
+    val hub = (1 to 19).map(i => (0L, i.toLong))
+    val spokes = (1 to 120)
+      .map(_ => (1 + rnd.nextInt(19).toLong, 1 + rnd.nextInt(19).toLong))
+      .filter { case (a, b) => a != b }
+    val all = (hub ++ spokes)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (all ++ all.map(_.swap)).groupBy(_._1)
+      .map { case (n, g) => n -> g.map(_._2).toSet }
+    val expected = scala.collection.mutable.HashMap.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- all
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+    val got = Graph.triangleCounts(all.toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("validatePromise fails loudly on a one-orientation edge list") {
+    val pairs = (1 to 50).map(i => (i.toLong, (i % 25 + 30).toLong)).distinct
+    val directed = pairs.toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pagerank(directed, "s", "d", iterations = 2,
+        maxDriverEdges = 0, symmetricEdges = true, validatePromise = true)
+    }
+    assert(ex.getMessage.contains("symmetricEdges promise violated"))
+    // a kept promise validates clean and changes nothing
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("s", "d")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val checked = rows(Graph.pagerank(sym, "s", "d", iterations = 3,
+      maxDriverEdges = 0, symmetricEdges = true, validatePromise = true))
+    val unchecked = rows(Graph.pagerank(sym, "s", "d", iterations = 3,
+      maxDriverEdges = 0, symmetricEdges = true))
+    assert(checked == unchecked)
+  }
+
   test("dangling nodes leak mass but stay ranked; long runs checkpoint") {
     // 1 -> 2 -> 3, 3 dangling
     val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
