@@ -130,6 +130,23 @@ object ScaleBench {
       p.select(col("a").as("src"), col("b").as("dst"))
         .union(p.select(col("b").as("src"), col("a").as("dst")))
     }
+    // hub-heavy triangle fixture: a 1/5 hash-sample of the bipartite
+    // pairs (bounds the benign spoke-side wedge volume) plus ONE GLOBAL
+    // hub (-1) adjacent to every node of every copy — the hub's degree
+    // grows m×, the power-law regime the degree orientation exists for:
+    // id-ordered wedge enumeration would put O((m·|V|)²) wedges on the
+    // hub's key, degree-ordered puts ZERO there (all hub edges orient
+    // INTO it). Each sampled edge closes exactly one triangle with the
+    // hub, so output volume grows m× — real work, not a degenerate zero.
+    def scaledHubEdges(m: Int): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(m - 1))).as("copy")
+      val p = basePairs.filter(pmod(hash(col("a"), col("b")), lit(5)) === 0)
+        .select(col("a"), col("b"), copies)
+        .select((col("a") + col("copy") * 10000000L).as("a"),
+          (col("b") + col("copy") * 10000000L).as("b"))
+      p.union(p.select(col("a"), lit(-1L).as("b")).distinct())
+        .union(p.select(col("b").as("a"), lit(-1L).as("b")).distinct())
+    }
 
     // ---- measured operators ------------------------------------------
     // Each returns the wall seconds of the DISTRIBUTED path; results are
@@ -227,6 +244,48 @@ object ScaleBench {
           k = 5, nCentroids = 64)
         r.count(); CacheControl.release(r)
       }
+      // banded-LSH ANN — the production recall path (recall@5 = 0.975,
+      // oracle-gated in ann_recall): candidates collapse to narrow id
+      // pairs in the band join before any vector rides a shuffle
+      out += "ann_lsh_banded" -> timeIt {
+        val r = Similarity.lshTopKBanded(annQueries, emb, "vec_id",
+          "embedding", k = 5, planes = 24, nBands = 12, dims = 64)
+        r.count(); CacheControl.release(r)
+      }
+      // persisted IVF at DEPLOYMENT sizing (√N lists, auto): the build is
+      // its own row (paid once per corpus); the probe row is what a fixed
+      // 200-query batch pays against the STANDING index — one partition-
+      // pruned scan of the probed lists, ~batch·√N rows touched, so the
+      // curve should hold near 0.5 where fixed-list ann_ivf_topk is ~1
+      val ivfPath = s"$work/ivf-$m"
+      workFs.delete(new org.apache.hadoop.fs.Path(ivfPath), true): Unit
+      var ivfCents: DataFrame = null
+      out += "ivf_build_sqrt_lists" -> timeIt {
+        ivfCents = Similarity.buildIvfIndexAuto(emb, "vec_id", "embedding",
+          ivfPath)
+      }
+      out += "ivf_probe_persisted" -> timeIt {
+        Similarity.probeIvfIndexBatch(spark, ivfPath, annQueries,
+          "vec_id", "embedding", ivfCents, k = 5).count(): Unit
+      }
+      CacheControl.release(ivfCents)
+      // perceptual-hash near-dup pairs (the heaviest bench query): the
+      // phash fold is linear in docs; the banded join must track bucket
+      // occupancy, never all-pairs
+      out += "mm_phash_pairs" -> timeIt {
+        val r = Multimodal.phashPairs(docsSample, "doc_id", "text",
+          maxHamming = 3)
+        r.count(); CacheControl.release(r)
+      }
+      // degree-oriented triangles on the hub-heavy graph — the one
+      // power-law hazard left in the graph family (r9 verdict): the hub
+      // must never own a wedge key
+      val hubEdges = scaledHubEdges(m).localCheckpoint()
+      out += "triangles_hub" -> timeIt {
+        val r = Graph.triangleCounts(hubEdges, "a", "b")
+        r.count(); CacheControl.release(r)
+      }
+      CacheControl.release(hubEdges)
       // manifest: commit + point-scan latency against an m-commit,
       // m×-data table — the metadata path (rebase + version listing +
       // min/max pruning) must stay bounded by the FILE count, not rows.

@@ -22,7 +22,9 @@ def main() -> None:
     for p in sys.argv[1:]:
         with open(p) as f:
             tables.append(json.load(f))
-    meta = {k: tables[0][k] for k in ("base", "cpus") if k in tables[0]}
+    # carry provenance ("method") alongside the numeric meta — a merged
+    # artifact without its methodology note reads as unexplained numbers
+    meta = {k: tables[0][k] for k in ("base", "cpus", "method") if k in tables[0]}
     ops: dict[str, dict[str, float]] = {}
     for t in tables:
         for op, row in t.items():
@@ -40,9 +42,14 @@ def main() -> None:
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         den = sum((x - mx) ** 2 for x in xs)
-        b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den if den else 0.0
         row = {pt: round(v, 3) for pt, v in pts.items()}
-        row["exponent"] = round(b, 3)
+        # a single data point can't support a fit: publish null, not a
+        # fake 0.0 that would read as perfectly flat scaling
+        if den:
+            b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+            row["exponent"] = round(b, 3)
+        else:
+            row["exponent"] = None
         out[op] = row
     json.dump(out, sys.stdout)
     print()
