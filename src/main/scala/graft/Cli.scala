@@ -105,6 +105,10 @@ object Cli {
           .getOrElse(sys.props("user.dir") + "/meta")
         CliEnv.defaults.save(spark, s"$metaDir/etl_defaults")
         CliEnv.tracker.save(spark, s"$metaDir/etl_job_status")
+        // full create_etl_manager_structures parity: the schedules table
+        // bootstraps too (empty unless -c YAML loaded some this run)
+        graft.meta.Status.saveSchedules(spark, CliEnv.schedules,
+          s"$metaDir/etl_schedules")
         println(s"initialized metadata store at $metaDir")
       case _ =>
         System.err.println(

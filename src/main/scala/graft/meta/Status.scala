@@ -69,6 +69,23 @@ object Status {
     import spark.implicits._
     rows.toDF()
   }
+
+  /** O10 durability for schedules: the reference bootstrap creates
+    * `etl_schedules` alongside the defaults/status tables
+    * (`etl_manager.rb:36-41`, `install/etl_tables.mysql.sql`), so
+    * `initialize` persists them too — schedules also load from `-c`
+    * YAML at each run, which remains the operational source of truth;
+    * this table is the bootstrapped durable copy.
+    */
+  def saveSchedules(spark: SparkSession, rows: Seq[Schedule], path: String): Unit = {
+    import spark.implicits._
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadSchedules(spark: SparkSession, path: String): Seq[Schedule] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Schedule].collect().toSeq.sortBy(_.id)
+  }
 }
 
 /** In-memory status tracker with the reference's lifecycle semantics; a

@@ -125,6 +125,22 @@ class PersistenceSpec extends SparkSpec {
     assert(t2.begin("job_b", java.time.Instant.now()) == id + 1)
   }
 
+  test("schedules parquet roundtrip (O10 bootstrap parity)") {
+    import graft.meta.Status
+    val rows = Seq(
+      Status.Schedule(2, "late", Some("arg"), isEnabled = true, "daily",
+        forceRun = false, 2),
+      Status.Schedule(1, "early", None, isEnabled = false, "monday",
+        forceRun = true, 1))
+    val path = java.nio.file.Files.createTempDirectory("sch").toString + "/sched"
+    Status.saveSchedules(spark, rows, path)
+    assert(Status.loadSchedules(spark, path) == rows.sortBy(_.id))
+    // the empty bootstrap (initialize with no -c config) roundtrips too
+    val empty = java.nio.file.Files.createTempDirectory("sch0").toString + "/sched"
+    Status.saveSchedules(spark, Nil, empty)
+    assert(Status.loadSchedules(spark, empty).isEmpty)
+  }
+
   test("clusterByKey produces key-partitioned sorted layout (S9)") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
