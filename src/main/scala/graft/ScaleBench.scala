@@ -239,18 +239,24 @@ object ScaleBench {
       val annQueries = baseEmb.limit(200)
         .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
         .localCheckpoint()
+      // NO CacheControl.release on the ANN results: ivfTopK/lshTopKBanded
+      // return PLAIN plans (no output checkpoint), so their analyzed
+      // lineage still contains emb's and annQueries' LogicalRDDs — a
+      // release would unpersist the SHARED corpus checkpoints out from
+      // under every later consumer (bit us: ann_lsh_banded crashed with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after ann_ivf_topk's release).
+      // count() leaves nothing persistent behind for these rows.
       out += "ann_ivf_topk" -> timeIt {
-        val r = Similarity.ivfTopK(annQueries, emb, "vec_id", "embedding",
-          k = 5, nCentroids = 64)
-        r.count(); CacheControl.release(r)
+        Similarity.ivfTopK(annQueries, emb, "vec_id", "embedding",
+          k = 5, nCentroids = 64).count(): Unit
       }
       // banded-LSH ANN — the production recall path (recall@5 = 0.975,
       // oracle-gated in ann_recall): candidates collapse to narrow id
       // pairs in the band join before any vector rides a shuffle
       out += "ann_lsh_banded" -> timeIt {
-        val r = Similarity.lshTopKBanded(annQueries, emb, "vec_id",
+        Similarity.lshTopKBanded(annQueries, emb, "vec_id",
           "embedding", k = 5, planes = 24, nBands = 12, dims = 64)
-        r.count(); CacheControl.release(r)
+          .count(): Unit
       }
       // persisted IVF at DEPLOYMENT sizing (√N lists, auto): the build is
       // its own row (paid once per corpus); the probe row is what a fixed
