@@ -1163,7 +1163,8 @@ object ExtendedQueries {
           // EAGER + release (cache policy): the tiny recall rows
           // materialize, then the corpus checkpoint — repinned otherwise
           // on every bench/session invocation — is dropped, so a
-          // long-lived session keeps no persistent entry per call.
+          // long-lived session keeps ONE persistent entry per call (the
+          // 5-row result), not the corpus.
           .orderBy("method").localCheckpoint()
         CacheControl.release(e)
         out
