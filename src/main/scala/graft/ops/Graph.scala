@@ -338,20 +338,24 @@ object Graph {
     val aLtB = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     // oriented edge u→v with u ≺ v; dv (v's degree) rides along so the
     // wedge join can compare two heads under ≺ without re-joining deg.
-    // Materialized once, HASH-PARTITIONED AND SORTED ON u: the wedge
-    // self-join (both sides keyed u) consumes it exchange-free and
-    // sort-free; it is also the closing probe's build side (keys u,v —
-    // hash(u) still clusters them).
-    val o = CacheControl.checkpointWithLayout(edges.sparkSession) {
-      und
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-        .select(
-          when(aLtB, col("a")).otherwise(col("b")).as("u"),
-          when(aLtB, col("b")).otherwise(col("a")).as("v"),
-          when(aLtB, col("db")).otherwise(col("da")).as("dv"))
-        .repartition(col("u")).sortWithinPartitions("u")
-    }
+    // PLAIN checkpoint, deliberately NOT the layout-capturing kind
+    // (contrast pagerank's edgeLayout): this operator runs its joins
+    // ONCE, so a pre-captured hash(u) layout saves two edge exchanges
+    // at the price of planning the whole build AQE-off (measured 2–3×
+    // slower: the deg joins lose broadcast/adaptive planning) and of
+    // freezing the wedge self-join's strategy — the one join here that
+    // WANTS adaptivity, since AQE's skew splitting on the wedge key is
+    // worth more than a saved shuffle when a residual hot key slips
+    // through the orientation. Iterative operators amortize a captured
+    // layout across rounds; a one-shot enumeration does not.
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aLtB, col("a")).otherwise(col("b")).as("u"),
+        when(aLtB, col("b")).otherwise(col("a")).as("v"),
+        when(aLtB, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val headLt = col("e1.dv") < col("e2.dv") ||
       (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
     // wedge (x→y, x→z) with y ≺ z: the ≺-ordered pair of x's out-neighbors
