@@ -91,6 +91,9 @@ object Graph {
         import edges.sparkSession.implicits._
         val rev = sampled.toSeq.toDF("src", "dst")
         val found = e.join(broadcast(rev), Seq("src", "dst"), "left_semi").count()
+        // drop the edge pin BEFORE throwing — a caller that catches the
+        // violation must not inherit a leaked checkpoint
+        if (found != sampled.length) CacheControl.release(e)
         require(found == sampled.length,
           s"symmetricEdges promise violated: ${sampled.length - found} of " +
             s"${sampled.length} sampled edges lack their reverse orientation " +

@@ -84,7 +84,15 @@ object Similarity {
                   sigPlanes: Int = 0, dims: Int = 0): DataFrame = {
     val withNorm = df.withColumn(NormCol, norm(col(vecCol)))
     if (sigPlanes <= 0) withNorm
-    else withNorm.withColumn(SigCol, lshBucket(col(vecCol), sigPlanes, dims))
+    else {
+      // the prepared width rides as column METADATA so a consumer asking
+      // for MORE planes than were prepared fails loudly in sigOf instead
+      // of silently slicing a too-short prefix (merged buckets)
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.sig.planes", sigPlanes.toLong).build()
+      withNorm.withColumn(SigCol,
+        lshBucket(col(vecCol), sigPlanes, dims).as(SigCol, meta))
+    }
   }
 
   /** One side's (id, vec, norm) projection, honoring a prepared norm. */
@@ -101,8 +109,17 @@ object Similarity {
     * (i.e. inside the same select that projects it away).
     */
   private def sigOf(df: DataFrame, vecCol: String, planes: Int, dims: Int): Column =
-    if (df.columns.contains(SigCol)) substring(col(SigCol), 1, planes)
-    else lshBucket(col(vecCol), planes, dims)
+    if (df.columns.contains(SigCol)) {
+      val meta = df.schema(SigCol).metadata
+      if (meta.contains("graft.sig.planes")) {
+        val prepared = meta.getLong("graft.sig.planes")
+        require(prepared >= planes,
+          s"prepared signature has $prepared planes but $planes were " +
+            "requested — a short prefix would silently merge buckets; " +
+            s"prepVectors with sigPlanes >= $planes")
+      }
+      substring(col(SigCol), 1, planes)
+    } else lshBucket(col(vecCol), planes, dims)
 
   /** [[side]] plus the `planes`-bit bucket, projected in ONE select from
     * the original frame so prepared norm/sig columns stay resolvable.

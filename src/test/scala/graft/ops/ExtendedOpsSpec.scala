@@ -630,6 +630,15 @@ class SimilaritySpec extends SparkSpec {
     check((q, c) => Similarity.ivfTopK(q, c, "vec_id", "embedding", 4,
       nCentroids = 4))
     check((q, c) => Similarity.quantizedTopK(q, c, "vec_id", "embedding", 4))
+    // asking for MORE planes than were prepared fails loudly (metadata
+    // guard) instead of silently slicing a too-short prefix
+    val narrow = Similarity.prepVectors(many, "embedding",
+      sigPlanes = 2, dims = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(narrow.filter(col("vec_id") < 3), narrow,
+        "vec_id", "embedding", 4, planes = 4, dims = 3).collect()
+    }
+    assert(ex.getMessage.contains("prepared signature has 2 planes"))
     CacheControl.release(prepped)
   }
 
