@@ -1,28 +1,40 @@
 #!/usr/bin/env bash
 # End-to-end check that graft.Bench's bidirectional contention sentinel
 # actually trips and self-labels the artifact (VERDICT r9 #1 "done"
-# criterion). Instead of hoping a real noisy neighbor shows up on cue,
+# criterion; in-process twin: BenchSelftestSpec). Instead of hoping a
+# real noisy neighbor shows up on cue,
 # SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS injects a fixed delay into
 # every SWEEP pass's timed window while the post-sweep rechecks run
 # clean — reproducing deterministically the r9 failure shape (recorded
 # samples contended, recheck fast). The run must print contended=true
 # and, because SPARK_GRAFT_BENCH_STRICT is set, exit 3.
 #
-# Usage: tools/contention_selftest.sh   (from the repo root; ~2 min)
+# Bench runs as a PLAIN JVM (java -cp classes:/opt/spark/jars/*), not
+# through sbt: sbt wraps the forked main's exit code in log text whose
+# wording varies across sbt versions ("Nonzero exit code returned from
+# runner: 3"), and the round-10 version of this script grepping for
+# that string was flagged as brittle (ADVICE r10). Asserting on the real
+# process exit code needs the real process.
+#
+# Usage: tools/contention_selftest.sh   (repo root; sbt compile first; ~1 min)
 set -u
 cd "$(dirname "$0")/.."
+CLASSES=target/scala-2.13/classes
+if [ ! -d "$CLASSES/graft" ]; then
+  echo "FAIL: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
 OUT=$(mktemp /tmp/graft_selftest_bench.XXXX.json)
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.001} \
-SPARK_GRAFT_BENCH_ONLY=${SPARK_GRAFT_BENCH_ONLY:-q1_agg,q3_topk_revenue,f1_filter} \
+SPARK_GRAFT_BENCH_ONLY=${SPARK_GRAFT_BENCH_ONLY:-q1_pricing_summary,q3_topk_revenue,f1_filter} \
 SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS=2000 \
 SPARK_GRAFT_BENCH_STRICT=1 \
 SPARK_GRAFT_BENCH_OUT="$OUT" \
-  sbt --error "runMain graft.Bench" >/tmp/graft_selftest_bench.log 2>&1
+  java -cp "$CLASSES:/opt/spark/jars/*" graft.Bench \
+  >/tmp/graft_selftest_bench.log 2>&1
 rc=$?
-# sbt wraps the forked main's exit code: it reports "Nonzero exit code
-# returned from runner: 3" and itself exits 1 — check both layers.
-if [ "$rc" -eq 0 ] || ! grep -q 'runner: 3' /tmp/graft_selftest_bench.log; then
-  echo "FAIL: expected strict-mode exit 3 on a contended run (sbt rc=$rc)" >&2
+if [ "$rc" -ne 3 ]; then
+  echo "FAIL: expected strict-mode exit 3 on a contended run (rc=$rc)" >&2
   tail -5 /tmp/graft_selftest_bench.log >&2
   exit 1
 fi
