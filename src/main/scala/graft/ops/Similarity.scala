@@ -85,11 +85,15 @@ object Similarity {
     val withNorm = df.withColumn(NormCol, norm(col(vecCol)))
     if (sigPlanes <= 0) withNorm
     else {
-      // the prepared width rides as column METADATA so a consumer asking
-      // for MORE planes than were prepared fails loudly in sigOf instead
-      // of silently slicing a too-short prefix (merged buckets)
+      // the prepared width AND dims ride as column METADATA: a consumer
+      // asking for MORE planes than were prepared fails loudly in sigOf
+      // instead of silently slicing a too-short prefix (merged buckets),
+      // and a consumer evaluating under DIFFERENT dims — planeWeights
+      // depend on dims, so the prepared bits would be the wrong
+      // hyperplanes entirely — falls back to computing its own signature
       val meta = new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong("graft.sig.planes", sigPlanes.toLong).build()
+        .putLong("graft.sig.planes", sigPlanes.toLong)
+        .putLong("graft.sig.dims", dims.toLong).build()
       withNorm.withColumn(SigCol,
         lshBucket(col(vecCol), sigPlanes, dims).as(SigCol, meta))
     }
@@ -107,19 +111,31 @@ object Similarity {
     * signature column via the prefix property documented at [[NormCol]].
     * Must be evaluated against the frame that still CARRIES [[SigCol]]
     * (i.e. inside the same select that projects it away).
+    *
+    * Reuse requires the `graft.sig` metadata to be PRESENT and its dims
+    * to MATCH: stripped metadata (an intermediate transform can drop it)
+    * means the prepared width is unverifiable, and a dims mismatch means
+    * the prepared bits came from different hyperplanes — both cases
+    * recompute the signature inline (correct, merely unshared) instead
+    * of trusting a column whose provenance can't be checked (ADVICE
+    * r10). Only a VERIFIED-prepared column that is too narrow fails
+    * loudly: the caller explicitly prepared for reuse and under-asked.
     */
-  private def sigOf(df: DataFrame, vecCol: String, planes: Int, dims: Int): Column =
-    if (df.columns.contains(SigCol)) {
-      val meta = df.schema(SigCol).metadata
-      if (meta.contains("graft.sig.planes")) {
-        val prepared = meta.getLong("graft.sig.planes")
-        require(prepared >= planes,
-          s"prepared signature has $prepared planes but $planes were " +
-            "requested — a short prefix would silently merge buckets; " +
-            s"prepVectors with sigPlanes >= $planes")
-      }
+  private def sigOf(df: DataFrame, vecCol: String, planes: Int, dims: Int): Column = {
+    val meta =
+      if (df.columns.contains(SigCol)) Some(df.schema(SigCol).metadata) else None
+    val verified = meta.exists(m =>
+      m.contains("graft.sig.planes") && m.contains("graft.sig.dims") &&
+        m.getLong("graft.sig.dims") == dims.toLong)
+    if (verified) {
+      val prepared = meta.get.getLong("graft.sig.planes")
+      require(prepared >= planes,
+        s"prepared signature has $prepared planes but $planes were " +
+          "requested — a short prefix would silently merge buckets; " +
+          s"prepVectors with sigPlanes >= $planes")
       substring(col(SigCol), 1, planes)
     } else lshBucket(col(vecCol), planes, dims)
+  }
 
   /** [[side]] plus the `planes`-bit bucket, projected in ONE select from
     * the original frame so prepared norm/sig columns stay resolvable.
@@ -332,17 +348,25 @@ object Similarity {
     * Centroids are collected to the driver between rounds — k·D doubles,
     * index metadata, bounded by construction (this is NOT a driver-side
     * data loop); it also keeps each round's lineage flat. Deterministic:
-    * init = first k vectors by id, assignment ties break on centroid id,
+    * init = `seed` when given (a (cent_id, cent_v array<double>) frame —
+    * [[buildIvfIndexAuto]] passes its hash-ordered sample so Lloyd
+    * rounds start from a spread seed, not an id-prefix one), else the
+    * first k vectors by id; assignment ties break on centroid id,
     * clusters that lose all members keep their previous centroid.
     * Output: (cent_id, cent_v) with cent_v array<double>.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 5): DataFrame = {
+                      k: Int, iters: Int = 5,
+                      seed: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     val dvec = transform(col(vecCol), x => x.cast("double"))
-    var cents: Seq[(Int, Seq[Double])] = df.orderBy(col(idCol)).limit(k)
-      .select(dvec.as("v")).collect()
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toIndexedSeq
+    var cents: Seq[(Int, Seq[Double])] = seed match {
+      case Some(sdf) => sdf.select(col("cent_id"), col("cent_v")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toIndexedSeq
+      case None => df.orderBy(col(idCol)).limit(k)
+        .select(dvec.as("v")).collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toIndexedSeq
+    }
     for (_ <- 0 until iters) {
       val scored = df.select(col(idCol).as("__rid"), dvec.as("v"))
         .crossJoin(broadcast(centroidFrame(spark, cents)))
@@ -425,6 +449,12 @@ object Similarity {
     * candidates, not the other way around" (bucketing on quantized vectors
     * would move bucket boundaries; quantizing bucketed candidates only
     * perturbs ranks within a bucket).
+    *
+    * NOT prep-aware: computes its bucket inline and scores with integer
+    * norms, so a [[prepVectors]] [[SigCol]]/[[NormCol]] on the input is
+    * ignored (the float norm is the wrong denominator for int8 scoring
+    * anyway). Do not assume the shared-scan reuse the sigOf-routed
+    * methods (lshTopK / lshTopKMultiProbe / lshTopKBanded) get.
     */
   def lshQuantizedTopK(queries: DataFrame, candidates: DataFrame,
                        idCol: String, vecCol: String, k: Int,
@@ -471,22 +501,48 @@ object Similarity {
     math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** [[buildIvfIndex]] with [[suggestedIvfLists]] applied automatically:
-    * counts the corpus, takes the first √N vectors by id as deterministic
-    * centroids (the [[ivfTopK]] sampler — index structure over centroid
-    * quality; swap in [[kmeansCentroids]] when quality matters), builds
-    * the partitioned index, and RETURNS the centroid frame (checkpointed
-    * — the quantizer is part of the index contract; callers release it
-    * when done probing).
+    * counts the corpus, seeds √N deterministic centroids, optionally
+    * refines them with Lloyd rounds, builds the partitioned index, and
+    * RETURNS the centroid frame (checkpointed — the quantizer is part of
+    * the index contract; callers release it when done probing).
+    *
+    * The seed is a HASH-ORDERED sample — the √N vectors minimizing
+    * `xxhash64(id)` — NOT "first √N by id" (VERDICT r10 #4): on
+    * id-correlated corpora (time-ordered embeddings, sorted ingest) an
+    * id-prefix seed concentrates every centroid in one region of the
+    * space, which skews list sizes and recreates exactly the hot-list
+    * skew the √N sizing exists to kill. The hash order is deterministic
+    * across runs and partitionings, and `orderBy(...).limit(lists)`
+    * plans as TakeOrdered — one O(N) scan keeping √N rows per
+    * partition, no full sort. List-size balance under a sorted-id
+    * fixture is pinned by SimilaritySpec.
+    *
+    * `kmeansIters > 0` is the centroid-QUALITY option: Lloyd rounds
+    * ([[kmeansCentroids]], seeded with the hash sample) over a bounded
+    * hash-sample of the corpus (≤ `kmeansSampleRows`) — pay ~iters
+    * assignment passes over the sample at build time to tighten the
+    * lists a real deployment probes forever after.
     */
   def buildIvfIndexAuto(candidates: DataFrame, idCol: String, vecCol: String,
-                        path: String): DataFrame = {
-    val lists = suggestedIvfLists(candidates.count())
+                        path: String, kmeansIters: Int = 0,
+                        kmeansSampleRows: Long = 50000L): DataFrame = {
+    val n = candidates.count()
+    val lists = suggestedIvfLists(n)
     // lists rows total: the single-partition window is bounded metadata
-    val w = Window.orderBy(col(idCol))
-    val cents = candidates.orderBy(col(idCol)).limit(lists)
+    val hashOrd = Seq(xxhash64(col(idCol)), col(idCol))
+    val w = Window.orderBy(hashOrd: _*)
+    val seed = candidates.orderBy(hashOrd: _*).limit(lists)
       .select((row_number().over(w) - 1).as("cent_id"),
-        col(vecCol).as("cent_v"))
-      .localCheckpoint()
+        transform(col(vecCol), x => x.cast("double")).as("cent_v"))
+    val cents = (
+      if (kmeansIters <= 0) seed
+      else {
+        val frac = math.min(1.0, kmeansSampleRows.toDouble / math.max(n, 1L))
+        val sample = if (frac >= 1.0) candidates
+          else graft.ops.Sampling.sampleByHash(candidates, idCol, frac)
+        kmeansCentroids(sample, idCol, vecCol, lists, kmeansIters,
+          seed = Some(seed))
+      }).localCheckpoint()
     buildIvfIndex(candidates, idCol, vecCol, cents, path)
     cents
   }
@@ -594,6 +650,13 @@ object Similarity {
     * is 1; only recall is approximate (pairs differing in every band are
     * missed — more planes per band = fewer random candidates, more
     * bands = higher recall).
+    *
+    * NOT prep-aware: computes its `planes`-bit signature and norms
+    * inline. A [[prepVectors]] [[SigCol]] on `df` is ignored — this is a
+    * single-input pair enumeration, not one of the multi-method top-k
+    * consumers the shared prep scan exists for. Callers wanting one
+    * signature pass across detector families should use the sigOf-routed
+    * top-k methods.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int, nBands: Int,

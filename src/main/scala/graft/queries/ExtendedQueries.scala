@@ -198,6 +198,15 @@ object ExtendedQueries {
       // operator shape, carry the trade (see Similarity.lshTopKBanded).
       "lsh_banded" -> 0.8)
 
+  /** Floor for `ann_ivf_probe_recall` — the PERSISTED-index probe path.
+    * Same centroids (first 16 by id) as `ann_recall`'s in-memory "ivf"
+    * row, so the same measured 0.90 recall and the same 0.85 floor: the
+    * on-disk index is an access path over the identical closed-form IVF,
+    * and this row exists to notice the probe path (pruned scan, list
+    * assignment, tie-breaks) silently diverging from it.
+    */
+  private val IvfProbeRecallFloor = 0.85
+
   // Target source-mix for the rebalancing query: src3 is the binding
   // source (kept whole), src0/1/2 are downsampled toward the shares.
   private val RebalanceShares =
@@ -1449,6 +1458,75 @@ object ExtendedQueries {
            |      FROM sc)
            |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // Recall floor for the PERSISTED IVF probe path (VERDICT r10 #5):
+    // ann_recall gates the in-memory ivfTopK only; this row measures
+    // recall@5 of probeIvfIndexBatch against the STANDING on-disk index
+    // (build → partition-pruned probe), vs the same brute-force ground
+    // truth. With identical centroids the persisted probe and the
+    // in-memory form are the same closed-form IVF — the index is an
+    // access path — so the oracle reuses that closed form; a probe-path
+    // change that silently degrades recall (pruning too much, dropping a
+    // list, breaking the assignment tie-break) breaks the hash match.
+    QueryDef(
+      "ann_ivf_probe_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+        val idx = java.nio.file.Files.createTempDirectory("ivfrec").toString + "/idx"
+        Similarity.buildIvfIndex(e, "vec_id", "embedding", cents, idx)
+        val q = e.filter(col("vec_id") < 8)
+        val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val probe = Similarity.probeIvfIndexBatch(s, idx, q,
+          "vec_id", "embedding", cents, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        probe.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(round(count(lit(1)).cast("double") / lit(40), 4).as("recall"))
+          .select(lit("ivf_probe").as("method"), col("recall"),
+            lit(IvfProbeRecallFloor).as("floor"),
+            (col("recall") >= lit(IvfProbeRecallFloor)).as("meets_floor"))
+      },
+      Some {
+        val cosQC = cosSql("qv", "cv", Dims)
+        val cosVC = cosSql("v", "cent_v", Dims)
+        s"""WITH bfsc AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+           |  WHERE q.vec_id <> c.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM bfsc) WHERE rk <= 5),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |iq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |ic AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |isc AS (SELECT query_id, neighbor_id, round($cosQC, 6) AS cos
+           |        FROM ic JOIN iq USING (cent_id) WHERE query_id <> neighbor_id),
+           |ivf5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM isc) WHERE rk <= 5),
+           |rc AS (SELECT 'ivf_probe' AS method,
+           |  round(CAST((SELECT count(*) FROM ivf5 a
+           |              JOIN bf t ON a.query_id = t.query_id
+           |               AND a.neighbor_id = t.neighbor_id) AS DOUBLE) / 40.0, 4) AS recall,
+           |  CAST($IvfProbeRecallFloor AS DOUBLE) AS floor)
+           |SELECT method, recall, floor, recall >= floor AS meets_floor
+           |FROM rc""".stripMargin
       }
     ),
 

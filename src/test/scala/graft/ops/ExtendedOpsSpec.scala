@@ -639,6 +639,38 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", 4, planes = 4, dims = 3).collect()
     }
     assert(ex.getMessage.contains("prepared signature has 2 planes"))
+    // STRIPPED metadata (an intermediate transform re-expressing SigCol
+    // loses the column metadata): the prepared width is unverifiable, so
+    // sigOf must RECOMPUTE, not trust a prefix slice — with a 2-plane
+    // column and a 4-plane request the old trust-on-sight path would
+    // silently merge buckets (ADVICE r10)
+    val stripped = narrow.withColumn(Similarity.SigCol,
+      concat(col(Similarity.SigCol)))
+    assert(stripped.schema(Similarity.SigCol).metadata
+      .contains("graft.sig.planes") == false,
+      "fixture must actually strip the metadata")
+    val viaStripped = rows(Similarity.lshTopK(
+      stripped.filter(col("vec_id") < 3), stripped,
+      "vec_id", "embedding", 4, planes = 4, dims = 3))
+    assert(viaStripped == rows(Similarity.lshTopK(
+      many.filter(col("vec_id") < 3), many,
+      "vec_id", "embedding", 4, planes = 4, dims = 3)))
+    // DIMS mismatch: planeWeights depend on dims, so a signature prepared
+    // under different dims is the wrong hyperplanes. Rewrite the metadata
+    // to CLAIM dims=2 — the guard must refuse reuse and recompute, and
+    // the result must equal the unprepared evaluation at the requested
+    // dims (before the fix, the 24≥4 width check passed and the foreign
+    // signature was silently reused)
+    val liedMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.sig.planes", 24L).putLong("graft.sig.dims", 2L).build()
+    val wrongDims = prepped.withColumn(Similarity.SigCol,
+      col(Similarity.SigCol).as(Similarity.SigCol, liedMeta))
+    val viaWrongDims = rows(Similarity.lshTopK(
+      wrongDims.filter(col("vec_id") < 3), wrongDims,
+      "vec_id", "embedding", 4, planes = 4, dims = 3))
+    assert(viaWrongDims == rows(Similarity.lshTopK(
+      many.filter(col("vec_id") < 3), many,
+      "vec_id", "embedding", 4, planes = 4, dims = 3)))
     CacheControl.release(prepped)
   }
 
@@ -822,6 +854,47 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(got == mem)
     CacheControl.release(cents)
+  }
+
+  test("auto-IVF centroid seeding stays balanced on a sorted-id corpus") {
+    // id-correlated fixture (VERDICT r10 #4): vectors sweep a quarter
+    // circle IN ID ORDER — time-ordered embeddings / sorted ingest. An
+    // id-prefix seed ("first √N by id") takes all its centroids from one
+    // tiny arc, so one centroid absorbs the whole tail of the corpus; the
+    // hash-ordered seed spreads across the id range and the lists stay
+    // near-uniform.
+    val n = 400
+    val many = spark.range(0, n).select(col("id").as("vec_id"),
+      array(cos(col("id") * (math.Pi / 2 / n)).cast("float"),
+        sin(col("id") * (math.Pi / 2 / n)).cast("float")).as("embedding"))
+    def balance(idx: String): Double = {
+      val sizes = spark.read.parquet(idx).groupBy("cent_id").count()
+        .collect().map(_.getAs[Long]("count")).sorted
+      sizes.last.toDouble / sizes(sizes.length / 2)
+    }
+    val base = java.nio.file.Files.createTempDirectory("ivfbal").toString
+    val cents = Similarity.buildIvfIndexAuto(many, "vec_id", "embedding",
+      base + "/auto")
+    assert(cents.count() == 20) // √400
+    val autoRatio = balance(base + "/auto")
+    assert(autoRatio <= 4.0,
+      s"hash-seeded lists skewed: max/median = $autoRatio")
+    // prove the fixture discriminates: the OLD id-prefix seeding on the
+    // same corpus produces a pathological max/median
+    val prefixCents = many.orderBy(col("vec_id")).limit(20)
+      .select((col("vec_id")).cast("int").as("cent_id"),
+        col("embedding").as("cent_v"))
+    Similarity.buildIvfIndex(many, "vec_id", "embedding", prefixCents,
+      base + "/prefix")
+    val prefixRatio = balance(base + "/prefix")
+    assert(prefixRatio > 4.0,
+      s"fixture does not discriminate (id-prefix ratio $prefixRatio)")
+    // quality option: Lloyd refinement keeps the list count and balance
+    val km = Similarity.buildIvfIndexAuto(many, "vec_id", "embedding",
+      base + "/km", kmeansIters = 2)
+    assert(km.count() == 20)
+    assert(balance(base + "/km") <= 4.0)
+    Seq(cents, km).foreach(CacheControl.release)
   }
 
   test("IVF index append: probes see appended vectors identically to a full rebuild") {
