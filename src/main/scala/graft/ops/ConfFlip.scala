@@ -18,8 +18,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Routing every pin through this single guarded utility makes any two
   * conf-pinned windows mutually exclusive, whichever helpers they come
-  * from. The windows are short (one plan capture / one `start()` call),
-  * so global serialization costs microseconds, not parallelism.
+  * from.
+  *
+  * COST OF THE LOCK (deliberate trade, ADVICE r10): the lock is held for
+  * the full `body` — for `checkpointWithLayout` that is an entire Spark
+  * checkpoint JOB, not microseconds, so an unrelated stream `start()`
+  * can block for the duration of a large AQE-off plan capture (under the
+  * pre-r10 per-helper monitors the two never blocked each other — and
+  * could therefore corrupt each other's captured conf). Correctness is
+  * the point: a stream start that plans under a transient AQE-off /
+  * wrong-partition-count value freezes the wrong state layout into its
+  * checkpoint PERMANENTLY, while a delayed start merely waits. Narrowing
+  * the window (capture the plan under the lock, run the job outside it)
+  * is possible if stream-start latency ever matters; nothing in this
+  * repo starts streams concurrently with large captures, so the simple
+  * full-body lock stands.
   *
   * Unwrapped planning on OTHER threads is still exposed by construction
   * — session conf is process-global state — so the session-wide rule

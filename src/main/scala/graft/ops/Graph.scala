@@ -328,10 +328,16 @@ object Graph {
     * million-degree hub turns into 10¹² wedges on one key.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // PLAIN localCheckpoint before fanning out: the canonical edge set is
+    // consumed THREE times during the build (the degree union reads it
+    // twice, the orientation join once) — unmaterialized, the upstream
+    // edges plan would re-execute ~3× (ADVICE r10). Released after the
+    // oriented edges materialize below.
     val und = edges.select(
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
     // undirected degree per node — |V|-sized, two joins attach it to the
     // edge list's endpoints (shuffles on a then b, each |E|-sized, paid
     // once at build; the enumeration joins below are what must not blow up)
@@ -359,6 +365,8 @@ object Graph {
         when(aLtB, col("b")).otherwise(col("a")).as("v"),
         when(aLtB, col("db")).otherwise(col("da")).as("dv"))
       .localCheckpoint()
+    CacheControl.release(und) // oriented edges are materialized; the
+    // canonical set has no further consumer
     val headLt = col("e1.dv") < col("e2.dv") ||
       (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))
     // wedge (x→y, x→z) with y ≺ z: the ≺-ordered pair of x's out-neighbors
