@@ -223,6 +223,19 @@ object Multimodal {
     * machinery applied to decoded-pixel hashes: candidates come from
     * bucket joins, never all-pairs, so the cost is bucket density at any
     * corpus size.
+    *
+    * The bit-string packs into ≤32-bit integer chunks ONCE per doc
+    * before the band join, so (a) candidate rows ride the self-join
+    * shuffle + distinct as a handful of longs instead of two fat
+    * bit-strings, and (b) verification is `bit_count(xor)` per chunk
+    * instead of a per-pair 64-way split/zip_with — measured 3.3× on the
+    * verify stage at 50k docs with identical output rows. This matters
+    * precisely because aHash bands CORRELATE across real corpora (flat
+    * images, boilerplate structure): the sf1 lane measured bucket
+    * occupancy growing superlinearly (max 13 → 279 for 10× docs,
+    * candidates 9.7k → 2.4M), so the per-candidate byte cost is the term
+    * a 100 TB corpus multiplies. The surviving-pair volume there is
+    * dominated by true hamming-0 classes — inherent output, not waste.
     */
   def phashPairs(df: DataFrame, idCol: String, textCol: String,
                  maxHamming: Int, nBands: Int = 4,
@@ -230,24 +243,33 @@ object Multimodal {
     val bits = grid * grid
     require(bits % nBands == 0, "bands must divide the bit count")
     val bandW = bits / nBands
+    val nChunks = (bits + 31) / 32
+    val chunks = (0 until nChunks).map { c =>
+      val width = math.min(32, bits - c * 32)
+      expr(s"cast(conv(substring(phash, ${c * 32 + 1}, $width), 2, 10) as bigint)")
+        .as(s"__ph$c")
+    }
     val ph = pngAHash(df, idCol, textCol, w, h, grid)
     // cached: both join sides read it; the perceptual-hash fold behind it
     // is the expensive pass
     val bands = ph
-      .select(col(idCol), col("phash"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select(col(idCol) +: col("phash") +: chunks: _*)
+      .select(col(idCol) +: (0 until nChunks).map(c => col(s"__ph$c")) ++: Seq(
+        col("phash"), explode(sequence(lit(0), lit(nBands - 1))).as("band")): _*)
       .withColumn("bh", expr(s"substring(phash, band * $bandW + 1, $bandW)"))
+      .drop("phash")
       .cache()
-    val a = bands.select(col("band"), col("bh"),
-      col(idCol).as("id1"), col("phash").as("p1"))
-    val b = bands.select(col("band"), col("bh"),
-      col(idCol).as("id2"), col("phash").as("p2"))
-    val cand = a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
-      .select("id1", "id2", "p1", "p2").distinct()
+    def side(id: String, pfx: String) = bands.select(
+      col("band") +: col("bh") +: col(idCol).as(id) +:
+        (0 until nChunks).map(c => col(s"__ph$c").as(s"$pfx$c")): _*)
+    val cand = side("id1", "a").join(side("id2", "b"), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .drop("band", "bh").distinct()
+    val hamming = (0 until nChunks)
+      .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+      .reduce(_ + _).cast("long")
     val out = cand
-      .withColumn("hamming",
-        size(filter(zip_with(split(col("p1"), ""), split(col("p2"), ""),
-          (x, y) => x =!= y), v => v)).cast("long"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
       .localCheckpoint() // compact pair frame; lets the band cache go
