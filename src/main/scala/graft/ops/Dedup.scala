@@ -443,7 +443,19 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one of `nBands`
     * contiguous fingerprint bands (pigeonhole: hamming ≤ maxHamming with
     * maxHamming < nBands guarantees a shared band), verified by exact
-    * hamming distance. Band join cost = bucket occupancy; never all-pairs.
+    * hamming distance. Band join cost = bucket occupancy; never all-pairs
+    * — but note the occupancy knob: at FIXED `bits` the per-band bucket
+    * count is 2^(bits/nBands), so once the corpus outgrows it candidate
+    * volume turns quadratic (the sf1 lane measured it at the 16-bit
+    * default). A corpus-scale deployment raises `bits`, it does not
+    * change the operator shape.
+    *
+    * The fingerprint packs to ONE long before the band join (bits ≤ 32
+    * by [[simhash]]'s contract): candidate rows ride the self-join
+    * shuffle + distinct as (id1, id2, long, long) instead of two
+    * bit-strings, and verification is a single `bit_count(xor)` instead
+    * of `bits` per-pair substring comparisons — the [[
+    * graft.ops.Multimodal.phashPairs]] lesson applied to its parent.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, nBands: Int = 4, maxHamming: Int = 2): DataFrame = {
@@ -455,19 +467,18 @@ object Dedup {
     }
     // cached: both join sides read it; the simhash aggregation behind it
     // is the expensive pass
-    val bands = sh.select(col(idCol).as("id"), col("simhash"),
+    val bands = sh.select(col(idCol).as("id"),
+      expr("cast(conv(simhash, 2, 10) as bigint)").as("__sh"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("id"), col("__sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .cache()
-    val a = bands.select(col("band"), col("bh"), col("id").as("id1"), col("simhash").as("sh1"))
-    val b = bands.select(col("band"), col("bh"), col("id").as("id2"), col("simhash").as("sh2"))
-    val hamming = (1 to bits).map(j =>
-      when(substring(col("sh1"), j, 1) =!= substring(col("sh2"), j, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    val a = bands.select(col("band"), col("bh"), col("id").as("id1"), col("__sh").as("sh1"))
+    val b = bands.select(col("band"), col("bh"), col("id").as("id2"), col("__sh").as("sh2"))
     val out = a.join(b, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
       .localCheckpoint() // compact pair frame; lets the band cache go
