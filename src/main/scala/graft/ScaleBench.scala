@@ -231,6 +231,33 @@ object ScaleBench {
           tokensPerLine = 8)
         r.count(); CacheControl.release(r)
       }
+      // Contamination: the benchmark side is FIXED (eval suites don't
+      // grow with the corpus) — the scale claim is that cost is the
+      // corpus-side gram pass plus a broadcast probe, with only matched
+      // rows reaching the aggregation exchange. Disjoint per-copy
+      // vocabularies keep the hit set constant as the corpus grows (the
+      // realistic regime: a 30× corpus is not 30× more contaminated), so
+      // the curve measures operator cost, not output blowup. Results are
+      // PLAIN plans — no release (see the ANN note below); count()
+      // leaves nothing persistent.
+      val benchSlice = baseDocs.filter(col("doc_id") % 97 === 0)
+        .localCheckpoint()
+      out += "contam_overlap" -> timeIt {
+        Contamination.ngramOverlap(docs, benchSlice, "doc_id", "text",
+          n = 3).count(): Unit
+      }
+      out += "contam_decontaminate" -> timeIt {
+        Contamination.decontaminate(docs, benchSlice, "doc_id", "text",
+          n = 3, minShared = 2L).count(): Unit
+      }
+      // TF-IDF: two hash-aggs over the exploded tokens plus a per-doc
+      // rank window — the expected-linear text-analysis representative;
+      // (doc, term) rows AND the vocabulary both grow m× (disjoint copy
+      // suffixes), the worst case for the df_t aggregation.
+      out += "text_tfidf" -> timeIt {
+        TextAnalysis.tfidfTopTerms(docsSample, "doc_id", "text", 5)
+          .count(): Unit
+      }
       // ANN: the candidate set scales with the corpus; the query set is
       // FIXED (200 vectors) — per-query probe cost is the scale claim
       // (IVF: ~N/nCentroids per query on balanced lists, so ~linear at
@@ -385,7 +412,7 @@ object ScaleBench {
           saltN = 32, saltBy = Seq("id"))
           .agg(sum(col("w"))).count(): Unit
       }
-      Seq(skewed, mfBatch, annQueries, emb, batch, edges, sigs, docsSample,
+      Seq(skewed, mfBatch, annQueries, emb, batch, benchSlice, edges, sigs, docsSample,
         docs).foreach(CacheControl.release)
       out.toSeq
     }
