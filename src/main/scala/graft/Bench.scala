@@ -38,7 +38,10 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    // owned sessions only: a borrowed (test-JVM) session keeps whatever
+    // log level its suite chose — mutating it here silently overrode
+    // BenchSelftestSpec's ERROR setting (self-review catch)
+    if (borrowed.isEmpty) spark.sparkContext.setLogLevel("WARN")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     // (the driver never sets it, so recorded rounds always run the full set)
     val only = envGet("SPARK_GRAFT_BENCH_ONLY")
@@ -176,15 +179,18 @@ object Bench {
     // because the lane's point is data volume, and 6M-row shuffles on 4
     // threads would measure queueing, not plans). Protocol: one untimed
     // warm sweep (new session: parquet footers, broadcast threads), then
-    // the same two-interleaved-sweeps-min rule as the main lane. Machine
-    // health is covered by the SAME process window as the main lane's
-    // sentinel verdict. SPARK_GRAFT_BENCH_SF1=0 disables.
+    // the same two-interleaved-sweeps-min rule as the main lane, plus
+    // the lane's OWN post-sweep sentinel (the main lane's verdict is
+    // sealed before this lane starts and cannot vouch for it).
+    // SPARK_GRAFT_BENCH_SF1=0 disables.
     val sf1On = env("SPARK_GRAFT_BENCH_SF1", "1") != "0" &&
       sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
       borrowed.isEmpty && only.isEmpty
-    val sf1: Option[(Seq[(String, Double)], Seq[(String, String)])] =
+    // ok1, errs1, lane-sentinel verdict (contended, max ratio)
+    type Sf1Result = (Seq[(String, Double)], Seq[(String, String)], Boolean, Double)
+    val sf1: Option[Sf1Result] =
       if (!sf1On) None
-      else {
+      else try {
         val sf1Cpus = env("SPARK_GRAFT_SF1_CPUS", "32")
         val sf1Dir = env("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
         spark.stop()
@@ -215,11 +221,34 @@ object Bench {
           val errs1 = all1.collect { case (n, Left(e)) => n -> e }
             .groupBy(_._1).map { case (n, es) => n -> es.head._2 }.toSeq.sortBy(_._1)
           val dead2 = errs1.map(_._1).toSet
-          val ok1 = all1.collect { case (n, Right(t)) if !dead2(n) => n -> t }
+          val ok1min = all1.collect { case (n, Right(t)) if !dead2(n) => n -> t }
             .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
-            .toSeq.sortBy(_._1)
-          Some((ok1, errs1))
+          // Lane sentinel: the MAIN lane's verdict is sealed before this
+          // lane starts, so a contention window opening mid-lane would
+          // otherwise publish poisoned sf1 numbers under contended=false
+          // (the round-9 failure mode, reintroduced for a new lane —
+          // self-review catch). Re-time the 3 most expensive finished
+          // queries once each; genuine samples, so the min folds in and
+          // the bidirectional ratio drives sf1_contended.
+          val cohortFn = cohort.toMap
+          val sf1Sentinels = BenchCore.sentinelSet(
+            ok1min.toSeq.filter(_._2 >= 0.2), topN = 3)
+          val sf1Checks = sf1Sentinels.flatMap { case (n, rec) =>
+            timed1(cohortFn(n)).toOption.map(re => (n, rec, re))
+          }
+          val (c1, r1) = BenchCore.contentionVerdict(sf1Checks)
+          val ok1 = (ok1min ++ sf1Checks.map { case (n, rec, re) =>
+            n -> math.min(rec, re)
+          }).toSeq.sortBy(_._1)
+          Some((ok1, errs1, c1, r1))
         } finally s1.stop()
+      } catch {
+        // an sf1 INFRASTRUCTURE failure (fixture build, session setup)
+        // must not discard the completed main-lane results: record it as
+        // a lane error (nonzero exit below) and still emit the artifact
+        case e: Throwable =>
+          Some((Nil, Seq("__lane" -> jsonSafe(
+            s"${e.getClass.getName}: ${e.getMessage}")), false, 1.0))
       }
     val errs = errs0 ++ sf1.toSeq.flatMap(_._2)
       .map { case (n, e) => s"sf1:$n" -> e }
@@ -240,10 +269,10 @@ object Bench {
     val sf1Total = sf1.map(_._1.map(_._2).sum)
     val sf1Fields = sf1 match {
       case None => ""
-      case Some((ok1, _)) =>
+      case Some((ok1, _, c1, r1)) =>
         val q1 = ok1.map { case (k, v) => "\"" + k + "\":" + sec(v) }
           .mkString("{", ",", "}")
-        s""""sf1_total":${sec(sf1Total.get)},"sf1_n_queries":${ok1.size},"sf1_queries":$q1,"""
+        s""""sf1_total":${sec(sf1Total.get)},"sf1_n_queries":${ok1.size},"sf1_contended":$c1,"sf1_contention_max_ratio":${sec(r1)},"sf1_queries":$q1,"""
     }
     val ccFields =
       s""""timing":"interleaved_sweeps_min","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},"contention_check":$cc"""
@@ -281,8 +310,10 @@ object Bench {
     println(head(entries.size - kept.size) + kept.mkString(",") + "}}")
     if (errs.nonEmpty) 1
     // dedicated strict flag (driver never sets it): a contended artifact
-    // exits nonzero so automation that opts in can refuse to grade it
-    else if (contended && envGet("SPARK_GRAFT_BENCH_STRICT").isDefined) 3
+    // exits nonzero so automation that opts in can refuse to grade it —
+    // either lane's sentinel suffices (each lane has its own verdict)
+    else if ((contended || sf1.exists(_._3)) &&
+      envGet("SPARK_GRAFT_BENCH_STRICT").isDefined) 3
     else 0
   }
 }

@@ -26,10 +26,19 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding`: copy c > 0 perturbs one rotated element
   *    (the [[ScaleBench]] rule) so vectors stay distinct across copies
   *    (no degenerate all-tied top-k) while each copy's neighborhood
-  *    structure is preserved. Fixed probe sets (`vec_id < 8`, doc id
-  *    residue filters) keep their base-corpus size because the offsets
-  *    are residue-preserving for the filters' moduli or land only in
-  *    copy 0.
+  *    structure is preserved. Threshold probe sets (`vec_id < 8`) keep
+  *    their base-corpus size — copy offsets are far above the
+  *    thresholds, so they land only in copy 0. Doc-id RESIDUE filters
+  *    (the `% 97` benchmark slices in the contamination / pipeline
+  *    queries) do NOT stay base-sized: every residue class mod 97 is
+  *    populated in the base id range, so each copy contributes ~1/97 of
+  *    its docs whatever the offset's residue — the benchmark side grows
+  *    ~10× alongside the corpus. That is a property of the lane, not a
+  *    bug: the same query code must run unmodified at both SFs, and a
+  *    both-sides-grow point is still a valid round-over-round
+  *    comparison (the FIXED-bench scaling claim is measured separately
+  *    by ScaleBench's `contam_*` rows, whose bench side is pinned to
+  *    the base corpus).
   */
 object Sf1Corpus {
 
@@ -38,7 +47,7 @@ object Sf1Corpus {
   /** Marker content ties the cache to its source dir + generation rules;
     * bumping the version invalidates stale caches after a rule change.
     */
-  private def markerContent(srcDir: String) = s"v1 src=$srcDir copies=$Copies"
+  private def markerContent(srcDir: String) = s"v2 src=$srcDir copies=$Copies"
 
   /** Build the sf1 fixture under `outDir` unless a matching cache exists.
     * Synthesis runs in the CALLER's session (size it for the write — the
@@ -61,17 +70,17 @@ object Sf1Corpus {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     // key-offset replication that PRESERVES the source column order
     // (some queries select positionally-shaped schemas)
-    def replicated(t: String, offsets: Map[String, Long],
-                   extra: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
-      val b = base(t)
-      val out = b.select((b.columns.map(col) :+ copies): _*)
+    def replicatedDf(b: DataFrame, offsets: Map[String, Long],
+                     extra: Map[String, org.apache.spark.sql.Column]): DataFrame =
+      b.select((b.columns.map(col) :+ copies): _*)
         .select(b.columns.map { c =>
           extra.get(c)
             .orElse(offsets.get(c).map(off => col(c) + col("copy") * off))
             .getOrElse(col(c)).as(c)
         }: _*)
-      write(t, out)
-    }
+    def replicated(t: String, offsets: Map[String, Long],
+                   extra: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit =
+      write(t, replicatedDf(base(t), offsets, extra))
 
     write("region", base("region"))
     write("nation", base("nation"))
@@ -81,7 +90,14 @@ object Sf1Corpus {
     replicated("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 1000000L))
     replicated("lineitem", Map("l_orderkey" -> 100000000L,
       "l_partkey" -> 1000000L, "l_suppkey" -> 1000000L))
-    replicated("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    // events goes through Tables.events, NOT a raw read: the source ts
+    // column physically varies across driver drops (TIMESTAMP(NANOS)
+    // needs spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP_NTZ needs a
+    // cast) and Tables.events is the single shared normalization. A raw
+    // read here would crash the fixture build on a nanos drop — the
+    // exact failure Tables.events exists to absorb (self-review catch).
+    write("events", replicatedDf(Tables.events(spark, srcDir),
+      Map("event_id" -> 100000000L, "user_id" -> 1000000L), Map.empty))
     replicated("documents", Map("doc_id" -> 10000000L),
       extra = Map("text" ->
         when(col("copy") === 0, col("text"))

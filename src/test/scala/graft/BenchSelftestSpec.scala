@@ -24,7 +24,8 @@ class BenchSelftestSpec extends SparkSpec {
       "SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS" -> "2000",
       "SPARK_GRAFT_BENCH_STRICT" -> "1",
       "SPARK_GRAFT_BENCH_OUT" -> out.toString)
-    spark.sparkContext.setLogLevel("ERROR") // Bench sets WARN; keep suites quiet
+    // respected: Bench.run only sets WARN on sessions it OWNS
+    spark.sparkContext.setLogLevel("ERROR")
     val rc = Bench.run(env.get)
     assert(rc == 3, s"strict mode must return exit intent 3 on a contended run, got $rc")
     assert(!spark.sparkContext.isStopped,

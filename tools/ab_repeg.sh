@@ -21,9 +21,13 @@ run_one() { # run_one <classesdir> <out.json> <log>
   java -Xmx48g -cp "$1:$SPARK_JARS/*" graft.Bench >"$3" 2>&1
 }
 for i in $(seq 1 "$N"); do
+  # abort on ANY nonzero exit: a crashed/erred invocation must not leave
+  # ab_analyze.py min-folding asymmetric sample counts without warning
   echo "[$(date -u +%H:%M:%S)] head pass $i"
-  run_one target/scala-2.13/classes "$OUTDIR/head_$i.json" "$OUTDIR/head_$i.log"
+  run_one target/scala-2.13/classes "$OUTDIR/head_$i.json" "$OUTDIR/head_$i.log" \
+    || { echo "FAIL: head pass $i rc=$? (see $OUTDIR/head_$i.log)" >&2; exit 1; }
   echo "[$(date -u +%H:%M:%S)] r9 pass $i"
-  run_one .worktrees/r9ab/target/scala-2.13/classes "$OUTDIR/r9_$i.json" "$OUTDIR/r9_$i.log"
+  run_one .worktrees/r9ab/target/scala-2.13/classes "$OUTDIR/r9_$i.json" "$OUTDIR/r9_$i.log" \
+    || { echo "FAIL: r9 pass $i rc=$? (see $OUTDIR/r9_$i.log)" >&2; exit 1; }
 done
 echo "[$(date -u +%H:%M:%S)] done; artifacts in $OUTDIR"
