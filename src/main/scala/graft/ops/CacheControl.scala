@@ -52,11 +52,24 @@ object CacheControl {
     * helper (notably [[graft.streaming.StreamOps.withStatePartitions]])
     * so a checkpoint here can never plan under, or be captured into, a
     * stream start's transient shuffle-partition pin.
+    *
+    * The pin covers CAPTURE only, not the materialization job (the
+    * narrowing ADVICE r10 flagged as the option): a LAZY localCheckpoint
+    * freezes the physical plan, its RDD DAG, and the recorded
+    * outputPartitioning/outputOrdering at CALL time, so AQE-off is only
+    * needed while the plan is built — milliseconds — and the checkpoint
+    * job itself runs with the lock released. A stream `start()`
+    * serializing on the same pin now waits for a plan capture, never
+    * for a multi-minute checkpoint job; concurrent conf changes cannot
+    * affect the already-frozen DAG (pinned by ConfFlipSpec).
     */
-  def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame =
-    ConfFlip.withConf(spark, "spark.sql.adaptive.enabled", "false") {
-      build.localCheckpoint()
+  def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame = {
+    val captured = ConfFlip.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      build.localCheckpoint(eager = false)
     }
+    captured.count(): Unit // materialize OUTSIDE the pin; DAG is frozen
+    captured
+  }
 
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = true)

@@ -20,19 +20,18 @@ import org.apache.spark.sql.SparkSession
   * conf-pinned windows mutually exclusive, whichever helpers they come
   * from.
   *
-  * COST OF THE LOCK (deliberate trade, ADVICE r10): the lock is held for
-  * the full `body` — for `checkpointWithLayout` that is an entire Spark
-  * checkpoint JOB, not microseconds, so an unrelated stream `start()`
-  * can block for the duration of a large AQE-off plan capture (under the
-  * pre-r10 per-helper monitors the two never blocked each other — and
-  * could therefore corrupt each other's captured conf). Correctness is
-  * the point: a stream start that plans under a transient AQE-off /
-  * wrong-partition-count value freezes the wrong state layout into its
-  * checkpoint PERMANENTLY, while a delayed start merely waits. Narrowing
-  * the window (capture the plan under the lock, run the job outside it)
-  * is possible if stream-start latency ever matters; nothing in this
-  * repo starts streams concurrently with large captures, so the simple
-  * full-body lock stands.
+  * COST OF THE LOCK: the lock is held for the full `body`. Both callers
+  * keep that window SHORT by construction:
+  * [[CacheControl.checkpointWithLayout]] pins only the plan CAPTURE
+  * (lazy checkpoint — the DAG and recorded layout freeze at call time;
+  * the materialization job runs with the lock released — the narrowing
+  * ADVICE r10 asked about, landed round 11), and `withStatePartitions`
+  * pins only `start()`'s conf clone, which is inherently brief. A
+  * delayed caller therefore waits milliseconds-to-planning-time, never
+  * a checkpoint job. Correctness remains the point: a stream start that
+  * plans under a transient AQE-off / wrong-partition-count value
+  * freezes the wrong state layout into its checkpoint PERMANENTLY,
+  * while a delayed start merely waits.
   *
   * Unwrapped planning on OTHER threads is still exposed by construction
   * — session conf is process-global state — so the session-wide rule

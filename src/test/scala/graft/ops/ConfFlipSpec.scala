@@ -37,6 +37,45 @@ class ConfFlipSpec extends SparkSpec {
     assert(spark.conf.get(aqeKey) == baseline)
   }
 
+  test("checkpointWithLayout pins capture only — the job runs with the lock free") {
+    import java.util.concurrent.TimeUnit
+    import org.apache.spark.sql.functions.{col, udf}
+    // a task-gated build: the udf signals when the checkpoint JOB is
+    // running, then blocks until released — while it blocks, the conf
+    // pin must be acquirable (the round-11 narrowing: a lazy checkpoint
+    // freezes the DAG at call time, so only capture needs the lock; the
+    // old full-body pin would hold the lock for this whole job and the
+    // assertion below would time out)
+    ConfFlipGate.reset()
+    val slow = udf((x: Long) => {
+      ConfFlipGate.started.countDown()
+      ConfFlipGate.release.await(20, TimeUnit.SECONDS)
+      x
+    })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      CacheControl.checkpointWithLayout(spark)(
+        spark.range(0, 2, 1, 1).select(slow(col("id")).as("v")))
+    }
+    assert(ConfFlipGate.started.await(30, TimeUnit.SECONDS),
+      "checkpoint job never started")
+    val pinAcquired = new CountDownLatch(1)
+    val t = new Thread(() =>
+      ConfFlip.withConf(spark, "graft.test.confflip.narrow", "1") {
+        pinAcquired.countDown()
+      })
+    t.start()
+    val acquired = pinAcquired.await(5, TimeUnit.SECONDS)
+    ConfFlipGate.release.countDown() // always unblock the job
+    t.join()
+    val df = Await.result(fut, scala.concurrent.duration.Duration(60, "s"))
+    assert(acquired,
+      "conf pin blocked behind a RUNNING checkpoint job — the lock must cover capture only")
+    assert(df.count() == 2)
+    CacheControl.release(df)
+  }
+
   test("restore runs on the throwing path and unset keys restore to unset") {
     val key = "graft.test.confflip.ephemeral"
     assert(spark.conf.getOption(key).isEmpty)
@@ -44,5 +83,17 @@ class ConfFlipSpec extends SparkSpec {
       ConfFlip.withConf(spark, key, "x") { throw new RuntimeException("boom") }
     }
     assert(spark.conf.getOption(key).isEmpty, "unset key must restore to unset")
+  }
+}
+
+/** Task-side gate for the capture-only-pin test: executor threads run in
+  * this JVM (local mode), so static latches coordinate driver and task.
+  */
+object ConfFlipGate {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
   }
 }
