@@ -1,7 +1,26 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** A STANDING on-disk graph layout: the canonical (src, dst) edge list,
+  * the out-degree frame, and the node set, each stored as a bucketed +
+  * sorted parquet table so a scan re-enters every query ALREADY carrying
+  * the hash partitioning and sort order the iterative operators need —
+  * no per-query rebuild, no per-query exchange of the edge list.
+  *
+  * Why this exists: [[Graph.edgeLayout]] pays the edge derivation +
+  * distinct + repartition/sort/checkpoint on EVERY query — measured at
+  * ~10.5 s of a ~12.5 s PageRank on the ~4M-edge sf1 corpus, while an
+  * iteration costs 0.4–1.3 s (NOTES.md round-12 staging). At deployment
+  * the layout is an artifact amortized across queries and days, exactly
+  * like the persisted IVF index ([[Similarity.buildIvfIndex]]) and the
+  * LSM band index ([[Dedup.writeLshIndexBands]]); queries built on
+  * [[Graph.loadGraphIndex]] pay iteration cost only.
+  */
+final case class GraphIndex(edges: DataFrame, deg: DataFrame,
+                            nodes: DataFrame, buckets: Int)
 
 /** Iterative graph analytics over edge DataFrames.
   *
@@ -112,23 +131,8 @@ object Graph {
     DriverLocal.boundedCollect(e, maxDriverEdges).foreach { rows =>
       val es = rows.map(r => (r.getLong(0), r.getLong(1)))
       CacheControl.release(e)
-      val nodeIds = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet.toSeq
-      require(nodeIds.nonEmpty, "graph has no nodes")
-      val init = scale / nodeIds.size
-      val teleport = ((dampDen - dampNum) * init) / dampDen
-      val deg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
-      var rank = nodeIds.map(_ -> init).toMap
-      for (_ <- 1 to iterations) {
-        val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
-          .withDefaultValue(0L)
-        es.foreach { case (s, d) => contrib(d) += rank(s) / deg(s) }
-        rank = nodeIds.map(v =>
-          v -> (teleport + (dampNum * contrib(v)) / dampDen)).toMap
-      }
-      return DriverLocal.twoColDF(edges.sparkSession,
-        nodeIds.map(v => org.apache.spark.sql.Row(v, rank(v))),
-        "node", org.apache.spark.sql.types.LongType,
-        "rank_fp", org.apache.spark.sql.types.LongType)
+      return driverRanks(edges.sparkSession, es, iterations,
+        dampNum, dampDen, scale)
     }
     // deg inherits e's hash(src) layout through the aggregation; sorting
     // it once here makes the per-iteration 3-way src join fully
@@ -155,6 +159,29 @@ object Graph {
           .union(e.select(col("dst").as("node"))).distinct()
           .sortWithinPartitions("node")
       }
+    val out = rankLoop(edges.sparkSession, e, deg, nodes,
+      iterations, dampNum, dampDen, scale, checkpointEvery)
+    // symmetric path: nodes is a projection OVER deg's checkpoint (no pin
+    // of its own) — releasing it would walk into deg's LogicalRDD, which
+    // the deg release below already handles
+    CacheControl.release(e)
+    if (!symmetricEdges) CacheControl.release(nodes)
+    CacheControl.release(deg)
+    out
+  }
+
+  /** The distributed PageRank iteration loop over an already-laid-out
+    * (e, deg, nodes) triple — shared verbatim by [[pagerank]] (per-query
+    * [[edgeLayout]] + checkpointed deg/nodes) and [[pagerankOnIndex]]
+    * (standing bucketed scans), so the two paths are the SAME integer
+    * update rule on the same frames and hash-match by construction.
+    * Releases only its own loop-support pins; the (e, deg, nodes) inputs
+    * belong to the caller.
+    */
+  private def rankLoop(spark: SparkSession, e: DataFrame, deg: DataFrame,
+                       nodes: DataFrame, iterations: Int,
+                       dampNum: Long, dampDen: Long, scale: Long,
+                       checkpointEvery: Int): DataFrame = {
     val nNodes = nodes.count() // the one driver-side scalar: |V|
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
@@ -173,7 +200,7 @@ object Graph {
         // layout-preserving: ranks leaves the nodes⋈sums join hash(node)
         // partitioned — captured, the next round's ranks⋈deg join (key
         // src = renamed node) consumes it exchange-free
-        ranks = CacheControl.checkpointWithLayout(edges.sparkSession)(ranks)
+        ranks = CacheControl.checkpointWithLayout(spark)(ranks)
         prevCkpt.foreach(CacheControl.release)
         prevCkpt = Some(ranks)
       }
@@ -182,13 +209,188 @@ object Graph {
     // the returned frame is the one persistent entry (cache policy)
     val out = ranks.localCheckpoint()
     prevCkpt.foreach(CacheControl.release)
-    // symmetric path: nodes is a projection OVER deg's checkpoint (no pin
-    // of its own) — releasing it would walk into deg's LogicalRDD, which
-    // the deg release below already handles
-    CacheControl.release(e)
-    if (!symmetricEdges) CacheControl.release(nodes)
-    CacheControl.release(deg)
     out
+  }
+
+  /** The driver-side fixed-point PageRank over a collected edge list —
+    * the small-graph fast path's math, shared by [[pagerank]] and
+    * [[pagerankOnIndex]]. Exact integer arithmetic: Java `/` and SQL
+    * `div` agree on the non-negative longs used here, so the result is
+    * bit-identical to the distributed loop at any size.
+    */
+  private def driverRanks(spark: SparkSession, es: Array[(Long, Long)],
+                          iterations: Int, dampNum: Long, dampDen: Long,
+                          scale: Long): DataFrame = {
+    val nodeIds = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet.toSeq
+    require(nodeIds.nonEmpty, "graph has no nodes")
+    val init = scale / nodeIds.size
+    val teleport = ((dampDen - dampNum) * init) / dampDen
+    val deg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+    var rank = nodeIds.map(_ -> init).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s, d) => contrib(d) += rank(s) / deg(s) }
+      rank = nodeIds.map(v =>
+        v -> (teleport + (dampNum * contrib(v)) / dampDen)).toMap
+    }
+    DriverLocal.twoColDF(spark,
+      nodeIds.map(v => org.apache.spark.sql.Row(v, rank(v))),
+      "node", org.apache.spark.sql.types.LongType,
+      "rank_fp", org.apache.spark.sql.types.LongType)
+  }
+
+  // ---- standing on-disk graph index -----------------------------------
+
+  /** Build the persisted graph layout at `path` (see [[GraphIndex]]):
+    * three bucketed + sorted parquet tables — edges by src, out-degrees
+    * by src, nodes by node — plus a tiny JSON sidecar recording the
+    * bucket count. Each table is written with EXACTLY one file per
+    * bucket (the data is pre-repartitioned onto the writer's own bucket
+    * hash, so each task owns one bucket), which is the condition under
+    * which Spark's bucketed scan reports the sort order back to the
+    * planner and a loaded table enters downstream joins with neither an
+    * Exchange nor a Sort above the scan.
+    *
+    * `buckets` defaults to the session's shuffle-partition setting so
+    * the per-iteration rank-vector exchanges land on the same partition
+    * count as the standing edge layout. At deployment, size it like any
+    * bucketed fact table: |E| / buckets ≈ a comfortable task's rows.
+    *
+    * The canonical edge set is derived ONCE (cast → repartition →
+    * distinct, the [[edgeLayout]] shape) and checkpointed before fanning
+    * out to the three writes — without the pin the upstream edge plan
+    * would re-execute three times (the [[triangleCounts]] lesson,
+    * ADVICE r10).
+    */
+  def buildGraphIndex(edges: DataFrame, srcCol: String, dstCol: String,
+                      path: String, buckets: Int = 0): Unit = {
+    val spark = edges.sparkSession
+    val b = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(b, col("src")).distinct()
+      .localCheckpoint()
+    writeBucketed(e, "src", path, "edges", b)
+    writeBucketed(e.groupBy("src").agg(count(lit(1)).as("deg")),
+      "src", path, "deg", b)
+    writeBucketed(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct(),
+      "node", path, "nodes", b)
+    CacheControl.release(e)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "_graph_index.json"), true)
+    try out.write(s"""{"buckets":$b}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a [[buildGraphIndex]] artifact. Registers each table in the
+    * session catalog (CREATE TABLE … CLUSTERED BY … SORTED BY … LOCATION,
+    * idempotent per session) so the scans carry the bucketed hash
+    * partitioning, and enables
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` for the SESSION
+    * (left set — the flag is monotone and only lets one-file-per-bucket
+    * sorted scans report their order, which can only REMOVE Sorts from
+    * plans; without it Spark ignores the on-disk order and every
+    * sort-merge join above the index re-sorts the edge list per query).
+    */
+  def loadGraphIndex(spark: SparkSession, path: String): GraphIndex = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, "_graph_index.json"))
+    val meta = try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8")
+    } finally in.close()
+    val b = """"buckets":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/_graph_index.json: no bucket count — not a graph index?"))
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    def tbl(sub: String, ddl: String, key: String): DataFrame = {
+      val t = indexTableName(path, sub)
+      if (!spark.catalog.tableExists(t))
+        spark.sql(s"CREATE TABLE $t ($ddl) USING parquet CLUSTERED BY ($key) " +
+          s"SORTED BY ($key) INTO $b BUCKETS LOCATION '$path/$sub'")
+      spark.table(t)
+    }
+    GraphIndex(
+      tbl("edges", "src BIGINT, dst BIGINT", "src"),
+      tbl("deg", "src BIGINT, deg BIGINT", "src"),
+      tbl("nodes", "node BIGINT", "node"), b)
+  }
+
+  /** [[pagerank]] over a standing [[GraphIndex]]: the same fixed-point
+    * update rule on the same canonical frames ([[rankLoop]] is shared
+    * code), so results hash-match [[pagerank]] over the same edge set —
+    * but the per-query cost is the ITERATIONS only: edges, degrees, and
+    * nodes enter each round straight off their bucketed scans with no
+    * derivation, no distinct, no repartition/sort/checkpoint, and no
+    * Exchange or Sort above the edge scan (plan-pinned in GraphSpec).
+    */
+  def pagerankOnIndex(idx: GraphIndex, iterations: Int = 3,
+                      dampNum: Long = 85, dampDen: Long = 100,
+                      scale: Long = 1000000000000L,
+                      checkpointEvery: Int = 5,
+                      maxDriverEdges: Long = 200000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      "damping must be a rational in [0, 1]")
+    val spark = idx.edges.sparkSession
+    // same bounded-metadata gate as pagerank; index frames are plain
+    // scans, nothing to release on either path
+    DriverLocal.boundedCollect(idx.edges, maxDriverEdges).foreach { rows =>
+      return driverRanks(spark, rows.map(r => (r.getLong(0), r.getLong(1))),
+        iterations, dampNum, dampDen, scale)
+    }
+    rankLoop(spark, idx.edges, idx.deg, idx.nodes,
+      iterations, dampNum, dampDen, scale, checkpointEvery)
+  }
+
+  /** [[bfsLevels]] over a standing [[GraphIndex]] — frontier expansion
+    * against the bucketed edge scan, per-query cost = the hops.
+    */
+  def bfsLevelsOnIndex(idx: GraphIndex, seeds: DataFrame, seedCol: String,
+                       maxHops: Int = 4,
+                       maxDriverEdges: Long = 200000L): DataFrame =
+    bfsLoop(idx.edges, seeds, seedCol, maxHops, maxDriverEdges,
+      releaseEdges = false)
+
+  /** [[triangleCounts]] over a standing [[GraphIndex]]: the directed
+    * index stores both orientations of an undirected graph's edges (or
+    * whatever the caller built it from), and triangleCounts canonicalizes
+    * to a < b itself — what the index saves is the upstream edge
+    * DERIVATION (the source joins + distinct), which dominates per-query
+    * cost; the degree-oriented enumeration still runs per query because
+    * its one-shot joins deliberately stay adaptive (see the plain
+    * checkpoint note inside [[triangleCounts]]).
+    */
+  def triangleCountsOnIndex(idx: GraphIndex): DataFrame =
+    triangleCounts(idx.edges, "src", "dst")
+
+  /** Deterministic per-path catalog name, so the same artifact loaded
+    * twice (or by concurrent queries) resolves to one table and two
+    * different artifacts can never collide.
+    */
+  private def indexTableName(path: String, sub: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_gidx_${h}_$sub"
+  }
+
+  /** One bucketed+sorted external table with exactly one file per bucket:
+    * pre-repartitioning onto `buckets` by the bucket column makes each
+    * write task hold exactly one bucket's rows (same Murmur3 hash both
+    * sides), which is what lets the scan report its sort order (see
+    * [[buildGraphIndex]]).
+    */
+  private def writeBucketed(df: DataFrame, keyCol: String, root: String,
+                            sub: String, buckets: Int): Unit = {
+    val t = indexTableName(root, sub)
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $t")
+    df.repartition(buckets, col(keyCol))
+      .write.bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", s"$root/$sub").mode("overwrite").saveAsTable(t)
   }
 
   /** The iterative layout: canonical (src, dst) long edges, deduplicated,
@@ -250,14 +452,26 @@ object Graph {
                 seeds: DataFrame, seedCol: String,
                 maxHops: Int = 4,
                 maxDriverEdges: Long = 200000L): DataFrame = {
-    require(maxHops >= 0, "maxHops must be ≥ 0")
     // materialized once — every hop joins against it, partitioned+sorted
     // on the join key so no hop re-shuffles the edge list (see pagerank)
     val e = edgeLayout(edges, srcCol, dstCol)
-    // Small-graph fast path (see pagerank): exact integer BFS labels are
-    // engine-agnostic, so a driver BFS over ≤ maxDriverEdges edges (and
-    // as many seeds) returns identical rows without the per-hop
-    // checkpoint jobs. `0` forces the distributed loop.
+    bfsLoop(e, seeds, seedCol, maxHops, maxDriverEdges, releaseEdges = true)
+  }
+
+  /** The BFS frontier-expansion body over an already-laid-out edge frame
+    * — shared by [[bfsLevels]] (per-query [[edgeLayout]], released at the
+    * end) and [[bfsLevelsOnIndex]] (standing bucketed scan, nothing to
+    * release). Includes the small-graph driver fast path ([[pagerank]]):
+    * exact integer BFS labels are engine-agnostic, so a driver BFS over
+    * ≤ `maxDriverEdges` edges (and as many seeds) returns identical rows
+    * without the per-hop checkpoint jobs; `0` forces the distributed
+    * loop.
+    */
+  private def bfsLoop(e: DataFrame, seeds: DataFrame, seedCol: String,
+                      maxHops: Int, maxDriverEdges: Long,
+                      releaseEdges: Boolean): DataFrame = {
+    require(maxHops >= 0, "maxHops must be ≥ 0")
+    val spark = e.sparkSession
     val seedFrame = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val smallGraph = for {
       eRows <- DriverLocal.boundedCollect(e, maxDriverEdges)
@@ -265,7 +479,7 @@ object Graph {
     } yield (eRows, sRows)
     smallGraph.foreach { case (eRows, sRows) =>
       val es = eRows.map(r => (r.getLong(0), r.getLong(1)))
-      CacheControl.release(e)
+      if (releaseEdges) CacheControl.release(e)
       val adj: Map[Long, Seq[Long]] =
         es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSeq }
       val lvl = scala.collection.mutable.HashMap.empty[Long, Int]
@@ -276,7 +490,7 @@ object Graph {
           .distinct.filterNot(n => lvl.contains(n))
         frontier.foreach(lvl(_) = h)
       }
-      return DriverLocal.twoColDF(edges.sparkSession,
+      return DriverLocal.twoColDF(spark,
         lvl.toSeq.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
         "node", org.apache.spark.sql.types.LongType,
         "level", org.apache.spark.sql.types.IntegerType)
@@ -295,7 +509,7 @@ object Graph {
       // layout-preserving: the hop aggregation leaves levels hash(node)
       // partitioned — captured, the NEXT hop's frontier⋈e join needs no
       // exchange on the frontier side (key node) either
-      levels = CacheControl.checkpointWithLayout(edges.sparkSession) {
+      levels = CacheControl.checkpointWithLayout(spark) {
         levels.union(next)
           .groupBy("node").agg(min(col("level")).as("level"))
       }
@@ -305,7 +519,7 @@ object Graph {
     // maxHops = 0: no loop ran, nothing is pinned yet — materialize so
     // the edge pin can still be dropped uniformly
     val out = if (prevCkpt.isEmpty) levels.localCheckpoint() else levels
-    CacheControl.release(e)
+    if (releaseEdges) CacheControl.release(e)
     out
   }
 

@@ -241,4 +241,121 @@ class GraphSpec extends SparkSpec {
       maxHops = 3, maxDriverEdges = 0))
     assert(bfFast == bfDist, s"bfs fast=$bfFast dist=$bfDist")
   }
+
+  test("graph index: build/load round-trip, bit-identical operators, one file per bucket") {
+    val rnd = new scala.util.Random(23)
+    val pairs = (1 to 600)
+      .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = pairs.toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("gidx").toString + "/g"
+    Graph.buildGraphIndex(edges, "a", "b", root)
+    // exactly one data file per bucket in each table — the condition the
+    // sorted-scan ordering report depends on
+    for (sub <- Seq("edges", "deg", "nodes")) {
+      val files = new java.io.File(s"$root/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == spark.sessionState.conf.numShufflePartitions,
+        s"$sub: ${files.length} files")
+    }
+    val idx = Graph.loadGraphIndex(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    // distributed loops both sides: the index must be a pure access-path
+    // change, bit-identical output
+    val direct = rows(Graph.pagerank(edges, "a", "b", iterations = 4,
+      checkpointEvery = 2, maxDriverEdges = 0))
+    val viaIdx = rows(Graph.pagerankOnIndex(idx, iterations = 4,
+      checkpointEvery = 2, maxDriverEdges = 0))
+    assert(viaIdx == direct)
+    // driver fast path rides the same gate
+    assert(rows(Graph.pagerankOnIndex(idx, iterations = 4,
+      checkpointEvery = 2)) == direct)
+    val seeds = Seq(3L, 11L).toDF("seed")
+    val bfsDirect = rows(Graph.bfsLevels(edges, "a", "b", seeds, "seed",
+      maxHops = 3, maxDriverEdges = 0))
+    assert(rows(Graph.bfsLevelsOnIndex(idx, seeds, "seed", maxHops = 3,
+      maxDriverEdges = 0)) == bfsDirect)
+    assert(rows(Graph.bfsLevelsOnIndex(idx, seeds, "seed", maxHops = 3))
+      == bfsDirect)
+    // triangleCounts canonicalizes orientation itself, so counting over
+    // the directed index equals counting over the raw pair list
+    assert(rows(Graph.triangleCountsOnIndex(idx))
+      == rows(Graph.triangleCounts(edges, "a", "b")))
+    // cross-session load path: drop the catalog registrations (files
+    // stay) and re-load — the DDL re-registration must serve the same
+    // frames a fresh session would get
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    for (sub <- Seq("edges", "deg", "nodes"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_gidx_${h}_$sub")
+    val idx2 = Graph.loadGraphIndex(spark, root)
+    assert(rows(Graph.pagerankOnIndex(idx2, iterations = 4,
+      checkpointEvery = 2, maxDriverEdges = 0)) == direct)
+  }
+
+  test("indexed pagerank iterations plan with no Exchange/Sort above the loaded edge scan") {
+    // the standing-index contract: the bucketed+sorted scans re-enter the
+    // per-iteration 3-way join carrying their layout from table METADATA
+    // — no per-query exchange, no per-query sort on either immutable
+    // side. Asserted UNDER AQE like the edgeLayout test above, on the
+    // LOADED index (scan leaves, not LogicalRDD checkpoints).
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 500)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("gidxp").toString + "/g"
+    Graph.buildGraphIndex(edges, "a", "b", root)
+    val idx = Graph.loadGraphIndex(spark, root)
+    // rank vector from an UNRELATED source so its subtree can't be
+    // mistaken for the edge scan
+    val ranks = spark.range(40)
+      .select(org.apache.spark.sql.functions.col("id").as("node"),
+        org.apache.spark.sql.functions.lit(1000L).as("rank_fp"))
+    val sums = Graph.contribSums(idx.edges, ranks, idx.deg)
+    sums.count() // drive AQE to its final plan before inspecting it
+    val plan = sums.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)(
+        f: org.apache.spark.sql.execution.SparkPlan => Boolean): Boolean =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)(f)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)(f)
+        case other => f(other)
+      }
+    def directlyOverEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      walk(p) {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case leaf if leaf.children.isEmpty =>
+          leaf.output.map(_.name) == Seq("src", "dst")
+        case other => other.children.exists(directlyOverEdgeScan)
+      }
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: collectAll(qs.plan)
+        case other => other +: other.children.flatMap(collectAll)
+      }
+    val all = collectAll(plan)
+    assert(all.exists(n => n.children.isEmpty &&
+        n.output.map(_.name) == Seq("src", "dst")),
+      s"edge scan not found in plan:\n$plan")
+    val badShuffle = all.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if directlyOverEdgeScan(x.child) => x }
+    val badSort = all.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if directlyOverEdgeScan(s.child) => s }
+    assert(badShuffle.isEmpty,
+      s"loaded edge index re-shuffled inside the iteration plan:\n$plan")
+    assert(badSort.isEmpty,
+      s"loaded edge index re-sorted inside the iteration plan:\n$plan")
+  }
 }
