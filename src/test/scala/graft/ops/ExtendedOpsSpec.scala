@@ -856,6 +856,67 @@ class SimilaritySpec extends SparkSpec {
     CacheControl.release(cents)
   }
 
+  test("IVF batch probe: above the broadcast gate the equi-join fallback returns identical rows") {
+    // the gate decision is pure and boundary-exact
+    assert(Similarity.probeBroadcastEligible(100000L, 100000L))
+    assert(!Similarity.probeBroadcastEligible(100001L, 100000L))
+    val dir = java.nio.file.Files.createTempDirectory("ivfgate").toString + "/idx"
+    val many = spark.range(0, 60).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.41).cast("float"),
+        sin(col("id") * 0.41).cast("float"),
+        cos(col("id") * 0.13).cast("float")).as("embedding"))
+    val cents = Similarity.buildIvfIndexAuto(many, "vec_id", "embedding", dir)
+    val q = many.filter(col("vec_id") < 6)
+    def rows(maxBroadcastRows: Long) =
+      Similarity.probeIvfIndexBatch(spark, dir, q, "vec_id", "embedding",
+          cents, k = 4, nProbe = 2, maxBroadcastRows = maxBroadcastRows)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+    // maxBroadcastRows = 0 forces the fallback (6 queries × 2 probes > 0)
+    // — the paths must be plan-only variants of one probe
+    assert(rows(0L) == rows(100000L))
+    CacheControl.release(cents)
+  }
+
+  test("calibrateNProbe: 1 on cluster-aligned data, wider (and sufficient) on boundary-heavy data") {
+    import spark.implicits._
+    def vec(angle: Double): Seq[Float] =
+      Seq(math.cos(angle).toFloat, math.sin(angle).toFloat)
+    val base = java.nio.file.Files.createTempDirectory("ivfcal").toString
+    // 3 tight, well-separated clusters with centroids AT the centers:
+    // every true neighbor lives in the query's own list → nProbe = 1
+    val clustered = (for (c <- 0 until 3; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, vec(c * 2.0 + (i - 5) * 0.002)))
+      .toDF("vec_id", "embedding")
+    val cCents = Seq((0, vec(0.0)), (1, vec(2.0)), (2, vec(4.0)))
+      .toDF("cent_id", "cent_v")
+      .select(col("cent_id"), expr("transform(cent_v, x -> cast(x as double))").as("cent_v"))
+    Similarity.buildIvfIndex(clustered, "vec_id", "embedding", cCents, base + "/c")
+    assert(Similarity.calibrateNProbe(spark, base + "/c", clustered,
+      "vec_id", "embedding", cCents, k = 3, recallTarget = 0.9) == 1)
+    // a uniform ring with 6 lists: many true neighbors sit across a
+    // Voronoi boundary — single-probe recall misses the target, the
+    // calibrated width is wider, and probing at it MEETS the target
+    val ring = (0 until 24).map(i => (i.toLong, vec(i * math.Pi / 12)))
+      .toDF("vec_id", "embedding")
+    val rCents = (0 until 6).map(j => (j, vec(j * math.Pi / 3)))
+      .toDF("cent_id", "cent_v")
+      .select(col("cent_id"), expr("transform(cent_v, x -> cast(x as double))").as("cent_v"))
+    Similarity.buildIvfIndex(ring, "vec_id", "embedding", rCents, base + "/r")
+    val np = Similarity.calibrateNProbe(spark, base + "/r", ring,
+      "vec_id", "embedding", rCents, k = 3, recallTarget = 0.9)
+    assert(np > 1 && np <= 6, s"calibrated nProbe = $np")
+    val truth = Similarity.bruteForceTopK(ring, ring, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+    val got = Similarity.probeIvfIndexBatch(spark, base + "/r", ring,
+        "vec_id", "embedding", rCents, k = 3, nProbe = np)
+      .select("query_id", "neighbor_id")
+    val recall = got.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / truth.count()
+    assert(recall >= 0.9, s"calibrated probe recall $recall < target")
+  }
+
   test("auto-IVF centroid seeding stays balanced on a sorted-id corpus") {
     // id-correlated fixture (VERDICT r10 #4): vectors sweep a quarter
     // circle IN ID ORDER — time-ordered embeddings / sorted ingest. An
