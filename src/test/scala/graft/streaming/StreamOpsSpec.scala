@@ -519,6 +519,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(graft.ops.Manifest.latestVersion(spark, sink) == v2)
   }
 
+  test("manifestUpsertSink: full checkpoint loss replays every batch — zero dupes, zero new commits") {
+    // The disaster-recovery replay, driven through the REAL engine: the
+    // manifest commits for batches 0 and 1 landed, then the streaming
+    // checkpoint is lost entirely — a fresh query re-delivers the whole
+    // source from scratch (batchIds restart at 0) and the manifest's
+    // batchId watermark must swallow every replayed batch. (Tampering
+    // INSIDE a checkpoint — deleting commits/N — is not simulable:
+    // Spark's HDFSMetadataLog treats a recreated commit file as a
+    // concurrent query. Checkpoint loss is the supported way to force
+    // engine-level redelivery, and it is the harsher replay: every
+    // batch, not just the last.) The guard's contract is that a replay
+    // re-delivers the same source prefix — true for checkpoint recovery
+    // and for full restarts over an unchanged source, which is the
+    // foreachBatch exactly-once model.
+    val src  = java.nio.file.Files.createTempDirectory("mupc_src")
+    val sink = java.nio.file.Files.createTempDirectory("mupc_sink").toString + "/ds"
+    def writeOne(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mupc_tmp").toString
+      rows.toDF("k", "v", "seq").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, src.resolve(name))
+    }
+    writeOne("b0.parquet", Seq((1L, "a", 1L), (2L, "b", 1L)))
+    writeOne("b1.parquet", Seq((2L, "b2", 2L), (3L, "c", 1L)))
+    val schema = spark.read.parquet(src.toString).schema
+    def run(ckpt: String): Unit = StreamOps.manifestUpsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      sink, Seq("k"), "seq", ckpt)
+    run(java.nio.file.Files.createTempDirectory("mupc_ck1").toString)
+    val vDone = graft.ops.Manifest.latestVersion(spark, sink)
+    assert(graft.ops.Manifest
+      .lastProp(spark, sink, "streaming.batchId").get.toLong == 1L)
+    def state = graft.ops.Manifest.read(spark, sink).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // the crash: checkpoint gone, sink intact — rerun from scratch
+    val ck2 = java.nio.file.Files.createTempDirectory("mupc_ck2").toString
+    run(ck2)
+    // the fresh query really re-delivered the batches (its own commit
+    // log filled up)...
+    assert(new java.io.File(ck2, "commits").listFiles()
+      .exists(_.getName == "0"),
+      "fresh checkpoint processed no batch — the replay went untested")
+    // ...and the watermark swallowed them all: same state, same chain
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(graft.ops.Manifest.latestVersion(spark, sink) == vDone,
+      "replayed batches produced new manifest commits")
+  }
+
   test("upsertBatch is idempotent: replaying a micro-batch changes nothing") {
     // foreachBatch re-delivers a batch after a failure — the merge must
     // tolerate replays for the sink to stay effectively exactly-once.
