@@ -46,6 +46,58 @@ object BenchCore {
     if (s.size < 2) 1.0 else s(1) / math.max(s.head, 1e-9)
   }
 
+  /** Lane verdict over FULL per-sentinel sample lists — the ≥2-sample
+    * generalization of [[contentionVerdict]]: a sentinel's effective
+    * ratio is the spread of its two BEST samples ([[stableSpread]]; with
+    * exactly two samples this IS the bidirectional sentinel ratio), so a
+    * sentinel whose recorded sweep was poisoned recovers the moment two
+    * independent rechecks agree — the spiked sample stays in the
+    * artifact's provenance but no longer drives the machine-health
+    * verdict, the same spike-forgiving rule the streaming cohort's
+    * stability gate uses.
+    */
+  def laneVerdict(samples: Seq[Seq[Double]],
+                  threshold: Double = 3.0): (Boolean, Double) = {
+    val maxR = samples.filter(_.size >= 2).map(stableSpread)
+      .foldLeft(1.0)(math.max)
+    (maxR > threshold, maxR)
+  }
+
+  /** Adaptive sentinel escalation (VERDICT r11 #2): while the lane
+    * verdict is contended, re-time each still-unstable sentinel once per
+    * round (≤ `maxRounds` extra rounds), folding every sample in. A lane
+    * whose recorded sweeps sat inside a contention window recovers a
+    * clean, defensible number (two agreeing lows) instead of publishing
+    * itself contended and unusable for round-over-round comparison —
+    * the r11 driver artifact's sf1 lane failure mode (ratio 4.37,
+    * number discarded). `time` returns None when a re-time crashes;
+    * escalation stops early if no unstable sentinel could be re-timed.
+    * Pure given a scripted `time`, so [[BenchCoreSpec]] drives a forced
+    * contention→recovery end to end without a SparkSession.
+    */
+  def escalateSentinels(samples0: Map[String, Seq[Double]],
+                        time: String => Option[Double],
+                        maxRounds: Int = 2, threshold: Double = 3.0)
+      : (Map[String, Seq[Double]], Boolean, Double, Int) = {
+    var cur = samples0
+    var rounds = 0
+    var stuck = false
+    while (rounds < maxRounds && !stuck &&
+        laneVerdict(cur.values.toSeq, threshold)._1) {
+      val unstable = cur.toSeq
+        .filter { case (_, ts) => ts.size >= 2 && stableSpread(ts) > threshold }
+        .map(_._1).sorted
+      val added = unstable.flatMap(n => time(n).map(n -> _))
+      if (added.isEmpty) stuck = true
+      else {
+        added.foreach { case (n, t) => cur = cur.updated(n, cur(n) :+ t) }
+        rounds += 1
+      }
+    }
+    val (c, r) = laneVerdict(cur.values.toSeq, threshold)
+    (cur, c, r, rounds)
+  }
+
   /** The sentinel set to re-time after the sweeps: the `topN` most
     * expensive queries (their cost dominates the graded total, so their
     * recorded numbers must defend themselves) plus, when more eligible

@@ -57,4 +57,46 @@ class BenchCoreSpec extends AnyFunSuite {
     val small = BenchCore.sentinelSet(Seq(("a", 1.0), ("b", 2.0)), topN = 10)
     assert(small.map(_._1).sorted == Seq("a", "b"))
   }
+
+  test("laneVerdict: two-best-agree generalization of the bidirectional sentinel") {
+    // 2 samples: identical to the bidirectional ratio
+    assert(BenchCore.laneVerdict(Seq(Seq(10.0, 2.0)))._1)
+    assert(!BenchCore.laneVerdict(Seq(Seq(2.0, 4.0)))._1)
+    // ≥3 samples: one spiked pass is forgiven when two lows agree
+    val (c, r) = BenchCore.laneVerdict(Seq(Seq(10.0, 2.0, 2.1)))
+    assert(!c && r <= 1.1)
+    // ...but two HIGHS and one low still trips: the two best disagree
+    assert(BenchCore.laneVerdict(Seq(Seq(10.0, 9.8, 2.0)))._1)
+    // verdict is the max across sentinels
+    assert(BenchCore.laneVerdict(Seq(Seq(2.0, 2.1), Seq(5.0, 1.0)))._1)
+  }
+
+  test("escalateSentinels: a spiked lane recovers a clean number; a truly noisy one stays flagged") {
+    // forced-contention shape (the r11 sf1 artifact): recorded sweeps
+    // poisoned 4× high, rechecks return the honest cost — the first
+    // escalation round must produce two agreeing lows and a CLEAN lane
+    val spiked = Map("q_big" -> Seq(8.0, 2.0), "q_mid" -> Seq(1.0, 1.05))
+    var timerCalls = 0
+    val (samples, contended, ratio, rounds) = BenchCore.escalateSentinels(
+      spiked, { n => timerCalls += 1; if (n == "q_big") Some(2.05) else Some(1.0) })
+    assert(!contended && rounds == 1 && ratio <= 1.1)
+    assert(timerCalls == 1) // only the UNSTABLE sentinel re-timed
+    assert(samples("q_big").min == 2.0) // every sample folds; min publishes
+    // genuinely unstable machine: every re-time disagrees — the lane
+    // stays contended after maxRounds and says so
+    val noisy = Map("q" -> Seq(8.0, 2.0))
+    var call = 0
+    val (_, c2, _, r2) = BenchCore.escalateSentinels(
+      noisy, { _ => call += 1; Some(if (call % 2 == 0) 20.0 else 0.4) },
+      maxRounds = 2)
+    assert(c2 && r2 == 2)
+    // a crashing re-timer stops escalation instead of spinning
+    val (_, c3, _, r3) = BenchCore.escalateSentinels(noisy, _ => None)
+    assert(c3 && r3 == 0)
+    // an already-clean lane never calls the timer
+    var idle = 0
+    val (_, c4, _, _) = BenchCore.escalateSentinels(
+      Map("q" -> Seq(2.0, 2.1)), { _ => idle += 1; Some(1.0) })
+    assert(!c4 && idle == 0)
+  }
 }
