@@ -56,12 +56,17 @@ object CacheControl {
     * The pin covers CAPTURE only, not the materialization job (the
     * narrowing ADVICE r10 flagged as the option): a LAZY localCheckpoint
     * freezes the physical plan, its RDD DAG, and the recorded
-    * outputPartitioning/outputOrdering at CALL time, so AQE-off is only
-    * needed while the plan is built — milliseconds — and the checkpoint
-    * job itself runs with the lock released. A stream `start()`
-    * serializing on the same pin now waits for a plan capture, never
-    * for a multi-minute checkpoint job; concurrent conf changes cannot
-    * affect the already-frozen DAG (pinned by ConfFlipSpec).
+    * outputPartitioning/outputOrdering at CALL time, and the checkpoint
+    * job itself runs with the lock released. Capture is planning PLUS
+    * any broadcast materialization the plan pulls in — `execute()` on a
+    * join with a broadcast side blocks on the broadcast build (a collect
+    * job inside doExecute), so on join-heavy plans the pinned window can
+    * include those builds, not just milliseconds of planning (ADVICE
+    * r11). Still strictly narrower than the old full-body lock: a stream
+    * `start()` serializing on the same pin waits for capture, never for
+    * the (typically much larger) checkpoint materialization job, and
+    * concurrent conf changes cannot affect the already-frozen DAG
+    * (pinned by ConfFlipSpec).
     */
   def checkpointWithLayout(spark: SparkSession)(build: => DataFrame): DataFrame = {
     val captured = ConfFlip.withConf(spark, "spark.sql.adaptive.enabled", "false") {

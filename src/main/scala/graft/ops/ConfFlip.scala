@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
   * the materialization job runs with the lock released — the narrowing
   * ADVICE r10 asked about, landed round 11), and `withStatePartitions`
   * pins only `start()`'s conf clone, which is inherently brief. A
-  * delayed caller therefore waits milliseconds-to-planning-time, never
-  * a checkpoint job. Correctness remains the point: a stream start that
+  * delayed caller therefore waits for plan capture — planning plus any
+  * broadcast materialization `execute()` pulls in on join-heavy plans
+  * (ADVICE r11) — never for the checkpoint job itself. Correctness remains the point: a stream start that
   * plans under a transient AQE-off / wrong-partition-count value
   * freezes the wrong state layout into its checkpoint PERMANENTLY,
   * while a delayed start merely waits.
