@@ -183,9 +183,15 @@ object Bench {
     // the lane's OWN post-sweep sentinel (the main lane's verdict is
     // sealed before this lane starts and cannot vouch for it).
     // SPARK_GRAFT_BENCH_SF1=0 disables.
+    // SPARK_GRAFT_SF1_SELFTEST (never set by the driver): lets the
+    // contention self-test run the sf1 lane under SPARK_GRAFT_BENCH_ONLY
+    // — the lane cohort then honors the same restriction, so a 3-query
+    // forced-contention → escalation → recovery pass costs ~1 min
+    // instead of a full lane (tools/contention_selftest.sh phase 2).
+    val sf1Selftest = envGet("SPARK_GRAFT_SF1_SELFTEST").isDefined
     val sf1On = env("SPARK_GRAFT_BENCH_SF1", "1") != "0" &&
       sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
-      borrowed.isEmpty && only.isEmpty
+      borrowed.isEmpty && (only.isEmpty || sf1Selftest)
     // ok1, errs1, lane-sentinel verdict (contended, max ratio),
     // recovery rounds used, per-sentinel sample provenance
     type Sf1Result = (Seq[(String, Double)], Seq[(String, String)],
@@ -206,6 +212,7 @@ object Bench {
           Sf1Corpus.ensure(s1, sfDir, sf1Dir)
           val cohort = SparkEntry.queries.toSeq.sortBy(_._1)
             .filter(kv => Sf1Corpus.Cohort.contains(kv._1))
+            .filter(kv => !sf1Selftest || only.forall(_.contains(kv._1)))
           // injectMs: the contention self-test delay rides the SWEEP
           // passes only (like the main lane) so the selftest can force a
           // contended sf1 lane and assert the escalation recovers it

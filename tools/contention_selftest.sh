@@ -43,3 +43,40 @@ if ! grep -q '"contended":true' "$OUT"; then
   exit 1
 fi
 echo "OK: sentinel tripped (contended=true, exit 3) — artifact at $OUT"
+
+# ---- phase 2: sf1-lane forced contention RECOVERS (VERDICT r11 #2) ----
+# The sf1 lane's sentinel escalates instead of merely labeling: sweeps
+# run with the injected delay, rechecks run clean, and up to two
+# escalation rounds must produce two agreeing lows — the artifact ends
+# sf1_contended=false with sf1_recovery_rounds >= 1. Needs the sf0.1
+# bench dir (the lane's gate) and the sf1 fixture (first build takes
+# minutes; cached under /tmp/graft_sf1 afterwards).
+# SPARK_GRAFT_SF1_SELFTEST additionally restricts the lane cohort to
+# BENCH_ONLY, so this phase costs ~1 min, not a full lane.
+OUT2=$(mktemp /tmp/graft_selftest_sf1.XXXX.json)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+SPARK_GRAFT_BENCH_ONLY=dedup_lines,dedup_exact,text_tfidf \
+SPARK_GRAFT_SF1_SELFTEST=1 \
+SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS=2000 \
+SPARK_GRAFT_BENCH_OUT="$OUT2" \
+  java -cp "$CLASSES:/opt/spark/jars/*" graft.Bench \
+  >/tmp/graft_selftest_sf1.log 2>&1
+rc2=$?
+if [ "$rc2" -ne 0 ]; then
+  echo "FAIL: sf1 recovery phase exited $rc2 (no STRICT set — a query crashed?)" >&2
+  tail -5 /tmp/graft_selftest_sf1.log >&2
+  exit 1
+fi
+python3 - "$OUT2" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+assert d.get("sf1_total") not in (None, "null"), "sf1 lane did not run"
+assert d.get("sf1_contended") is False, \
+    f"sf1 lane did not recover: contended={d.get('sf1_contended')} ratio={d.get('sf1_contention_max_ratio')}"
+assert d.get("sf1_recovery_rounds", 0) >= 1, \
+    f"recovery path never engaged (rounds={d.get('sf1_recovery_rounds')}) — delay too small to trip the sentinel?"
+print(f"OK: sf1 lane tripped and recovered (rounds={d['sf1_recovery_rounds']}, "
+      f"final ratio={d['sf1_contention_max_ratio']})")
+EOF
+[ $? -eq 0 ] || exit 1
+echo "OK: both phases passed"
