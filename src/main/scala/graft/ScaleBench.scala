@@ -190,6 +190,23 @@ object ScaleBench {
           maxDriverEdges = 0L, symmetricEdges = true)
         r.count(); CacheControl.release(r)
       }
+      // standing graph index (round 12): graph_index_build is the
+      // one-time amortized cost (derivation + distinct + bucketed+sorted
+      // three-table write), pagerank_indexed is what a deployment pays
+      // PER QUERY over the standing artifact — iterations only, the
+      // bucketed scans enter the loop exchange- and sort-free. The gap
+      // to the pagerank/pagerank_sym rows above is the per-query rebuild
+      // the index amortizes away.
+      val gIdxPath = s"$work/gidx-$m"
+      out += "graph_index_build" -> timeIt {
+        Graph.buildGraphIndex(edges, "src", "dst", gIdxPath)
+      }
+      out += "pagerank_indexed" -> timeIt {
+        val idx = Graph.loadGraphIndex(spark, gIdxPath)
+        val r = Graph.pagerankOnIndex(idx, iterations = 3,
+          maxDriverEdges = 0L)
+        r.count(); CacheControl.release(r)
+      }
       // gate: the index holds the m-scaled corpus; the PROBE BATCH is
       // fixed at base size (a crawl batch does not grow with the corpus).
       // This is the sub-linear claim: per-batch cost ∝ batch + pruned
