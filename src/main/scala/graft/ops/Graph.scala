@@ -262,6 +262,16 @@ object Graph {
     * out to the three writes — without the pin the upstream edge plan
     * would re-execute three times (the [[triangleCounts]] lesson,
     * ADVICE r10).
+    *
+    * The artifact is IMMUTABLE: refresh = rebuild (contrast
+    * [[Similarity.appendIvfIndex]]). Appending edge files would put a
+    * second file into each bucket, and the scan then stops reporting
+    * its sort order — every downstream join quietly regrows a per-query
+    * Sort. Rebuild cost is one derivation pass, amortized across the
+    * query volume the index serves; for high-churn graphs keep a small
+    * unindexed delta edge list and union it at query time, rebuilding on
+    * a maintenance cadence (the LSM band index's delta/organized split,
+    * one level simpler).
     */
   def buildGraphIndex(edges: DataFrame, srcCol: String, dstCol: String,
                       path: String, buckets: Int = 0): Unit = {

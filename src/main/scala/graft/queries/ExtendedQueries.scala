@@ -1555,20 +1555,9 @@ object ExtendedQueries {
     QueryDef(
       "ann_ivf_auto_recall",
       (s, dir) => {
-        import s.implicits._
         val e = Tables.embeddings(s, dir)
-        val idx = java.nio.file.Files.createTempDirectory("ivfauto").toString + "/idx"
-        val centsCk = Similarity.buildIvfIndexAuto(e, "vec_id", "embedding", idx)
-        // the quantizer is √N rows — collect it and release the build's
-        // checkpoint so the (lazy) returned plan pins nothing
-        val centRows = centsCk.collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        graft.ops.CacheControl.release(centsCk)
-        val cents = centRows.toSeq.toDF("cent_id", "cent_v")
-        val cal = e.filter(col("vec_id") >= 8 && col("vec_id") < 40)
-        val nProbe = Similarity.calibrateNProbe(s, idx, cal,
-          "vec_id", "embedding", cents, k = 5,
-          recallTarget = IvfAutoRecallTarget)
+        val (idx, centsPath, nProbe) = ivfAutoFor(s, dir)
+        val cents = s.read.parquet(centsPath)
         val q = e.filter(col("vec_id") < 8)
         val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
           .select(col("query_id"), col("neighbor_id"))
@@ -4196,6 +4185,31 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
+
+  // One auto-IVF build + calibration per source dir per JVM — the
+  // standing-artifact deployment shape (index + quantizer + calibrated
+  // probe width are build-time outputs; queries pay the probe). The
+  // quantizer persists next to the index so repeated invocations read
+  // it back instead of re-deriving; the calibrated width is part of the
+  // fixture, like the index contract says it should be.
+  private val ivfAutoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]()
+  private def ivfAutoFor(s: org.apache.spark.sql.SparkSession,
+                         dir: String): (String, String, Int) =
+    ivfAutoCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfauto").toString
+      val idx = base + "/idx"
+      val e = Tables.embeddings(s, dir)
+      val centsCk = Similarity.buildIvfIndexAuto(e, "vec_id", "embedding", idx)
+      centsCk.write.parquet(base + "/cents")
+      graft.ops.CacheControl.release(centsCk)
+      val cents = s.read.parquet(base + "/cents")
+      val cal = e.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+      val nProbe = Similarity.calibrateNProbe(s, idx, cal,
+        "vec_id", "embedding", cents, k = 5,
+        recallTarget = IvfAutoRecallTarget)
+      (idx, base + "/cents", nProbe)
+    })
 
   // One graph-index build per source dir per JVM — the standing-artifact
   // deployment shape: queries pay iteration cost, the build amortizes
