@@ -144,7 +144,7 @@ object Sf1Corpus {
     // graph (the _indexed row pays iterations only — its gap to
     // graph_pagerank measures what the standing index amortizes)
     "graph_pagerank", "graph_pagerank_indexed", "graph_bfs_levels",
-    "graph_triangles",
+    "graph_bfs_indexed", "graph_triangles",
     // event analytics (batch forms)
     "ev_sessionize", "ev_session_overlap", "ev_asof_purchase",
     // multimodal

@@ -4153,6 +4153,33 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // The SAME BFS over the standing graph index: frontier hops join the
+    // bucketed edge scan instead of a per-query edgeLayout rebuild —
+    // identical integer labels (shared bfsLoop), identical oracle.
+    QueryDef(
+      "graph_bfs_indexed",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, graphIndexFor(s, dir))
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+        Graph.bfsLevelsOnIndex(idx, seeds, "c_custkey", maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |bfs(node, lvl) AS (
+             |  SELECT DISTINCT c_custkey AS node, 0 AS lvl
+             |  FROM customer WHERE c_nationkey = 1
+             |  UNION
+             |  SELECT e.dst, bfs.lvl + 1
+             |  FROM bfs JOIN edges e ON e.src = bfs.node WHERE bfs.lvl < 3)
+             |SELECT node, CAST(min(lvl) AS INTEGER) AS level FROM bfs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Per-supplier triangle counts over the co-supply graph (suppliers
     // sharing an order's high-quantity lines): canonical a<b<c triangle
     // enumeration — every triangle counted exactly once, each corner
