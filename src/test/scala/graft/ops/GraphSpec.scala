@@ -294,6 +294,33 @@ class GraphSpec extends SparkSpec {
       checkpointEvery = 2, maxDriverEdges = 0)) == direct)
   }
 
+  test("delta pattern: pagerank over index ∪ fresh edges equals a full rebuild") {
+    // the churn story buildGraphIndex's scaladoc documents: between
+    // index rebuilds, new edges ride as a small unindexed delta UNIONed
+    // at query time — pagerank's own edgeLayout dedups the overlap, so
+    // the result must be bit-identical to rebuilding over the full set
+    val rnd = new scala.util.Random(47)
+    val all = (1 to 500)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val (baseE, freshE) = all.splitAt(all.size - 60)
+    // delta OVERLAPS the indexed set (re-crawled edges) — the dedup is
+    // the point
+    val delta = (freshE ++ baseE.take(20)).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("gidxd").toString + "/g"
+    Graph.buildGraphIndex(baseE.toDF("a", "b"), "a", "b", root)
+    val idx = Graph.loadGraphIndex(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val merged = idx.edges.union(delta.selectExpr(
+      "CAST(a AS BIGINT) AS src", "CAST(b AS BIGINT) AS dst"))
+    val got = rows(Graph.pagerank(merged, "src", "dst", iterations = 3,
+      maxDriverEdges = 0))
+    val full = rows(Graph.pagerank(all.toDF("a", "b"), "a", "b",
+      iterations = 3, maxDriverEdges = 0))
+    assert(got == full)
+  }
+
   test("indexed pagerank iterations plan with no Exchange/Sort above the loaded edge scan") {
     // the standing-index contract: the bucketed+sorted scans re-enter the
     // per-iteration 3-way join carrying their layout from table METADATA
