@@ -156,6 +156,26 @@ class CorpusPipelineJob(batches: BatchTracker,
   * ~one file behind an atomic directory swap. Schedule alongside the
   * corpus dataset's [[MaintenanceJob]].
   */
+/** Scheduled refresh of a standing graph index: re-derive the current
+  * edge frame and publish a new immutable generation behind the atomic
+  * pointer ([[graft.ops.Graph.rebuildGraphIndex]]) — the graph analog of
+  * [[LshIndexMaintenanceJob]]'s band-index compaction cadence. `edges`
+  * is a derivation function, not a frame: the job must see the SOURCE's
+  * state at run time, not a plan captured at registration.
+  */
+class GraphIndexMaintenanceJob(val root: String,
+                               edges: JobContext => org.apache.spark.sql.DataFrame,
+                               srcCol: String = "src", dstCol: String = "dst")
+    extends EtlJob {
+  override val name: String =
+    s"rebuild_graph_index_${new java.io.File(root).getName}"
+  override val jobType: String = "maintenance"
+  override def run(ctx: JobContext): Unit = {
+    ctx.setPhase("rebuild_index")
+    graft.ops.Graph.rebuildGraphIndex(edges(ctx), srcCol, dstCol, root): Unit
+  }
+}
+
 class LshIndexMaintenanceJob(val indexPath: String) extends EtlJob {
   override val name: String =
     s"compact_lsh_${new java.io.File(indexPath).getName}"

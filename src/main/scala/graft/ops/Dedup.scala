@@ -599,86 +599,23 @@ object Dedup {
   private def consumedFile(path: String, v: Long): String =
     versionDir(path, v) + "/_consumed" // underscore = invisible to parquet listing
 
-  // stream-to-EOF, never stat-then-readFully: the pointer file is
-  // atomically REPLACED by concurrent compactions, and a stat'd length
-  // can belong to a different incarnation than the opened stream —
-  // observed as EOFException under a commit race. An open stream reads
-  // one complete incarnation.
+  // Pointer read/replace semantics (race classes, retry rationale,
+  // object-store fallback) live in [[AtomicPointer]] — shared with the
+  // graph index's generation pointer since round 12. These are thin
+  // bindings of that machinery to the band index's file layout.
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                            p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    finally in.close()
-  }
+                            p: org.apache.hadoop.fs.Path): String =
+    AtomicPointer.readSmallFile(fs, p)
 
-  /** The pointer read is bounded-retried against the REPLACE window's
-    * transient signatures: on ChecksumFs (local) the rename-overwrite is
-    * two renames (data file + .crc sidecar), so a concurrent open can
-    * pair a new data file with a stale checksum (ChecksumException) or
-    * catch the swap itself (EOF/FileNotFound); a mid-write direct PUT on
-    * the no-FileContext fallback path can briefly read empty
-    * (NumberFormatException). All are microsecond windows around a
-    * tiny-file replace — retry, and re-check existence each attempt (a
-    * rebuild legitimately DELETES the pointer; that must resolve to None,
-    * not an error).
-    */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
-                          path: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(pointerFile(path))
-    var attempt = 0
-    while (true) {
-      if (!fs.exists(p)) return None
-      try return Some(readSmallFile(fs, p).trim.toLong)
-      catch {
-        case e @ (_: org.apache.hadoop.fs.ChecksumException |
-                  _: java.io.EOFException |
-                  _: java.io.FileNotFoundException |
-                  _: NumberFormatException) =>
-          attempt += 1
-          if (attempt > 5) throw e
-          Thread.sleep(10L * attempt)
-      }
-    }
-    None // unreachable
-  }
+                          path: String): Option[Long] =
+    AtomicPointer.read(fs,
+      new org.apache.hadoop.fs.Path(pointerFile(path)), _.trim.toLong)
 
-  /** Atomically publish `organized.current` → v: write a uuid tmp file,
-    * rename-overwrite it into place via FileContext (atomic single-file
-    * replace on local/HDFS). FileContext needs an `AbstractFileSystem`
-    * binding per scheme, and stock Hadoop only ships them for
-    * local/hdfs/viewfs — object-store schemes (s3a, gs, abfs) are
-    * typically unbound unless `fs.AbstractFileSystem.<scheme>.impl` is
-    * configured. For those we fall back to a direct overwrite-create:
-    * on S3-class stores a create+close is ONE atomic PUT (readers see
-    * the old or the new object, never a torn one — the exact property
-    * the rename gives elsewhere), so the fallback is only non-atomic on
-    * filesystems that would have had a FileContext binding anyway.
-    */
   private def publishPointer(spark: org.apache.spark.sql.SparkSession,
-                             path: String, v: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val ptrPath = new org.apache.hadoop.fs.Path(pointerFile(path))
-    val bytes = v.toString.getBytes("UTF-8")
-    val fcOpt =
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-        new org.apache.hadoop.fs.Path(path).toUri, conf))
-      catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
-      }
-    fcOpt match {
-      case Some(fc) =>
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + "/.organized.current.tmp-" + java.util.UUID.randomUUID())
-        val out = fs.create(tmp, true)
-        try out.write(bytes) finally out.close()
-        fc.rename(tmp, ptrPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      case None =>
-        val out = fs.create(ptrPath, true)
-        try out.write(bytes) finally out.close()
-    }
-  }
+                             path: String, v: Long): Unit =
+    AtomicPointer.publish(spark, path,
+      new org.apache.hadoop.fs.Path(pointerFile(path)), v.toString)
 
   private def readConsumed(fs: org.apache.hadoop.fs.FileSystem,
                            path: String, v: Long): Seq[String] = {

@@ -330,6 +330,52 @@ object Graph {
       tbl("nodes", "node BIGINT", "node"), b)
   }
 
+  /** Refresh a standing graph index UNDER LIVE READERS: build the new
+    * layout into an immutable generation directory (`root/gen-<n+1>`),
+    * atomically repoint `root/index.current` ([[AtomicPointer]] — the
+    * LSM band index's pointer-commit discipline), and defer GC by one
+    * cycle: the previous generation survives until the NEXT rebuild, so
+    * a reader that resolved the old pointer keeps scanning intact
+    * files; generations older than that are deleted. This is how the
+    * immutable artifact (see [[buildGraphIndex]]'s append note) gets a
+    * refresh cadence without ever rebuilding in place — readers see the
+    * old index or the new one, never a torn mix. Returns the published
+    * generation number.
+    */
+  def rebuildGraphIndex(edges: DataFrame, srcCol: String, dstCol: String,
+                        root: String, buckets: Int = 0): Long = {
+    val spark = edges.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(root, "index.current")
+    val cur = AtomicPointer.read(fs, ptr, _.trim.toLong).getOrElse(0L)
+    val next = cur + 1L
+    buildGraphIndex(edges, srcCol, dstCol, s"$root/gen-$next", buckets)
+    AtomicPointer.publish(spark, root, ptr, next.toString)
+    // deferred GC: gen-(next-1) stays for in-flight readers; older go.
+    // Their catalog registrations (per-path table names) die with the
+    // session; a stale handle into a GC'd generation fails loudly.
+    if (fs.exists(new Path(root))) fs.listStatus(new Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("gen-") &&
+          p.getName.stripPrefix("gen-").toLongOption.exists(_ < next - 1)
+      }
+      .foreach(p => fs.delete(p, true): Unit)
+    next
+  }
+
+  /** Resolve `root/index.current` and load that generation — the reader
+    * half of [[rebuildGraphIndex]]'s pointer commit.
+    */
+  def loadGraphIndexCurrent(spark: SparkSession, root: String): GraphIndex = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g = AtomicPointer.read(fs, new Path(root, "index.current"), _.trim.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"no graph index published at $root — run rebuildGraphIndex first"))
+    loadGraphIndex(spark, s"$root/gen-$g")
+  }
+
   /** [[pagerank]] over a standing [[GraphIndex]]: the same fixed-point
     * update rule on the same canonical frames ([[rankLoop]] is shared
     * code), so results hash-match [[pagerank]] over the same edge set —

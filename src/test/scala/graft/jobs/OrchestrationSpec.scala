@@ -256,6 +256,25 @@ class DefaultsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/gated_ok.parquet").count() > 0)
   }
 
+  test("GraphIndexMaintenanceJob publishes a fresh generation via the runner") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gimj").toString + "/g"
+    // the edge DERIVATION runs at job time — two runs over a growing
+    // source publish two generations
+    var sourceRows = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val job = new GraphIndexMaintenanceJob(root,
+      edges = ctx => { sourceRows.toDF("src", "dst") })
+    val runner = new JobRunner(spark, new DefaultsStore, new StatusTracker)
+    runner.run(job, debug = true)
+    val idx1 = graft.ops.Graph.loadGraphIndexCurrent(spark, root)
+    assert(idx1.edges.count() == 3)
+    sourceRows = sourceRows :+ (3L, 4L)
+    runner.run(job, debug = true)
+    val idx2 = graft.ops.Graph.loadGraphIndexCurrent(spark, root)
+    assert(idx2.edges.count() == 4)
+    assert(new java.io.File(s"$root/gen-1").exists, "one-cycle GC grace")
+  }
+
   test("LshIndexMaintenanceJob compacts the band index via the runner") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

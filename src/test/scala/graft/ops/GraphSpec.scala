@@ -294,6 +294,39 @@ class GraphSpec extends SparkSpec {
       checkpointEvery = 2, maxDriverEdges = 0)) == direct)
   }
 
+  test("rebuildGraphIndex: pointer-committed generations, one-cycle GC, stale readers keep working") {
+    def edgesDF(n: Int) = (1 to n)
+      .map(i => (i.toLong % 20, (i * 7).toLong % 20))
+      .filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val root = java.nio.file.Files.createTempDirectory("gidxgen").toString + "/g"
+    // generation 1 publishes and serves
+    assert(Graph.rebuildGraphIndex(edgesDF(200), "a", "b", root) == 1L)
+    val idx1 = Graph.loadGraphIndexCurrent(spark, root)
+    val r1 = rows(Graph.pagerankOnIndex(idx1, iterations = 3, maxDriverEdges = 0))
+    assert(r1 == rows(Graph.pagerank(edgesDF(200), "a", "b", iterations = 3,
+      maxDriverEdges = 0)))
+    // generation 2: the pointer moves, gen-1 SURVIVES one cycle — a
+    // reader holding idx1 keeps scanning intact files
+    assert(Graph.rebuildGraphIndex(edgesDF(300), "a", "b", root) == 2L)
+    assert(new java.io.File(s"$root/gen-1").exists)
+    assert(rows(Graph.pagerankOnIndex(idx1, iterations = 3,
+      maxDriverEdges = 0)) == r1, "stale reader broke under a rebuild")
+    val idx2 = Graph.loadGraphIndexCurrent(spark, root)
+    assert(rows(Graph.pagerankOnIndex(idx2, iterations = 3, maxDriverEdges = 0))
+      == rows(Graph.pagerank(edgesDF(300), "a", "b", iterations = 3,
+        maxDriverEdges = 0)))
+    // generation 3 GCs gen-1 (two cycles old), keeps gen-2
+    assert(Graph.rebuildGraphIndex(edgesDF(400), "a", "b", root) == 3L)
+    assert(!new java.io.File(s"$root/gen-1").exists, "gen-1 should be GC'd")
+    assert(new java.io.File(s"$root/gen-2").exists, "gen-2 has one-cycle grace")
+    assert(rows(Graph.pagerankOnIndex(Graph.loadGraphIndexCurrent(spark, root),
+      iterations = 3, maxDriverEdges = 0))
+      == rows(Graph.pagerank(edgesDF(400), "a", "b", iterations = 3,
+        maxDriverEdges = 0)))
+  }
+
   test("delta pattern: pagerank over index ∪ fresh edges equals a full rebuild") {
     // the churn story buildGraphIndex's scaladoc documents: between
     // index rebuilds, new edges ride as a small unindexed delta UNIONed
