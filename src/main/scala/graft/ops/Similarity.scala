@@ -642,6 +642,44 @@ object Similarity {
     nLists
   }
 
+  /** [[calibrateNProbe]] + persist the result as the index's operating
+    * point: a `_ivf_meta.json` sidecar next to the lists (underscore —
+    * invisible to parquet listings) recording the calibrated width, the
+    * target it hit, and k. Completes the index contract: like the
+    * quantizer, the probe width is a BUILD-time output a deployment
+    * loads with the index ([[recordedNProbe]]) instead of a per-caller
+    * guess — the nProbe=1 default ships ~1/lists recall on unstructured
+    * corpora (the `ann_ivf_auto_recall` lesson).
+    */
+  def calibrateAndRecord(spark: org.apache.spark.sql.SparkSession, path: String,
+                         sampleQueries: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, k: Int,
+                         recallTarget: Double): Int = {
+    val np = calibrateNProbe(spark, path, sampleQueries, idCol, vecCol,
+      centroids, k, recallTarget)
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"n_probe":$np,"recall_target":$recallTarget,"k":$k}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    np
+  }
+
+  /** The recorded probe width from a [[calibrateAndRecord]] sidecar —
+    * None for an uncalibrated index (callers then choose explicitly).
+    */
+  def recordedNProbe(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else """"n_probe":(\d+)""".r
+      .findFirstMatchIn(AtomicPointer.readSmallFile(fs, p))
+      .map(_.group(1).toInt)
+  }
+
   /** Index maintenance: assign a NEW vector batch to the existing
     * centroids and append into the index's list partitions — no rebuild,
     * no touch of existing files; probes immediately see old and new

@@ -4232,9 +4232,13 @@ object ExtendedQueries {
       graft.ops.CacheControl.release(centsCk)
       val cents = s.read.parquet(base + "/cents")
       val cal = e.filter(col("vec_id") >= 8 && col("vec_id") < 40)
-      val nProbe = Similarity.calibrateNProbe(s, idx, cal,
+      // calibrate AND record: the fixture exercises the sidecar
+      // round-trip the deployment contract relies on
+      val nProbe = Similarity.calibrateAndRecord(s, idx, cal,
         "vec_id", "embedding", cents, k = 5,
         recallTarget = IvfAutoRecallTarget)
+      require(Similarity.recordedNProbe(s, idx).contains(nProbe),
+        "ivf meta sidecar round-trip failed")
       (idx, base + "/cents", nProbe)
     })
 

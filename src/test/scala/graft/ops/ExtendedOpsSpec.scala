@@ -904,9 +904,15 @@ class SimilaritySpec extends SparkSpec {
       .toDF("cent_id", "cent_v")
       .select(col("cent_id"), expr("transform(cent_v, x -> cast(x as double))").as("cent_v"))
     Similarity.buildIvfIndex(ring, "vec_id", "embedding", rCents, base + "/r")
-    val np = Similarity.calibrateNProbe(spark, base + "/r", ring,
+    val np = Similarity.calibrateAndRecord(spark, base + "/r", ring,
       "vec_id", "embedding", rCents, k = 3, recallTarget = 0.9)
     assert(np > 1 && np <= 6, s"calibrated nProbe = $np")
+    // the operating point persists with the index; an uncalibrated
+    // index reports None (callers must then choose explicitly)
+    assert(Similarity.recordedNProbe(spark, base + "/r").contains(np))
+    assert(Similarity.recordedNProbe(spark, base + "/c").isEmpty)
+    // the sidecar is invisible to the index scan itself
+    assert(spark.read.parquet(base + "/r").count() == 24)
     val truth = Similarity.bruteForceTopK(ring, ring, "vec_id", "embedding", 3)
       .select("query_id", "neighbor_id")
     val got = Similarity.probeIvfIndexBatch(spark, base + "/r", ring,
