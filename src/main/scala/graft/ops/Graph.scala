@@ -341,6 +341,13 @@ object Graph {
     * refresh cadence without ever rebuilding in place — readers see the
     * old index or the new one, never a torn mix. Returns the published
     * generation number.
+    *
+    * Single WRITER at a time (the scheduled-job cadence,
+    * [[graft.jobs.GraphIndexMaintenanceJob]]): two concurrent rebuilds
+    * would both resolve the same next-generation name and contend on
+    * its table registrations — readers are always safe, writers must
+    * not overlap, the same discipline the LSM compaction job runs
+    * under.
     */
   def rebuildGraphIndex(edges: DataFrame, srcCol: String, dstCol: String,
                         root: String, buckets: Int = 0): Long = {
