@@ -98,6 +98,50 @@ object BenchCore {
     (cur, c, r, rounds)
   }
 
+  /** Extract the sf1 lane's (contended, per-query seconds) from a PRIOR
+    * bench artifact's JSON text — our own canonical single-line format,
+    * parsed with scoped regexes rather than a JSON library (none on the
+    * classpath by design). Returns None when the artifact has no sf1
+    * lane or the text doesn't carry both fields.
+    *
+    * Why this exists: the within-lane two-best-agree sentinel certifies
+    * INTERNAL consistency — a contention window longer than the whole
+    * lane inflates sweeps and rechecks together and reads as clean
+    * (observed: a uniformly +21% lane, ratio 1.20, on untouched code).
+    * The only defense is cross-invocation comparison, so the bench
+    * publishes its ratio to the last clean artifact as provenance.
+    */
+  def parsePrevSf1(json: String): Option[(Boolean, Map[String, Double])] = {
+    val contended = """"sf1_contended":(true|false)""".r
+      .findFirstMatchIn(json).map(_.group(1) == "true")
+    val qblock = """"sf1_queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    for (c <- contended; b <- qblock) yield {
+      val qs = """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      (c, qs)
+    }
+  }
+
+  /** Total-over-common-queries ratio of the current lane to a prior
+    * clean lane — None when the prior was contended or the overlap is
+    * too thin to mean anything (< `minCommon` queries). Informational
+    * provenance, not a verdict: a clean-sentinel lane running 1.2× its
+    * last clean run is how a lane-length window becomes visible.
+    */
+  def sf1VsPrev(cur: Seq[(String, Double)], prev: (Boolean, Map[String, Double]),
+                minCommon: Int = 10): Option[Double] = {
+    val (prevContended, prevQ) = prev
+    if (prevContended) return None
+    val common = cur.filter { case (n, _) => prevQ.contains(n) }
+    if (common.size < minCommon) None
+    else {
+      val prevSum = common.map { case (n, _) => prevQ(n) }.sum
+      if (prevSum <= 0) None
+      else Some(common.map(_._2).sum / prevSum)
+    }
+  }
+
   /** The sentinel set to re-time after the sweeps: the `topN` most
     * expensive queries (their cost dominates the graded total, so their
     * recorded numbers must defend themselves) plus, when more eligible

@@ -58,6 +58,29 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(small.map(_._1).sorted == Seq("a", "b"))
   }
 
+  test("parsePrevSf1 + sf1VsPrev: cross-invocation lane provenance") {
+    val art = """{"metric":"total","value":124.598,"sf1_total":188.803,""" +
+      """"sf1_contended":false,"sf1_contention_max_ratio":1.118,""" +
+      """"sf1_queries":{"q_a":10.000,"q_b":5.500,"q_c":2.000},"sf":"x"}"""
+    val Some((contended, qs)) = BenchCore.parsePrevSf1(art)
+    assert(!contended && qs == Map("q_a" -> 10.0, "q_b" -> 5.5, "q_c" -> 2.0))
+    // a lane-length window: every query uniformly 1.2x, sentinel clean —
+    // the cross-invocation ratio is what exposes it
+    val cur = Seq("q_a" -> 12.0, "q_b" -> 6.6, "q_c" -> 2.4)
+    val r = BenchCore.sf1VsPrev(cur, (contended, qs), minCommon = 3).get
+    assert(math.abs(r - 1.2) < 1e-9)
+    // a contended prior is not a reference point
+    assert(BenchCore.sf1VsPrev(cur, (true, qs), minCommon = 3).isEmpty)
+    // too-thin overlap (query set churn) refuses to compare
+    assert(BenchCore.sf1VsPrev(Seq("q_a" -> 12.0), (false, qs),
+      minCommon = 3).isEmpty)
+    // artifacts without an sf1 lane parse to None
+    assert(BenchCore.parsePrevSf1("""{"metric":"total","value":1.0}""").isEmpty)
+    // a FAILED lane ("sf1_total":null, no sf1_queries block) also None
+    assert(BenchCore.parsePrevSf1(
+      """{"metric":"total","sf1_total":null,"sf":"x"}""").isEmpty)
+  }
+
   test("laneVerdict: two-best-agree generalization of the bidirectional sentinel") {
     // 2 samples: identical to the bidirectional ratio
     assert(BenchCore.laneVerdict(Seq(Seq(10.0, 2.0)))._1)
