@@ -54,10 +54,15 @@ echo "OK: sentinel tripped (contended=true, exit 3) — artifact at $OUT"
 # SPARK_GRAFT_SF1_SELFTEST additionally restricts the lane cohort to
 # BENCH_ONLY, so this phase costs ~1 min, not a full lane.
 OUT2=$(mktemp /tmp/graft_selftest_sf1.XXXX.json)
+# 5s delay, not phase 1's 2s: these queries cost ~1-4s at sf1, and the
+# sentinel ratio is (delay + t)/t — 2s against a 1.7s query is ~2.2x,
+# UNDER the 3x threshold, so the forcing was marginal (one observed run
+# tripped at 3.06, the next sat at 2.80 and never escalated). 5s makes
+# the cheapest sentinel ~6x — decisively contended every run.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
 SPARK_GRAFT_BENCH_ONLY=dedup_lines,dedup_exact,text_tfidf \
 SPARK_GRAFT_SF1_SELFTEST=1 \
-SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS=2000 \
+SPARK_GRAFT_BENCH_SELFTEST_SWEEP_DELAY_MS=5000 \
 SPARK_GRAFT_BENCH_OUT="$OUT2" \
   java -cp "$CLASSES:/opt/spark/jars/*" graft.Bench \
   >/tmp/graft_selftest_sf1.log 2>&1
