@@ -287,14 +287,17 @@ object Bench {
       "\"" + n + "\":{\"recorded\":" + sec(rec) + ",\"recheck\":" + sec(re) +
         ",\"ratio\":" + sec(ratio) + "}"
     }.mkString("{", ",", "}")
-    // A FAILED lane (infrastructure error — ok1 empty, __lane in errors)
-    // publishes sf1_total:null and NO other numeric sf1 fields: the old
-    // fallback's "sf1_total":0.000 read as an infinitely fast run to
-    // automation keying on the JSON instead of the exit code and
-    // comparing against BASELINE.md's peg (ADVICE r11).
+    // A FAILED lane publishes sf1_total:null and NO other numeric sf1
+    // fields: the old fallback's "sf1_total":0.000 read as an infinitely
+    // fast run to automation keying on the JSON instead of the exit code
+    // and comparing against BASELINE.md's peg (ADVICE r11). "Failed"
+    // means NO query produced a number while something errored — the
+    // infrastructure shape (__lane) AND the every-query-crashed shape
+    // both qualify (ADVICE r12); a lane that ran zero queries cleanly
+    // (empty cohort) is not an error and keeps its honest 0-query total.
     def sf1Failed(r: (Seq[(String, Double)], Seq[(String, String)],
         Boolean, Double, Int, Map[String, Seq[Double]])): Boolean =
-      r._1.isEmpty && r._2.exists(_._1 == "__lane")
+      r._1.isEmpty && r._2.nonEmpty
     val sf1TotalStr = sf1.map { r =>
       if (sf1Failed(r)) "null" else sec(r._1.map(_._2).sum)
     }
@@ -306,13 +309,21 @@ object Bench {
     // previous round's), over common queries, so lane-length windows
     // become visible across runs even when each run self-labels clean.
     val outPath = env("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    val prevSf1 = try {
+    val prevText: Option[String] = try {
       val p = java.nio.file.Paths.get(outPath)
       if (java.nio.file.Files.exists(p))
-        BenchCore.parsePrevSf1(
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       else None
     } catch { case _: Throwable => None }
+    val prevSf1 = prevText.flatMap(BenchCore.parsePrevSf1)
+    // Batch-lane cross-invocation provenance (VERDICT r12 #5): the same
+    // total-over-common-queries ratio the sf1 lane carries, computed on
+    // the BATCH cohort only (streaming drifts ±10–40% on unchanged code
+    // and has its own stability gate) — so a round's regression call on
+    // a query family is mechanical against the last clean artifact
+    // instead of judged from top-20 lists.
+    val vsPrevMain = prevText.flatMap(BenchCore.parsePrevMain)
+      .flatMap(BenchCore.vsPrevClean(ok.filterNot(kv => isStreaming(kv._1)), _))
     val sf1Fields = sf1 match {
       case None => ""
       case Some(r) if sf1Failed(r) => """"sf1_total":null,"""
@@ -325,12 +336,14 @@ object Bench {
           "\"" + n + "\":{\"passes\":[" + ts.map(sec).mkString(",") +
             "],\"spread\":" + sec(BenchCore.stableSpread(ts)) + "}"
         }.mkString("{", ",", "}")
-        val vsPrev = prevSf1.flatMap(BenchCore.sf1VsPrev(ok1, _))
+        val vsPrev = prevSf1.flatMap(BenchCore.vsPrevClean(ok1, _))
           .map(v => s""""sf1_vs_prev_clean":${sec(v)},""").getOrElse("")
         s""""sf1_total":${sf1TotalStr.get},"sf1_n_queries":${ok1.size},"sf1_contended":$c1,"sf1_contention_max_ratio":${sec(r1)},"sf1_recovery_rounds":$rounds,$vsPrev"sf1_contention_check":$sc,"sf1_queries":$q1,"""
     }
+    val vsPrevField =
+      vsPrevMain.map(v => s""""vs_prev_clean":${sec(v)},""").getOrElse("")
     val ccFields =
-      s""""timing":"interleaved_sweeps_min","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},"contention_check":$cc"""
+      s""""timing":"interleaved_sweeps_min","contended":$contended,"contention_max_ratio":${sec(maxRatio)},"streaming_stable":$streamingStable,"streaming_max_spread":${sec(streamMaxSpread)},$vsPrevField"contention_check":$cc"""
     // per-pass provenance for the 20 most expensive queries PLUS every
     // streaming query: every timed sample (sweeps + adaptive stream
     // samples + recheck where taken), so a recorded number dominated by

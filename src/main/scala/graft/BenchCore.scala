@@ -123,14 +123,37 @@ object BenchCore {
     }
   }
 
+  /** Extract the MAIN batch lane's (contended, per-query seconds) from a
+    * prior artifact — the batch-lane sibling of [[parsePrevSf1]]
+    * (VERDICT r12 #5: round-over-round regression calls on the batch
+    * lane were judged from top-20 lists; this makes them mechanical).
+    * The leading-quote anchors keep `"sf1_queries"`/`"sf1_contended"`
+    * from matching; the `"queries"` block is the artifact's flat last
+    * field and `"contended"` appears before the sf1 section.
+    */
+  def parsePrevMain(json: String): Option[(Boolean, Map[String, Double])] = {
+    val contended = """"contended":(true|false)""".r
+      .findFirstMatchIn(json).map(_.group(1) == "true")
+    val qblock = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    for (c <- contended; b <- qblock) yield {
+      val qs = """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      (c, qs)
+    }
+  }
+
   /** Total-over-common-queries ratio of the current lane to a prior
     * clean lane — None when the prior was contended or the overlap is
     * too thin to mean anything (< `minCommon` queries). Informational
     * provenance, not a verdict: a clean-sentinel lane running 1.2× its
-    * last clean run is how a lane-length window becomes visible.
+    * last clean run is how a lane-length window becomes visible. Lane-
+    * agnostic: the sf1 lane feeds it whole, the main lane feeds its
+    * batch cohort (streaming drifts ±10–40% on unchanged code and must
+    * not pollute the cross-invocation signal).
     */
-  def sf1VsPrev(cur: Seq[(String, Double)], prev: (Boolean, Map[String, Double]),
-                minCommon: Int = 10): Option[Double] = {
+  def vsPrevClean(cur: Seq[(String, Double)], prev: (Boolean, Map[String, Double]),
+                  minCommon: Int = 10): Option[Double] = {
     val (prevContended, prevQ) = prev
     if (prevContended) return None
     val common = cur.filter { case (n, _) => prevQ.contains(n) }

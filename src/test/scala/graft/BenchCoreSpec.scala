@@ -58,7 +58,28 @@ class BenchCoreSpec extends AnyFunSuite {
     assert(small.map(_._1).sorted == Seq("a", "b"))
   }
 
-  test("parsePrevSf1 + sf1VsPrev: cross-invocation lane provenance") {
+  test("parsePrevMain: batch-lane provenance parses past the sf1 blocks") {
+    // field order mirrors a real artifact: main verdict first, then the
+    // sf1 section (whose sf1_contended/sf1_queries must NOT shadow the
+    // main fields), runs_top20 noise, and "queries" last
+    val art = """{"metric":"total","value":10.0,"contended":false,""" +
+      """"contention_max_ratio":1.100,"sf1_contended":true,""" +
+      """"sf1_queries":{"q_a":9.000},"sf":"x",""" +
+      """"runs_top20":{"q_a":{"passes":[1.0,2.0],"spread":2.000}},""" +
+      """"errors":{},"queries":{"q_a":1.000,"q_b":2.000,"ev_x_stream":3.000}}"""
+    val Some((contended, qs)) = BenchCore.parsePrevMain(art)
+    assert(!contended, "sf1_contended:true must not shadow the main verdict")
+    assert(qs == Map("q_a" -> 1.0, "q_b" -> 2.0, "ev_x_stream" -> 3.0),
+      s"sf1_queries must not shadow the queries block: $qs")
+    // batch-cohort comparison: the caller filters streaming out of CUR,
+    // which confines the common set to batch queries
+    val cur = Seq("q_a" -> 1.2, "q_b" -> 2.4)
+    val r = BenchCore.vsPrevClean(cur, (contended, qs), minCommon = 2).get
+    assert(math.abs(r - 1.2) < 1e-9)
+    assert(BenchCore.parsePrevMain("""{"metric":"total"}""").isEmpty)
+  }
+
+  test("parsePrevSf1 + vsPrevClean: cross-invocation lane provenance") {
     val art = """{"metric":"total","value":124.598,"sf1_total":188.803,""" +
       """"sf1_contended":false,"sf1_contention_max_ratio":1.118,""" +
       """"sf1_queries":{"q_a":10.000,"q_b":5.500,"q_c":2.000},"sf":"x"}"""
@@ -67,12 +88,12 @@ class BenchCoreSpec extends AnyFunSuite {
     // a lane-length window: every query uniformly 1.2x, sentinel clean —
     // the cross-invocation ratio is what exposes it
     val cur = Seq("q_a" -> 12.0, "q_b" -> 6.6, "q_c" -> 2.4)
-    val r = BenchCore.sf1VsPrev(cur, (contended, qs), minCommon = 3).get
+    val r = BenchCore.vsPrevClean(cur, (contended, qs), minCommon = 3).get
     assert(math.abs(r - 1.2) < 1e-9)
     // a contended prior is not a reference point
-    assert(BenchCore.sf1VsPrev(cur, (true, qs), minCommon = 3).isEmpty)
+    assert(BenchCore.vsPrevClean(cur, (true, qs), minCommon = 3).isEmpty)
     // too-thin overlap (query set churn) refuses to compare
-    assert(BenchCore.sf1VsPrev(Seq("q_a" -> 12.0), (false, qs),
+    assert(BenchCore.vsPrevClean(Seq("q_a" -> 12.0), (false, qs),
       minCommon = 3).isEmpty)
     // artifacts without an sf1 lane parse to None
     assert(BenchCore.parsePrevSf1("""{"metric":"total","value":1.0}""").isEmpty)
