@@ -77,6 +77,29 @@ private[graft] object AtomicPointer {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     val bytes = content.getBytes("UTF-8")
+    val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // LOCAL filesystem: POSIX rename(2) via nio is a true atomic
+      // REPLACE. The FileContext route is NOT on local — LocalFs
+      // inherits AbstractFileSystem's default overwrite-rename, which
+      // DELETES the destination before renaming, leaving an
+      // absent-pointer window a racing reader observes as a missing
+      // file (caught by IvfIndexConcurrencySpec: recordedNProbe
+      // returned None mid-publish). nio writes no checksum sidecars;
+      // the stale-`.crc` cleanup below covers a destination an older
+      // Hadoop-API writer created (its checksum would describe the OLD
+      // content and fail every subsequent read).
+      val dirP = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
+      java.nio.file.Files.createDirectories(dirP)
+      val tmp = java.nio.file.Files.createTempFile(
+        dirP, "." + ptrPath.getName + ".tmp-", "")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dirP.resolve(ptrPath.getName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fs.delete(new Path(ptrPath.getParent, "." + ptrPath.getName + ".crc"),
+        false): Unit
+      return
+    }
     val fcOpt =
       try Some(FileContext.getFileContext(new Path(dir).toUri, conf))
       catch {
