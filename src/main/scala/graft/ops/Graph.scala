@@ -181,7 +181,25 @@ object Graph {
   private def rankLoop(spark: SparkSession, e: DataFrame, deg: DataFrame,
                        nodes: DataFrame, iterations: Int,
                        dampNum: Long, dampDen: Long, scale: Long,
-                       checkpointEvery: Int): DataFrame = {
+                       checkpointEvery: Int): DataFrame =
+    rankLoopMulti(spark, Seq(e), deg, nodes, iterations,
+      dampNum, dampDen, scale, checkpointEvery)
+
+  /** [[rankLoop]] over a SEQUENCE of edge frames whose union is the edge
+    * set — the delta-union form ([[pagerankOnIndexDelta]]): each frame
+    * joins the per-source contributions independently (the standing
+    * bucketed scan stays exchange-free, only the small delta frame pays
+    * its own layout) and the streams union BEFORE the per-destination
+    * aggregation. Integer addition is associative and commutative, so
+    * the summed contributions — and therefore every iteration's rank
+    * vector — are BIT-IDENTICAL to a single-frame loop over the union.
+    * With one frame the plan degenerates to exactly the single-frame
+    * loop, which is how [[pagerank]]/[[pagerankOnIndex]] still share it.
+    */
+  private def rankLoopMulti(spark: SparkSession, es: Seq[DataFrame],
+                            deg: DataFrame, nodes: DataFrame, iterations: Int,
+                            dampNum: Long, dampDen: Long, scale: Long,
+                            checkpointEvery: Int): DataFrame = {
     val nNodes = nodes.count() // the one driver-side scalar: |V|
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
@@ -189,7 +207,7 @@ object Graph {
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val sums = contribSums(e, ranks, deg)
+      val sums = contribSumsMulti(es, ranks, deg)
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"), expr(
           s"$teleport + ($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")
@@ -282,7 +300,14 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .repartition(b, col("src")).distinct()
       .localCheckpoint()
-    writeBucketed(e, "src", path, "edges", b)
+    // alreadyArranged: the checkpoint above EXECUTED the hash(src, b)
+    // repartition, so each of e's partitions physically holds exactly
+    // one bucket's rows (same Murmur3 both sides) — re-repartitioning
+    // inside writeBucketed would pay a second full |E| exchange per
+    // build for a layout the rows already have (ADVICE r12). deg and
+    // nodes change key cardinality/columns and keep the pre-write
+    // repartition.
+    writeBucketed(e, "src", path, "edges", b, alreadyArranged = true)
     writeBucketed(e.groupBy("src").agg(count(lit(1)).as("deg")),
       "src", path, "deg", b)
     writeBucketed(e.select(col("src").as("node"))
@@ -306,12 +331,12 @@ object Graph {
     */
   def loadGraphIndex(spark: SparkSession, path: String): GraphIndex = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(path, "_graph_index.json"))
-    val meta = try {
-      val buf = new Array[Byte](256)
-      val n = in.read(buf)
-      new String(buf, 0, math.max(n, 0), "UTF-8")
-    } finally in.close()
+    // stream-to-EOF via the shared pointer-file reader: a manual
+    // single read() may legally return a PREFIX of the file, and a
+    // bucket count truncated mid-number would register the table with
+    // a spec disagreeing with the on-disk layout — co-partitioned
+    // joins over it would silently return wrong rows (ADVICE r12)
+    val meta = AtomicPointer.readSmallFile(fs, new Path(path, "_graph_index.json"))
     val b = """"buckets":(\d+)""".r.findFirstMatchIn(meta)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
@@ -410,6 +435,126 @@ object Graph {
       iterations, dampNum, dampDen, scale, checkpointEvery)
   }
 
+  /** [[pagerank]] over a standing [[GraphIndex]] UNION a small unindexed
+    * DELTA edge list — the high-churn query-time pattern the index
+    * build's scaladoc describes (keep fresh edges unindexed, union at
+    * query time, fold them in on the maintenance cadence), promoted to
+    * API with the cost model it deserves (VERDICT r12 #3): the big side
+    * never re-lays out. Hash-matches a full [[pagerank]] over
+    * `idx.edges ∪ delta` by construction — re-crawled (overlapping)
+    * delta edges are ABSORBED by the dedup below, exactly like
+    * edgeLayout's distinct would absorb them in a rebuild.
+    *
+    * Cost shape, per query:
+    *  - the delta alone pays exchanges: its canonicalization
+    *    (cast/distinct onto the index's bucket hash) and its endpoint
+    *    set are delta-sized shuffles;
+    *  - the INDEX side is touched by exactly one exchange-free pass at
+    *    setup — a broadcast semi-join of the bucketed edge scan against
+    *    the delta's source set (to find already-indexed duplicates),
+    *    plus merge joins that consume deg/nodes straight off their
+    *    sorted bucketed scans — and by the same exchange-free bucketed
+    *    scans inside each iteration ([[rankLoopMulti]]);
+    *  - merged deg and nodes are |V|-sized one-time checkpoints (nodes
+    *    pays the one |V| exchange for its layout).
+    *
+    * `maxDeltaRows` gates the smallness assumption with a BOUNDED scan
+    * (the delta's source set is broadcast during dedup — an unguarded
+    * caller-sized broadcast is the classic OOM): an oversized delta
+    * falls back to the full re-layout `pagerank` over the union — the
+    * honest plan once "delta" stops being small.
+    */
+  def pagerankOnIndexDelta(idx: GraphIndex, deltaEdges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           iterations: Int = 3,
+                           dampNum: Long = 85, dampDen: Long = 100,
+                           scale: Long = 1000000000000L,
+                           checkpointEvery: Int = 5,
+                           maxDriverEdges: Long = 200000L,
+                           maxDeltaRows: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = idx.edges.sparkSession
+    val rawDelta = deltaEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val capped = rawDelta
+      .limit(math.min(maxDeltaRows + 1, Int.MaxValue.toLong).toInt).count()
+    if (capped > maxDeltaRows)
+      return pagerank(idx.edges.unionByName(rawDelta), "src", "dst",
+        iterations, dampNum, dampDen, scale, checkpointEvery, maxDriverEdges)
+    val deltaNew = deltaNewEdges(idx, rawDelta)
+    // driver fast path (same bounded-metadata gate as pagerank): the
+    // union is disjoint by construction, so concatenation IS the union
+    val small = for {
+      eRows <- DriverLocal.boundedCollect(idx.edges, maxDriverEdges)
+      dRows <- DriverLocal.boundedCollect(deltaNew, maxDriverEdges)
+    } yield (eRows, dRows)
+    small.foreach { case (eRows, dRows) =>
+      CacheControl.release(deltaNew)
+      return driverRanks(spark,
+        (eRows ++ dRows).map(r => (r.getLong(0), r.getLong(1))),
+        iterations, dampNum, dampDen, scale)
+    }
+    // merged out-degrees: deg(union) = deg(index) + deg(deltaNew) — the
+    // full-outer merge consumes idx.deg straight off its sorted bucketed
+    // scan (join key = the bucket key, no exchange/sort on the index
+    // side); degDelta inherits deltaNew's captured hash(src) layout
+    val degDelta = deltaNew.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degMerged = CacheControl.checkpointWithLayout(spark) {
+      idx.deg.withColumnRenamed("deg", "__d1")
+        .join(degDelta.withColumnRenamed("deg", "__d2"), Seq("src"), "full_outer")
+        .select(col("src"),
+          (coalesce(col("__d1"), lit(0L)) + coalesce(col("__d2"), lit(0L)))
+            .as("deg"))
+        .sortWithinPartitions("src")
+    }
+    // merged node set: only the delta's genuinely-new endpoints join the
+    // index's node scan (anti-join consumes idx.nodes sorted/bucketed —
+    // no exchange/sort on the index side); the union pays the one
+    // |V|-sized exchange for the loop's hash(node) layout
+    val deltaNodes = deltaNew.select(col("src").as("node"))
+      .union(deltaNew.select(col("dst").as("node"))).distinct()
+    val newNodes = deltaNodes.join(idx.nodes, Seq("node"), "left_anti")
+    val nodesMerged = CacheControl.checkpointWithLayout(spark) {
+      idx.nodes.union(newNodes)
+        .repartition(idx.buckets, col("node"))
+        .sortWithinPartitions("node")
+    }
+    val out = rankLoopMulti(spark, Seq(idx.edges, deltaNew), degMerged,
+      nodesMerged, iterations, dampNum, dampDen, scale, checkpointEvery)
+    CacheControl.release(deltaNew)
+    CacheControl.release(degMerged)
+    CacheControl.release(nodesMerged)
+    out
+  }
+
+  /** The delta side of [[pagerankOnIndexDelta]]: canonicalize the raw
+    * (src, dst) delta onto the index's bucket hash (repartition BEFORE
+    * distinct — one delta-sized exchange, the edgeLayout lesson) and
+    * dedup it against the index WITHOUT re-laying the index out: one
+    * broadcast semi-join pass over the bucketed edge scan narrows it to
+    * the delta's sources (a SMALL, caller-gated broadcast), and the
+    * anti-join against that narrowed set runs co-partitioned on the
+    * delta's captured hash(src) layout. Returns the checkpointed
+    * genuinely-new edges (hash(src, buckets), sorted) — disjoint from
+    * `idx.edges` by construction. Package-visible so the plan-shape
+    * spec can pin what the layout buys.
+    */
+  private[ops] def deltaNewEdges(idx: GraphIndex, rawDelta: DataFrame): DataFrame = {
+    val spark = idx.edges.sparkSession
+    val deltaCanon = CacheControl.checkpointWithLayout(spark) {
+      rawDelta.repartition(idx.buckets, col("src")).distinct()
+        .sortWithinPartitions("src", "dst")
+    }
+    val srcs = deltaCanon.select("src").distinct()
+    val relevant = idx.edges.join(broadcast(srcs), Seq("src"), "left_semi")
+    val deltaNew = CacheControl.checkpointWithLayout(spark) {
+      deltaCanon.join(relevant, Seq("src", "dst"), "left_anti")
+        .sortWithinPartitions("src")
+    }
+    CacheControl.release(deltaCanon)
+    deltaNew
+  }
+
   /** [[bfsLevels]] over a standing [[GraphIndex]] — frontier expansion
     * against the bucketed edge scan, per-query cost = the hops.
     */
@@ -448,10 +593,17 @@ object Graph {
     * [[buildGraphIndex]]).
     */
   private def writeBucketed(df: DataFrame, keyCol: String, root: String,
-                            sub: String, buckets: Int): Unit = {
+                            sub: String, buckets: Int,
+                            alreadyArranged: Boolean = false): Unit = {
     val t = indexTableName(root, sub)
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $t")
-    df.repartition(buckets, col(keyCol))
+    // `alreadyArranged` = caller promises the rows are PHYSICALLY
+    // hash(keyCol, buckets)-partitioned already (an executed repartition
+    // behind a checkpoint counts even though the planner no longer knows
+    // it) — the one-file-per-bucket property then holds without a second
+    // exchange, since each task's rows map to exactly one bucket id
+    val arranged = if (alreadyArranged) df else df.repartition(buckets, col(keyCol))
+    arranged
       .write.bucketBy(buckets, keyCol).sortBy(keyCol)
       .option("path", s"$root/$sub").mode("overwrite").saveAsTable(t)
   }
@@ -489,7 +641,18 @@ object Graph {
     * aggregation) — |V|-sized, never |E|.
     */
   private[ops] def contribSums(e: DataFrame, ranks: DataFrame,
-                               deg: DataFrame): DataFrame = {
+                               deg: DataFrame): DataFrame =
+    contribSumsMulti(Seq(e), ranks, deg)
+
+  /** [[contribSums]] over several edge frames: per-source contributions
+    * computed ONCE, each frame joins them independently, streams union
+    * before the destination aggregation (map-side partials collapse the
+    * union to ≤ |V| rows per partition before the one exchange). With a
+    * single frame the plan is identical to the historical single-frame
+    * form — the plan-shape spec pins that path unchanged.
+    */
+  private[ops] def contribSumsMulti(es: Seq[DataFrame], ranks: DataFrame,
+                                    deg: DataFrame): DataFrame = {
     // ranks⋈deg first: both are |V|-sized, so the per-source contribution
     // rank div deg computes on |V| rows (not once per edge) and the edge
     // list is touched by exactly ONE join per iteration — one broadcast
@@ -498,8 +661,9 @@ object Graph {
     val perSrc = ranks.withColumnRenamed("node", "src")
       .join(deg, Seq("src"))
       .select(col("src"), expr("rank_fp div deg").as("__c"))
-    e.join(perSrc, Seq("src"))
-      .select(col("dst").as("node"), col("__c").as("c"))
+    es.map(e => e.join(perSrc, Seq("src"))
+        .select(col("dst").as("node"), col("__c").as("c")))
+      .reduce(_ union _)
       .groupBy("node").agg(sum(col("c")).as("s"))
   }
 

@@ -354,6 +354,108 @@ class GraphSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("pagerankOnIndexDelta: absorbs overlap, adds new nodes, hash-matches a rebuild") {
+    val rnd = new scala.util.Random(53)
+    val baseE = (1 to 400)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // delta = re-crawled edges (overlap — must be absorbed) + edges into
+    // a genuinely NEW node id space (41..60: new nodes AND new edges)
+    val fresh = (1 to 40)
+      .map(_ => (rnd.nextInt(40).toLong, (41 + rnd.nextInt(20)).toLong)).distinct
+    val delta = (baseE.take(30) ++ fresh).toDF("a", "b")
+    val all = (baseE ++ fresh).distinct
+    val root = java.nio.file.Files.createTempDirectory("gidxda").toString + "/g"
+    Graph.buildGraphIndex(baseE.toDF("a", "b"), "a", "b", root)
+    val idx = Graph.loadGraphIndex(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val full = rows(Graph.pagerank(all.toDF("a", "b"), "a", "b",
+      iterations = 4, checkpointEvery = 2, maxDriverEdges = 0))
+    // distributed delta path
+    assert(rows(Graph.pagerankOnIndexDelta(idx, delta, "a", "b",
+      iterations = 4, checkpointEvery = 2, maxDriverEdges = 0)) == full)
+    // driver fast path rides the same gate
+    assert(rows(Graph.pagerankOnIndexDelta(idx, delta, "a", "b",
+      iterations = 4, checkpointEvery = 2)) == full)
+    // oversized delta: the bounded gate falls back to the full
+    // re-layout pagerank over the union — same rows, honest plan
+    assert(rows(Graph.pagerankOnIndexDelta(idx, delta, "a", "b",
+      iterations = 4, checkpointEvery = 2, maxDriverEdges = 0,
+      maxDeltaRows = 5)) == full)
+    // a fully-overlapping delta degenerates to the plain indexed result
+    assert(rows(Graph.pagerankOnIndexDelta(idx, baseE.take(25).toDF("a", "b"),
+      "a", "b", iterations = 4, checkpointEvery = 2, maxDriverEdges = 0))
+      == rows(Graph.pagerankOnIndex(idx, iterations = 4, checkpointEvery = 2,
+        maxDriverEdges = 0)))
+  }
+
+  test("delta iterations: the index scan stays exchange- and sort-free; only the delta paid layout") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val rnd = new scala.util.Random(59)
+    val edges = (1 to 500)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("gidxdp").toString + "/g"
+    Graph.buildGraphIndex(edges, "a", "b", root)
+    val idx = Graph.loadGraphIndex(spark, root)
+    val delta = Seq((1L, 41L), (41L, 1L), (2L, 42L)).toDF("src", "dst")
+      .selectExpr("CAST(src AS BIGINT) AS src", "CAST(dst AS BIGINT) AS dst")
+    val deltaNew = Graph.deltaNewEdges(idx, delta)
+    val ranks = spark.range(43)
+      .select(org.apache.spark.sql.functions.col("id").as("node"),
+        org.apache.spark.sql.functions.lit(1000L).as("rank_fp"))
+    val sums = Graph.contribSumsMulti(Seq(idx.edges, deltaNew), ranks, idx.deg)
+    sums.count() // drive AQE to its final plan
+    val plan = sums.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)(
+        f: org.apache.spark.sql.execution.SparkPlan => Boolean): Boolean =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)(f)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)(f)
+        case other => f(other)
+      }
+    // the INDEX leaf is the parquet file scan; the delta checkpoint is a
+    // LogicalRDD scan with the same column names — distinguish by node
+    // type so the assertion can't silently pass by matching the delta
+    def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.children.isEmpty &&
+        p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+        p.output.map(_.name) == Seq("src", "dst")
+    def directlyOverEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      walk(p) {
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case leaf if leaf.children.isEmpty => isIndexScan(leaf)
+        case other => other.children.exists(directlyOverEdgeScan)
+      }
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          qs +: collectAll(qs.plan)
+        case other => other +: other.children.flatMap(collectAll)
+      }
+    val all = collectAll(plan)
+    assert(all.exists(isIndexScan), s"edge index scan not found in plan:\n$plan")
+    val badShuffle = all.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if directlyOverEdgeScan(x.child) => x }
+    val badSort = all.collect {
+      case s: org.apache.spark.sql.execution.SortExec
+        if directlyOverEdgeScan(s.child) => s }
+    assert(badShuffle.isEmpty,
+      s"delta union re-shuffled the standing edge index:\n$plan")
+    assert(badSort.isEmpty,
+      s"delta union re-sorted the standing edge index:\n$plan")
+    CacheControl.release(deltaNew)
+  }
+
   test("indexed pagerank iterations plan with no Exchange/Sort above the loaded edge scan") {
     // the standing-index contract: the bucketed+sorted scans re-enter the
     // per-iteration 3-way join carrying their layout from table METADATA
