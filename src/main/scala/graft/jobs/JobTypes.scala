@@ -176,6 +176,32 @@ class GraphIndexMaintenanceJob(val root: String,
   }
 }
 
+/** Scheduled re-seed/re-train rebuild of a standing IVF index
+  * ([[graft.ops.Similarity.rebuildIvfIndexAuto]]): generation build +
+  * atomic pointer repoint + one-cycle deferred GC, the same
+  * refresh-under-readers cadence [[GraphIndexMaintenanceJob]] runs for
+  * the graph index. Corpus and calibration-query frames are derived at
+  * RUN time (a frame captured at registration would freeze the source
+  * state). Single writer per root — schedule, don't overlap.
+  */
+class IvfIndexMaintenanceJob(val root: String,
+                             corpus: JobContext => org.apache.spark.sql.DataFrame,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             kmeansIters: Int = 0,
+                             sampleQueries: JobContext => Option[org.apache.spark.sql.DataFrame] = _ => None,
+                             k: Int = 5, recallTarget: Double = 0.9)
+    extends EtlJob {
+  override val name: String =
+    s"rebuild_ivf_index_${new java.io.File(root).getName}"
+  override val jobType: String = "maintenance"
+  override def run(ctx: JobContext): Unit = {
+    ctx.setPhase("rebuild_index")
+    graft.ops.Similarity.rebuildIvfIndexAuto(corpus(ctx), idCol, vecCol,
+      root, kmeansIters, sampleQueries(ctx), k, recallTarget): Unit
+  }
+}
+
 class LshIndexMaintenanceJob(val indexPath: String) extends EtlJob {
   override val name: String =
     s"compact_lsh_${new java.io.File(indexPath).getName}"
