@@ -196,7 +196,24 @@ object ExtendedQueries {
       // (cos ≥ 0.8 → p ≥ 0.85) the same operator runs r=8/b=16 for
       // recall ≈ 0.97 probing ~6% of the corpus — the r/b knobs, not the
       // operator shape, carry the trade (see Similarity.lshTopKBanded).
-      "lsh_banded" -> 0.8)
+      "lsh_banded" -> 0.8,
+      // product quantization at the QUALITY setting (PqM × PqCodes
+      // below, hash-ordered codebook, cosine-of-reconstruction scoring;
+      // ann_pq_topk pins the coarser m=4 inner-product shape): on this
+      // near-uniform fixture top-5 cosines are weak (~0.2) with tiny
+      // rank gaps, so recall is acutely sensitive to reconstruction
+      // distortion — m=16×16 codes measured 0.325; finer 2-dim
+      // subspaces with 64 codes each recover the ranking. Floor sits
+      // just under the measured sf0.01/sf0.1 recall@5 (round-13 NOTES)
+      "pq" -> 0.9)
+
+  // The ann_recall pq row's production setting: PqM subspaces of
+  // Dims/PqM dims, PqCodes hash-ordered codes per subspace, exact
+  // re-rank of each query's PqRerank-deep ADC shortlist.
+  private val PqM = 32
+  private val PqCodes = 64
+  private val PqSub = Dims / PqM
+  private val PqRerank = 32
 
   /** Floor for `ann_ivf_probe_recall` — the PERSISTED-index probe path.
     * Same centroids (first 16 by id) as `ann_recall`'s in-memory "ivf"
@@ -1164,6 +1181,18 @@ object ExtendedQueries {
             // trade documented at AnnRecallFloors
             Similarity.lshTopKBanded(q, e, "vec_id", "embedding", k,
               planes = 24, nBands = 12, dims = Dims)))
+          .unionByName(tag("pq",
+            // product quantization at the PRODUCTION setting: ADC
+            // shortlist (PqM × PqCodes hash-ordered codes) + exact
+            // re-rank of the PqRerank-deep shortlist — gates PQ
+            // retrieval quality end to end, the one ANN method
+            // ann_recall previously left unmeasured (VERDICT r12 #1);
+            // ann_pq_topk keeps the raw m=4 inner-product shape and
+            // pins the scoring math
+            Similarity.pqTopKRerank(q, e, "vec_id", "embedding", k, m = PqM,
+              codebook = Similarity.pqCodebookHashOrdered(
+                e, "vec_id", "embedding", m = PqM, nCodes = PqCodes),
+              rerank = PqRerank)))
         val hits = pairs.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("method").agg(count(lit(1)).as("__hits"))
         // left-join from the literal method list so a method that found
@@ -1190,6 +1219,11 @@ object ExtendedQueries {
       Some {
         val cosQC = cosSql("qv", "cv", Dims)
         val cosVC = cosSql("v", "cent_v", Dims)
+        // squared-L2 between candidate e's PqSub-dim subspace-s slice and
+        // code b.code_v — the pq row's encode argmin
+        val pqL2Sql = s"list_sum(list_transform(range(1, ${PqSub + 1}), " +
+          s"i -> (CAST(e.embedding[b.s*$PqSub+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))" +
+          s" * (CAST(e.embedding[b.s*$PqSub+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))))"
         def flipSql(i: Int, planes: Int) =
           s"substr(bucket, 1, ${i - 1}) || (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 1}, ${planes - i})"
         val mpProbeUnion = (s"SELECT query_id, qv, bucket FROM lq0" +:
@@ -1275,11 +1309,49 @@ object ExtendedQueries {
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            |    FROM zsc) WHERE rk <= 5),
+           |pbook AS (
+           |  SELECT s, rn - 1 AS code_id,
+           |    embedding[s*$PqSub+1 : s*$PqSub+$PqSub] AS code_v
+           |  FROM (SELECT embedding,
+           |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |        FROM embeddings)
+           |  CROSS JOIN (SELECT unnest(range($PqM)) AS s)
+           |  WHERE rn <= $PqCodes),
+           |penc AS (
+           |  SELECT vec_id, sub_id, code_id FROM (
+           |    SELECT e.vec_id, b.s AS sub_id, b.code_id,
+           |      row_number() OVER (PARTITION BY e.vec_id, b.s
+           |        ORDER BY round($pqL2Sql, 6), b.code_id) AS rn
+           |    FROM embeddings e CROSS JOIN pbook b) WHERE rn = 1),
+           |precon AS (
+           |  SELECT p.vec_id, flatten(list(b.code_v ORDER BY p.sub_id)) AS rv
+           |  FROM penc p JOIN pbook b ON b.s = p.sub_id AND b.code_id = p.code_id
+           |  GROUP BY p.vec_id),
+           |pqsc AS (
+           |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+           |    round(${cosSql("q.embedding", "r.rv", Dims)}, 6) AS score
+           |  FROM precon r CROSS JOIN
+           |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+           |  WHERE q.vec_id <> r.vec_id),
+           |pshort AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+           |    FROM pqsc) WHERE rk <= $PqRerank),
+           |pxsc AS (
+           |  SELECT p.query_id, p.neighbor_id,
+           |    round(${cosSql("q.embedding", "c.embedding", Dims)}, 6) AS cos
+           |  FROM pshort p JOIN embeddings q ON q.vec_id = p.query_id
+           |  JOIN embeddings c ON c.vec_id = p.neighbor_id),
+           |pq5 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |    FROM pxsc) WHERE rk <= 5),
            |rc AS (${rec("int8", "i85")}
            |  UNION ALL ${rec("ivf", "ivf5")}
            |  UNION ALL ${rec("lsh", "lsh5")}
            |  UNION ALL ${rec("lsh_banded", "lb5")}
-           |  UNION ALL ${rec("lsh_mp", "lmp5")})
+           |  UNION ALL ${rec("lsh_mp", "lmp5")}
+           |  UNION ALL ${rec("pq", "pq5")})
            |SELECT method, recall, floor, recall >= floor AS meets_floor
            |FROM rc ORDER BY method""".stripMargin
       }
@@ -1660,7 +1732,7 @@ object ExtendedQueries {
       "ann_pq_topk",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val book = Similarity.pqCodebookFromPrefix(e, "vec_id", "embedding",
+        val book = Similarity.pqCodebookHashOrdered(e, "vec_id", "embedding",
           m = 4, nCodes = 16)
         Similarity.pqTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
           k = 5, m = 4, codebook = book)
@@ -1671,10 +1743,15 @@ object ExtendedQueries {
         val l2 = s"list_sum(list_transform(range(1, ${sub + 1}), " +
           "i -> (CAST(e.embedding[b.sub_id*16+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))" +
           " * (CAST(e.embedding[b.sub_id*16+i] AS DOUBLE) - CAST(b.code_v[i] AS DOUBLE))))"
+        // code_id = rank in (md5(id), id) order — the hash-ordered
+        // sample pqCodebookHashOrdered draws, replayed closed-form
         s"""WITH book AS (
-           |  SELECT s, vec_id AS code_id, embedding[s*$sub+1 : s*$sub+$sub] AS code_v
-           |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s)
-           |  WHERE vec_id < 16),
+           |  SELECT s, rn - 1 AS code_id, embedding[s*$sub+1 : s*$sub+$sub] AS code_v
+           |  FROM (SELECT embedding,
+           |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |        FROM embeddings)
+           |  CROSS JOIN (SELECT unnest(range(4)) AS s)
+           |  WHERE rn <= 16),
            |enc AS (
            |  SELECT vec_id, sub_id, code_id FROM (
            |    SELECT e.vec_id, b.s AS sub_id, b.code_id,
@@ -4210,6 +4287,89 @@ object ExtendedQueries {
              |  UNION ALL SELECT b FROM t
              |  UNION ALL SELECT c FROM t)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // The SAME triangle counts over a standing graph index built on the
+    // co-supply edge set (VERDICT r12 #4): what the index amortizes is
+    // the upstream edge DERIVATION (the lineitem self-join + distinct,
+    // which dominates per-query cost); the degree-oriented enumeration
+    // still runs per query — its one-shot joins deliberately stay
+    // adaptive (see triangleCounts' plain-checkpoint note). Identical
+    // exact integers, identical oracle.
+    QueryDef(
+      "graph_triangles_indexed",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, triangleIndexFor(s, dir))
+        Graph.triangleCountsOnIndex(idx).orderBy("node")
+      },
+      Some("""WITH co AS (
+             |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+             |  WHERE x.l_quantity >= 45 AND y.l_quantity >= 45),
+             |w AS (SELECT e1.a, e1.b, e2.b AS c
+             |      FROM co e1 JOIN co e2 ON e2.a = e1.b),
+             |t AS (SELECT w.a, w.b, w.c
+             |      FROM w JOIN co e3 ON e3.a = w.a AND e3.b = w.c)
+             |SELECT node, count(*) AS n_triangles FROM (
+             |  SELECT a AS node FROM t
+             |  UNION ALL SELECT b FROM t
+             |  UNION ALL SELECT c FROM t)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // PageRank over the standing index UNION a small fresh-edge delta
+    // (VERDICT r12 #3): the delta mixes RE-CRAWLED edges (the existing
+    // high-quantity co-purchase pairs — absorbed by the dedup, proving
+    // index ∪ overlapping delta ≡ rebuild on the union) with genuinely
+    // NEW edges and nodes (the same pairs against a shifted +2000000
+    // supplier id space). The oracle is the rebuild: the closed-form
+    // 3-iteration PageRank over the UNION edge set — the delta path
+    // must hash-match it bit for bit.
+    QueryDef(
+      "graph_pagerank_delta",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, graphIndexFor(s, dir))
+        Graph.pagerankOnIndexDelta(idx, deltaSupplierEdges(s, dir),
+          "src", "dst", iterations = 3).orderBy("node")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |dpairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 2000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs
+             |          UNION SELECT a, b FROM dpairs
+             |          UNION SELECT b, a FROM dpairs),
+             |nodes AS (SELECT DISTINCT src AS node FROM edges),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+             |p AS (SELECT (1000000000000 // count(*)) AS init,
+             |             (15 * (1000000000000 // count(*))) // 100 AS tele
+             |      FROM nodes),
+             |r0 AS (SELECT node, (SELECT init FROM p) AS r FROM nodes),
+             |s1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS s
+             |       FROM edges e JOIN r0 ON r0.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r1 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s1.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s1 USING (node)),
+             |s2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS s
+             |       FROM edges e JOIN r1 ON r1.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r2 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s2.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s2 USING (node)),
+             |s3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS s
+             |       FROM edges e JOIN r2 ON r2.node = e.src
+             |       JOIN deg ON deg.src = e.src GROUP BY 1),
+             |r3 AS (SELECT n.node,
+             |         (SELECT tele FROM p) + (85 * coalesce(s3.s, 0)) // 100 AS r
+             |       FROM nodes n LEFT JOIN s3 USING (node))
+             |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+             |ORDER BY node""".stripMargin)
     )
   )
 
@@ -4252,6 +4412,43 @@ object ExtendedQueries {
     graphIdxCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_gidx").toString + "/g"
       Graph.buildGraphIndex(orderSupplierEdges(s, dir), "src", "dst", path)
+      path
+    })
+
+  // The graph_pagerank_delta fixture's fresh-edge batch: both
+  // orientations of the HIGH-QUANTITY co-purchase pairs twice — once in
+  // the index's id space (re-crawled edges, absorbed by the delta
+  // dedup) and once against a shifted +2000000 supplier id space
+  // (genuinely new edges AND nodes).
+  private def deltaSupplierEdges(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"), col("l_suppkey").as("sk"))
+      .select(explode(array(
+        struct(col("a").as("src"), (col("sk") + 1000000L).as("dst")),
+        struct((col("sk") + 1000000L).as("src"), col("a").as("dst")),
+        struct(col("a").as("src"), (col("sk") + 2000000L).as("dst")),
+        struct((col("sk") + 2000000L).as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  // Standing index for graph_triangles_indexed, built on the co-supply
+  // edge set (a DIFFERENT graph than graphIndexFor's bipartite
+  // co-purchase graph, which has no odd cycles and hence no triangles).
+  private val triIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def triangleIndexFor(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    triIdxCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_tidx").toString + "/g"
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val co = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+      Graph.buildGraphIndex(co, "a", "b", path)
       path
     })
 

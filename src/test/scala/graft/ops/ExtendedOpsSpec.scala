@@ -1066,7 +1066,7 @@ class SimilaritySpec extends SparkSpec {
     // every candidate subvector IS a code → argmin L2 = 0 at itself →
     // reconstruction is the identity → PQ score == exact inner product
     val inBook = pvecs.filter(col("vec_id") < 4)
-    val book = Similarity.pqCodebookFromPrefix(inBook, "vec_id", "embedding",
+    val book = Similarity.pqCodebookHashOrdered(inBook, "vec_id", "embedding",
       m = 2, nCodes = 4)
     val got = Similarity.pqTopK(inBook.filter(col("vec_id") === 0), inBook,
       "vec_id", "embedding", k = 3, m = 2, codebook = book)
@@ -1077,12 +1077,14 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("pqTopK maps an out-of-book vector to its nearest codes") {
-    val book = Similarity.pqCodebookFromPrefix(pvecs, "vec_id", "embedding",
+    val book = Similarity.pqCodebookHashOrdered(pvecs, "vec_id", "embedding",
       m = 2, nCodes = 4)
     val got = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
       "vec_id", "embedding", k = 4, m = 2, codebook = book)
       .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("score")).toMap
-    // vec 4 encodes to vec 3's codes in both subspaces → identical
+    // the md5 hash order keeps 4 of the 5 vectors (vec 3 drops out); 3
+    // and 4 are near-identical so the OUT-of-book one encodes to the
+    // in-book twin's codes in both subspaces → identical
     // reconstruction → identical PQ score, ranked after 3 by id tie-break
     assert(got(4L) == got(3L), s"expected 4 to share 3's reconstruction: $got")
     val ranks = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
@@ -1092,7 +1094,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("pqTopK candidate side is join-free before the probe (scale shape)") {
-    val book = Similarity.pqCodebookFromPrefix(pvecs, "vec_id", "embedding",
+    val book = Similarity.pqCodebookHashOrdered(pvecs, "vec_id", "embedding",
       m = 2, nCodes = 4)
     val out = Similarity.pqTopK(pvecs.filter(col("vec_id") === 0), pvecs,
       "vec_id", "embedding", k = 2, m = 2, codebook = book)
