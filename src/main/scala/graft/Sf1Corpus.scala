@@ -142,9 +142,11 @@ object Sf1Corpus {
     // ANN
     "ann_recall", "ann_ivf_batch_topk", "ann_pq_topk",
     // graph (the _indexed row pays iterations only — its gap to
-    // graph_pagerank measures what the standing index amortizes)
-    "graph_pagerank", "graph_pagerank_indexed", "graph_bfs_levels",
-    "graph_bfs_indexed", "graph_triangles",
+    // graph_pagerank measures what the standing index amortizes; the
+    // _delta row adds the query-time fresh-edge union's overhead on
+    // top of the indexed iterations)
+    "graph_pagerank", "graph_pagerank_indexed", "graph_pagerank_delta",
+    "graph_bfs_levels", "graph_bfs_indexed", "graph_triangles",
     // event analytics (batch forms)
     "ev_sessionize", "ev_session_overlap", "ev_asof_purchase",
     // multimodal

@@ -564,6 +564,33 @@ object Graph {
     bfsLoop(idx.edges, seeds, seedCol, maxHops, maxDriverEdges,
       releaseEdges = false)
 
+  /** [[bfsLevelsOnIndex]] UNION a small unindexed delta edge list — the
+    * BFS side of the query-time churn pattern ([[pagerankOnIndexDelta]]).
+    * Simpler than PageRank's: the min-label collapse absorbs DUPLICATE
+    * edges (an edge present in both the index and a re-crawled delta
+    * contributes the same frontier row twice, collapsed by the per-hop
+    * `min(level)` aggregation), so the delta needs only canonicalization
+    * — cast + delta-sized distinct onto the index's bucket hash — and no
+    * dedup pass against the index at all. Per hop the standing bucketed
+    * scan stays exchange-free; only the frontier and the delta move.
+    * Results are bit-identical to [[bfsLevels]] over the union.
+    */
+  def bfsLevelsOnIndexDelta(idx: GraphIndex, deltaEdges: DataFrame,
+                            srcCol: String, dstCol: String,
+                            seeds: DataFrame, seedCol: String,
+                            maxHops: Int = 4,
+                            maxDriverEdges: Long = 200000L): DataFrame = {
+    val spark = idx.edges.sparkSession
+    val deltaCanon = CacheControl.checkpointWithLayout(spark) {
+      deltaEdges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .repartition(idx.buckets, col("src")).distinct()
+        .sortWithinPartitions("src")
+    }
+    bfsLoopMulti(Seq(idx.edges, deltaCanon), seeds, seedCol, maxHops,
+      maxDriverEdges, releaseFrames = Seq(deltaCanon))
+  }
+
   /** [[triangleCounts]] over a standing [[GraphIndex]]: the directed
     * index stores both orientations of an undirected graph's edges (or
     * whatever the caller built it from), and triangleCounts canonicalizes
@@ -696,19 +723,44 @@ object Graph {
     */
   private def bfsLoop(e: DataFrame, seeds: DataFrame, seedCol: String,
                       maxHops: Int, maxDriverEdges: Long,
-                      releaseEdges: Boolean): DataFrame = {
+                      releaseEdges: Boolean): DataFrame =
+    bfsLoopMulti(Seq(e), seeds, seedCol, maxHops, maxDriverEdges,
+      releaseFrames = if (releaseEdges) Seq(e) else Nil)
+
+  /** [[bfsLoop]] over a SEQUENCE of edge frames whose union is the edge
+    * set ([[bfsLevelsOnIndexDelta]]): each hop joins the frontier with
+    * every frame independently and unions the expansions before the
+    * min-label collapse — duplicate edges across frames are absorbed by
+    * the aggregation, so labels are bit-identical to a single-frame BFS
+    * over the (deduplicated) union. With one frame the plan degenerates
+    * to the historical single-frame loop. `releaseFrames` lists the
+    * caller-owned pins to drop on exit (the per-query layout, never a
+    * standing scan).
+    */
+  private def bfsLoopMulti(es: Seq[DataFrame], seeds: DataFrame, seedCol: String,
+                           maxHops: Int, maxDriverEdges: Long,
+                           releaseFrames: Seq[DataFrame]): DataFrame = {
     require(maxHops >= 0, "maxHops must be ≥ 0")
-    val spark = e.sparkSession
+    val spark = es.head.sparkSession
     val seedFrame = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    def collectAll(frames: Seq[DataFrame]): Option[Array[org.apache.spark.sql.Row]] =
+      frames.foldLeft(Option(Array.empty[org.apache.spark.sql.Row])) {
+        case (acc, f) => for {
+          a <- acc
+          r <- DriverLocal.boundedCollect(f, maxDriverEdges)
+        } yield a ++ r
+      }
     val smallGraph = for {
-      eRows <- DriverLocal.boundedCollect(e, maxDriverEdges)
+      eRows <- collectAll(es)
       sRows <- DriverLocal.boundedCollect(seedFrame, maxDriverEdges)
     } yield (eRows, sRows)
     smallGraph.foreach { case (eRows, sRows) =>
-      val es = eRows.map(r => (r.getLong(0), r.getLong(1)))
-      if (releaseEdges) CacheControl.release(e)
+      // duplicate (src, dst) pairs across frames are harmless: the
+      // adjacency fan-out is de-duplicated per hop below
+      val pairs = eRows.map(r => (r.getLong(0), r.getLong(1)))
+      releaseFrames.foreach(CacheControl.release)
       val adj: Map[Long, Seq[Long]] =
-        es.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSeq }
+        pairs.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSeq }
       val lvl = scala.collection.mutable.HashMap.empty[Long, Int]
       var frontier = sRows.map(_.getLong(0)).toSeq
       frontier.foreach(lvl(_) = 0)
@@ -726,8 +778,9 @@ object Graph {
     var prevCkpt: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       val frontier = levels.filter(col("level") === h - 1)
-      val next = frontier.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), lit(h).as("level"))
+      val next = es.map(e => frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(h).as("level")))
+        .reduce(_ union _)
       // checkpoint EVERY hop: `levels` is referenced twice per round
       // (frontier + union), so an unbroken lineage would re-execute the
       // whole prefix 2^h times; the label set is |V|-bounded — cheap to
@@ -744,9 +797,9 @@ object Graph {
       prevCkpt = Some(levels)
     }
     // maxHops = 0: no loop ran, nothing is pinned yet — materialize so
-    // the edge pin can still be dropped uniformly
+    // the edge pins can still be dropped uniformly
     val out = if (prevCkpt.isEmpty) levels.localCheckpoint() else levels
-    if (releaseEdges) CacheControl.release(e)
+    releaseFrames.foreach(CacheControl.release)
     out
   }
 

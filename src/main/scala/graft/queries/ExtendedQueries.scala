@@ -4370,6 +4370,43 @@ object ExtendedQueries {
              |       FROM nodes n LEFT JOIN s3 USING (node))
              |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
              |ORDER BY node""".stripMargin)
+    ),
+
+    // BFS over the standing index UNION the same fresh-edge delta: the
+    // min-label collapse absorbs the delta's re-crawled duplicates, so
+    // the delta needs only canonicalization (no dedup pass against the
+    // index). New nodes behind the +2000000 suppliers become reachable
+    // one hop past their customer — the oracle is the recursive CTE
+    // over the union edge set.
+    QueryDef(
+      "graph_bfs_delta",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, graphIndexFor(s, dir))
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+        Graph.bfsLevelsOnIndexDelta(idx, deltaSupplierEdges(s, dir),
+          "src", "dst", seeds, "c_custkey", maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |dpairs AS (
+             |  SELECT DISTINCT o_custkey AS a, l_suppkey + 2000000 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_quantity >= 49),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION SELECT b, a FROM pairs
+             |          UNION SELECT a, b FROM dpairs
+             |          UNION SELECT b, a FROM dpairs),
+             |bfs(node, lvl) AS (
+             |  SELECT DISTINCT c_custkey AS node, 0 AS lvl
+             |  FROM customer WHERE c_nationkey = 1
+             |  UNION
+             |  SELECT e.dst, bfs.lvl + 1
+             |  FROM bfs JOIN edges e ON e.src = bfs.node WHERE bfs.lvl < 3)
+             |SELECT node, CAST(min(lvl) AS INTEGER) AS level FROM bfs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

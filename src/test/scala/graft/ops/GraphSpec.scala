@@ -388,6 +388,16 @@ class GraphSpec extends SparkSpec {
       "a", "b", iterations = 4, checkpointEvery = 2, maxDriverEdges = 0))
       == rows(Graph.pagerankOnIndex(idx, iterations = 4, checkpointEvery = 2,
         maxDriverEdges = 0)))
+    // BFS over index ∪ delta: min-label collapse absorbs the overlap
+    // without any dedup pass; distributed and driver paths both match
+    // a from-scratch BFS over the union
+    val seeds = Seq(1L, 5L).toDF("seed")
+    val bfsFull = rows(Graph.bfsLevels(all.toDF("a", "b"), "a", "b",
+      seeds, "seed", maxHops = 3, maxDriverEdges = 0))
+    assert(rows(Graph.bfsLevelsOnIndexDelta(idx, delta, "a", "b",
+      seeds, "seed", maxHops = 3, maxDriverEdges = 0)) == bfsFull)
+    assert(rows(Graph.bfsLevelsOnIndexDelta(idx, delta, "a", "b",
+      seeds, "seed", maxHops = 3)) == bfsFull)
   }
 
   test("delta iterations: the index scan stays exchange- and sort-free; only the delta paid layout") {
