@@ -25,6 +25,13 @@ object GraftFunctions {
   def graft_cosine(a: Column, b: Column): Column =
     graft_dot(a, b) / (graft_norm(a) * graft_norm(b))
 
+  /** Codegen'd PQ encode→reconstruct (see [[PqEncode]] for exact
+    * semantics). `book` is laid out `[subspace][code][dim]`, flattened.
+    */
+  def graft_pq_encode(vec: Column, book: Seq[Double],
+                      m: Int, nCodes: Int, subDim: Int): Column =
+    GraftShim.column(PqEncode(GraftShim.expression(vec), book, m, nCodes, subDim))
+
   /** Heap-based top-k aggregate (see [[TopKByScore]]): returns
     * `array<struct<score,id>>` sorted (score desc, id asc).
     */

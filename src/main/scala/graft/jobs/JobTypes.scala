@@ -190,7 +190,9 @@ class IvfIndexMaintenanceJob(val root: String,
                              vecCol: String = "embedding",
                              kmeansIters: Int = 0,
                              sampleQueries: JobContext => Option[org.apache.spark.sql.DataFrame] = _ => None,
-                             k: Int = 5, recallTarget: Double = 0.9)
+                             k: Int = 5, recallTarget: Double = 0.9,
+                             scorer: graft.ops.Similarity.VecScore =
+                               graft.ops.Similarity.CosineScore)
     extends EtlJob {
   override val name: String =
     s"rebuild_ivf_index_${new java.io.File(root).getName}"
@@ -198,7 +200,7 @@ class IvfIndexMaintenanceJob(val root: String,
   override def run(ctx: JobContext): Unit = {
     ctx.setPhase("rebuild_index")
     graft.ops.Similarity.rebuildIvfIndexAuto(corpus(ctx), idCol, vecCol,
-      root, kmeansIters, sampleQueries(ctx), k, recallTarget): Unit
+      root, kmeansIters, sampleQueries(ctx), k, recallTarget, scorer): Unit
   }
 }
 

@@ -55,6 +55,58 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Score-function family shared BY CONSTRUCTION across the IVF
+    * surface — build-time list assignment ([[buildIvfIndex]]), probe
+    * assignment + ranking ([[probeIvfIndexBatch]]), Lloyd refinement
+    * ([[kmeansCentroids]]) and recall calibration ([[calibrateNProbe]])
+    * all take the SAME [[VecScore]], so an index built under one metric
+    * can never be probed or calibrated under another by accident (the
+    * NOTES r12 staging rule: "pass a scorer, not a flag").
+    *
+    * Contract: HIGHER = closer for every member, so nearest is always
+    * `max_by(score, …)` / `ORDER BY score DESC` — L2 is therefore the
+    * NEGATED squared distance (monotone in euclidean rank; skipping the
+    * sqrt keeps it exact and cheap). Every member rounds to 6 decimals
+    * (the repo's engine-portability convention) and is expressed over
+    * [[dot]] alone — no sqrt-then-square round-trips — so a DuckDB
+    * oracle replays scores bit-identically with the same left-fold
+    * `list_sum` (`ann_ivf_l2_topk`).
+    */
+  sealed abstract class VecScore(val name: String) {
+    /** Unrounded score — iteration-internal use ([[kmeansCentroids]]'s
+      * assignment, which never crosses an engine boundary). */
+    def raw(a: Column, b: Column): Column
+    /** The portable score: `round(raw, 6)`. */
+    def apply(a: Column, b: Column): Column = round(raw(a, b), 6)
+    /** [[apply]] with precomputed norms available ([[NormCol]] prep
+      * convention): cosine reuses them, metrics that don't need norms
+      * ignore them. Same VALUES as [[apply]] either way. */
+    def withNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+      apply(a, b)
+    /** Output-column name: `cos` keeps the historical cosine contract,
+      * other metrics say what they are. */
+    def scoreCol: String = "score"
+  }
+  case object CosineScore extends VecScore("cosine") {
+    def raw(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+    override def withNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+      round(dot(a, b) / (na * nb), 6)
+    override def scoreCol: String = "cos"
+  }
+  case object DotScore extends VecScore("dot") {
+    def raw(a: Column, b: Column): Column = dot(a, b)
+  }
+  case object L2Score extends VecScore("l2") {
+    def raw(a: Column, b: Column): Column =
+      -((dot(a, a) + dot(b, b)) - lit(2.0) * dot(a, b))
+  }
+  object VecScore {
+    val all: Seq[VecScore] = Seq(CosineScore, DotScore, L2Score)
+    def byName(n: String): VecScore = all.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown scorer '$n' (known: ${all.map(_.name).mkString(", ")})"))
+  }
+
   /** Prepared-input convention: a frame carrying [[NormCol]] (the
     * precomputed `norm(vec)` double) and/or [[SigCol]] (a precomputed
     * [[lshBucket]] bit-string) makes every top-k method below REUSE
@@ -333,10 +385,11 @@ object Similarity {
     * a bucket-join instead of a cross product.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int): DataFrame =
+              vecCol: String, k: Int, nCentroids: Int,
+              scorer: VecScore = CosineScore): DataFrame =
     ivfTopKWith(queries, candidates, idCol, vecCol, k,
       candidates.filter(col(idCol) < nCentroids)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")))
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")), scorer)
 
   /** Lloyd's k-means for IVF centroid training — the drop-in replacement
     * for [[ivfTopK]]'s deterministic sampler when centroid quality
@@ -357,7 +410,8 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5,
-                      seed: Option[DataFrame] = None): DataFrame = {
+                      seed: Option[DataFrame] = None,
+                      scorer: VecScore = CosineScore): DataFrame = {
     val spark = df.sparkSession
     val dvec = transform(col(vecCol), x => x.cast("double"))
     var cents: Seq[(Int, Seq[Double])] = seed match {
@@ -370,8 +424,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val scored = df.select(col(idCol).as("__rid"), dvec.as("v"))
         .crossJoin(broadcast(centroidFrame(spark, cents)))
-        .withColumn("__cs", dot(col("v"), col("cent_v")) /
-          (norm(col("v")) * norm(col("cent_v"))))
+        .withColumn("__cs", scorer.raw(col("v"), col("cent_v")))
       val assigned = assignNearest(scored, "__rid", Seq("v"))
         .select(col("cent_id"), col("v"))
       val means = assigned
@@ -422,26 +475,28 @@ object Similarity {
     * changes.
     */
   def ivfTopKWith(queries: DataFrame, candidates: DataFrame, idCol: String,
-                  vecCol: String, k: Int, centroids: DataFrame): DataFrame = {
+                  vecCol: String, k: Int, centroids: DataFrame,
+                  scorer: VecScore = CosineScore): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
       val carried = df.columns.filterNot(_ == id).toSeq
       val scored = df.crossJoin(broadcast(cents))
-        .withColumn("__cs", round(dot(col(vec), col("cent_v")) /
-          (norm(col(vec)) * norm(col("cent_v"))), 6))
+        .withColumn("__cs", scorer(col(vec), col("cent_v")))
       assignNearest(scored, id, carried)
     }
     val c = assign(side(candidates, idCol, vecCol, "neighbor_id", "cv", "cn"),
       "neighbor_id", "cv")
     val q = assign(side(queries, idCol, vecCol, "query_id", "qv", "qn"),
       "query_id", "qv")
+    val sc = scorer.scoreCol
     val scored = c.join(broadcast(q), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+      .withColumn(sc,
+        scorer.withNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc(sc), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      .select("query_id", "neighbor_id", "rank", sc)
   }
 
   /** The composed scale path: LSH bucketing (on the float vectors) to cut
@@ -486,8 +541,10 @@ object Similarity {
     * once, and each query reads corpus/nCentroids bytes, not the corpus.
     */
   def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, path: String): Unit =
-    writeIvfIndex(candidates, idCol, vecCol, centroids, path, "overwrite")
+                    centroids: DataFrame, path: String,
+                    scorer: VecScore = CosineScore): Unit =
+    writeIvfIndex(candidates, idCol, vecCol, centroids, path, "overwrite",
+      scorer)
 
   /** Deployment sizing rule for the IVF list count: √N. Per-query probe
     * work is N/lists rows per probed list while quantizer work (assigning
@@ -530,7 +587,8 @@ object Similarity {
     */
   def buildIvfIndexAuto(candidates: DataFrame, idCol: String, vecCol: String,
                         path: String, kmeansIters: Int = 0,
-                        kmeansSampleRows: Long = 50000L): DataFrame = {
+                        kmeansSampleRows: Long = 50000L,
+                        scorer: VecScore = CosineScore): DataFrame = {
     val n = candidates.count()
     val lists = suggestedIvfLists(n)
     // lists rows total: the single-partition window is bounded metadata
@@ -546,9 +604,9 @@ object Similarity {
         val sample = if (frac >= 1.0) candidates
           else graft.ops.Sampling.sampleByHash(candidates, idCol, frac)
         kmeansCentroids(sample, idCol, vecCol, lists, kmeansIters,
-          seed = Some(seed))
+          seed = Some(seed), scorer = scorer)
       }).localCheckpoint()
-    buildIvfIndex(candidates, idCol, vecCol, cents, path)
+    buildIvfIndex(candidates, idCol, vecCol, cents, path, scorer)
     cents
   }
 
@@ -584,19 +642,19 @@ object Similarity {
   def calibrateNProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                       sampleQueries: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, k: Int,
-                      recallTarget: Double): Int = {
+                      recallTarget: Double,
+                      scorer: VecScore = CosineScore): Int = {
     require(recallTarget > 0 && recallTarget <= 1.0,
       s"recallTarget must be in (0, 1]: $recallTarget")
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     val nLists = cents.count().toInt // bounded: the quantizer size
     val q = sampleQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // each sample query's centroid preference order — same score
-    // rounding and (desc cos, cent_id) tie-break as the probe's own
+    // rounding and (desc score, cent_id) tie-break as the probe's own
     // assignment, so rank r here IS "the r-th list the probe would read"
     val wq = Window.partitionBy("query_id").orderBy(desc("__cs"), col("cent_id"))
     val qrank = q.crossJoin(broadcast(cents))
-      .withColumn("__cs", round(dot(col("qv"), col("cent_v")) /
-        (norm(col("qv")) * norm(col("cent_v"))), 6))
+      .withColumn("__cs", scorer(col("qv"), col("cent_v")))
       .select(col("query_id"), col("cent_id"),
         row_number().over(wq).as("lrank"))
     val indexed = spark.read.parquet(path)
@@ -617,7 +675,8 @@ object Similarity {
     // the Q×N scoring pass would execute twice
     val truth = ct.crossJoin(broadcast(qn))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos",
+        scorer.withNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(wt)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
@@ -654,11 +713,13 @@ object Similarity {
   def calibrateAndRecord(spark: org.apache.spark.sql.SparkSession, path: String,
                          sampleQueries: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, k: Int,
-                         recallTarget: Double): Int = {
+                         recallTarget: Double,
+                         scorer: VecScore = CosineScore): Int = {
     val np = calibrateNProbe(spark, path, sampleQueries, idCol, vecCol,
-      centroids, k, recallTarget)
+      centroids, k, recallTarget, scorer)
     recordIvfMeta(spark, path,
-      s"""{"n_probe":$np,"recall_target":$recallTarget,"k":$k}""")
+      s"""{"n_probe":$np,"recall_target":$recallTarget,"k":$k,""" +
+        s""""scorer":"${scorer.name}"}""")
     np
   }
 
@@ -694,6 +755,25 @@ object Similarity {
           s"torn or foreign _ivf_meta.json (no n_probe): $s")))
   }
 
+  /** The score function an index was BUILT under — the other half of
+    * the index contract next to the quantizer: assignment of vectors to
+    * lists depends on the metric, so probing an L2-built index with
+    * cosine reads the wrong lists. [[rebuildIvfIndexAuto]] persists it
+    * as `_ivf_scorer.json` inside each generation; absent (indexes
+    * built before the scorer existed, or via the raw [[buildIvfIndex]]
+    * path) defaults to cosine — the only metric those builds used.
+    */
+  def recordedScorer(spark: org.apache.spark.sql.SparkSession,
+                     path: String): VecScore = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_scorer.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicPointer.read(fs, p, s =>
+      """"scorer":"(\w+)"""".r.findFirstMatchIn(s).map(m => VecScore.byName(m.group(1)))
+        .getOrElse(throw new NumberFormatException(
+          s"torn or foreign _ivf_scorer.json (no scorer): $s")))
+      .getOrElse(CosineScore)
+  }
+
   /** Index maintenance: assign a NEW vector batch to the existing
     * centroids and append into the index's list partitions — no rebuild,
     * no touch of existing files; probes immediately see old and new
@@ -703,8 +783,9 @@ object Similarity {
     * [[rebuildIvfIndexAuto]], the generation-committed path.
     */
   def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame, path: String): Unit =
-    writeIvfIndex(batch, idCol, vecCol, centroids, path, "append")
+                     centroids: DataFrame, path: String,
+                     scorer: VecScore = CosineScore): Unit =
+    writeIvfIndex(batch, idCol, vecCol, centroids, path, "append", scorer)
 
   /** Re-seed/re-train REBUILD of a standing IVF index UNDER LIVE
     * READERS — lifecycle parity with the graph and LSM band indexes
@@ -725,7 +806,8 @@ object Similarity {
   def rebuildIvfIndexAuto(candidates: DataFrame, idCol: String, vecCol: String,
                           root: String, kmeansIters: Int = 0,
                           sampleQueries: Option[DataFrame] = None,
-                          k: Int = 5, recallTarget: Double = 0.9): Long = {
+                          k: Int = 5, recallTarget: Double = 0.9,
+                          scorer: VecScore = CosineScore): Long = {
     val spark = candidates.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -733,13 +815,19 @@ object Similarity {
     val cur = AtomicPointer.read(fs, ptr, _.trim.toLong).getOrElse(0L)
     val next = cur + 1L
     val genPath = s"$root/gen-$next"
-    val cents = buildIvfIndexAuto(candidates, idCol, vecCol, genPath, kmeansIters)
+    val cents = buildIvfIndexAuto(candidates, idCol, vecCol, genPath,
+      kmeansIters, scorer = scorer)
     // underscore prefix: invisible to the partitioned parquet listing,
     // like _ivf_meta.json
     cents.write.mode("overwrite").parquet(s"$genPath/_centroids")
+    // the metric is part of the generation's contract like the quantizer
+    // — a probe must score the way the lists were assigned
+    AtomicPointer.publish(spark, genPath,
+      new org.apache.hadoop.fs.Path(genPath, "_ivf_scorer.json"),
+      s"""{"scorer":"${scorer.name}"}""")
     sampleQueries.foreach { sq =>
       calibrateAndRecord(spark, genPath, sq, idCol, vecCol, cents,
-        k, recallTarget): Unit
+        k, recallTarget, scorer): Unit
     }
     CacheControl.release(cents)
     AtomicPointer.publish(spark, root, ptr, next.toString)
@@ -777,13 +865,13 @@ object Similarity {
   }
 
   private def writeIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
-                            centroids: DataFrame, path: String, mode: String): Unit = {
+                            centroids: DataFrame, path: String, mode: String,
+                            scorer: VecScore = CosineScore): Unit = {
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     val scored = candidates
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
-      .withColumn("__cs", round(dot(col("v"), col("cent_v")) /
-        (norm(col("v")) * norm(col("cent_v"))), 6))
+      .withColumn("__cs", scorer(col("v"), col("cent_v")))
     assignNearest(scored, "vec_id", Seq("v"))
       .select(col("vec_id"), col("v"), col("cent_id"))
       // organize-on-write: co-locate each inverted list before the
@@ -800,21 +888,22 @@ object Similarity {
     */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryId: Long, queryVec: Seq[Float],
-                    centroids: DataFrame, k: Int): DataFrame = {
+                    centroids: DataFrame, k: Int,
+                    scorer: VecScore = CosineScore): DataFrame = {
     val qv = typedLit(queryVec)
     val qCent = centroids
-      .withColumn("__cs", round(dot(qv, col("cent_v")) /
-        (norm(qv) * norm(col("cent_v"))), 6))
+      .withColumn("__cs", scorer(qv, col("cent_v")))
       .orderBy(desc("__cs"), col("cent_id"))
       .select("cent_id").limit(1)
       .head().getInt(0)
+    val sc = scorer.scoreCol
     spark.read.parquet(path)
       .filter(col("cent_id") === qCent && col("vec_id") =!= queryId)
-      .withColumn("cos", round(dot(qv, col("v")) / (norm(qv) * norm(col("v"))), 6))
+      .withColumn(sc, scorer(qv, col("v")))
       .withColumn("query_id", lit(queryId))
-      .orderBy(desc("cos"), col("vec_id"))
+      .orderBy(desc(sc), col("vec_id"))
       .limit(k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col(sc))
   }
 
   /** Probe a persisted IVF index for a whole BATCH of query vectors in one
@@ -829,7 +918,8 @@ object Similarity {
   def probeIvfIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, k: Int, nProbe: Int = 1,
-                         maxBroadcastRows: Long = 100000L): DataFrame = {
+                         maxBroadcastRows: Long = 100000L,
+                         scorer: VecScore = CosineScore): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     val cents = broadcast(centroids.select(col("cent_id"), col("cent_v")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -839,8 +929,7 @@ object Similarity {
     // neighboring list, and k-NN recall rises with probed lists at a cost
     // of nProbe/nCentroids of the index per query batch.
     val assigned = q.crossJoin(cents)
-      .withColumn("__cs", round(dot(col("qv"), col("cent_v")) /
-        (norm(col("qv")) * norm(col("cent_v"))), 6))
+      .withColumn("__cs", scorer(col("qv"), col("cent_v")))
       .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id"))
     // ≤ one row per (query, probe) — the distinct list set is bounded by
@@ -869,13 +958,13 @@ object Similarity {
       if (probeBroadcastEligible(bounded * nProbe, maxBroadcastRows))
         index.join(broadcast(assigned), Seq("cent_id"))
       else index.join(assigned, Seq("cent_id"))
+    val sc = scorer.scoreCol
     val scored = joined
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) /
-        (norm(col("qv")) * norm(col("v"))), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      .withColumn(sc, scorer(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(desc(sc), col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col(sc))
   }
 
   /** The [[probeIvfIndexBatch]] broadcast gate, factored pure so the
@@ -1143,9 +1232,32 @@ object Similarity {
     * no shuffle. Shared by [[pqTopK]] (score the reconstruction) and
     * [[pqTopKRerank]] (shortlist on it, re-rank exact).
     */
-  private def pqReconFrame(candidates: DataFrame, idCol: String, vecCol: String,
-                           m: Int,
-                           codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+  private[ops] def pqReconFrame(candidates: DataFrame, idCol: String, vecCol: String,
+                                m: Int,
+                                codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val nCodes = codebook.map(_._2).max + 1
+    val subDim = codebook.head._3.length
+    val byKey = codebook.map(t => (t._1, t._2) -> t._3).toMap
+    val flat = (for {
+      s <- 0 until m; c <- 0 until nCodes; x <- byKey(s -> c)
+    } yield x).toIndexedSeq
+    candidates.select(col(idCol).as("neighbor_id"),
+      graft.functions.GraftFunctions
+        .graft_pq_encode(col(vecCol), flat, m, nCodes, subDim).as("rv"))
+  }
+
+  /** The built-ins-only HOF formulation of [[pqReconFrame]], kept as
+    * the reference semantics [[graft.functions.PqEncode]] must match
+    * bit-for-bit (PqEncodeSpec) — the same dotHof/[[dot]] pairing. At
+    * the production setting (m=32, 64 codes) the interpreted
+    * per-element lambdas + a 64-struct `array_sort` per subspace made
+    * THIS the whole `ann_recall` row's cost (~84 s of the 85.7 s
+    * contended sighting, round-13 log); the native expression encodes
+    * in one primitive loop per row.
+    */
+  private[ops] def pqReconFrameHof(candidates: DataFrame, idCol: String,
+                                   vecCol: String, m: Int,
+                                   codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
     val nCodes = codebook.map(_._2).max + 1
     val subDim = codebook.head._3.length
     val byKey = codebook.map(t => (t._1, t._2) -> t._3).toMap

@@ -52,6 +52,11 @@ object ExtendedQueries {
   private def cosSql(a: String, b: String, dims: Int): String =
     s"${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
 
+  /** Negated squared L2 distance over the same left-fold dots as
+    * Similarity.L2Score: -((a·a + b·b) - 2·a·b), identical op order. */
+  private def l2Sql(a: String, b: String, dims: Int): String =
+    s"-((${dotSql(a, a, dims)} + ${dotSql(b, b, dims)}) - 2.0 * ${dotSql(a, b, dims)})"
+
   /** DuckDB dot against inlined literal ±1 hyperplane weights. */
   private def planeDotSql(v: String, weights: Seq[Double], dims: Int): String = {
     val lits = weights.map(w => if (w > 0) "1.0" else "-1.0").mkString(", ")
@@ -1496,6 +1501,48 @@ object ExtendedQueries {
            |        cos
            |      FROM sc)
            |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // ann_ivf_topk under the L2 scorer (Similarity.VecScore — NOTES r12
+    // staging: the metric flows through assignment AND ranking by
+    // construction, never as a per-call flag that can disagree with the
+    // build). Score = NEGATED squared euclidean distance, expressed over
+    // the same left-fold dots as the cosine rows so DuckDB replays it
+    // bit-identically; note the list assignment genuinely differs from
+    // the cosine row's (different Voronoi partitioning), so this gates
+    // the whole metric path, not just the final rank.
+    QueryDef(
+      "ann_ivf_l2_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, nCentroids = 16, scorer = Similarity.L2Score)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val l2QC = l2Sql("qv", "cv", Dims)
+        val l2VC = l2Sql("v", "cent_v", Dims)
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($l2VC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |sc AS (SELECT query_id, neighbor_id, round($l2QC, 6) AS score
+           |       FROM c JOIN q USING (cent_id) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+           |        score
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
       }
     ),
