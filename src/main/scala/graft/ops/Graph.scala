@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * [[Graph.loadGraphIndex]] pay iteration cost only.
   */
 final case class GraphIndex(edges: DataFrame, deg: DataFrame,
-                            nodes: DataFrame, buckets: Int)
+                            nodes: DataFrame, buckets: Int,
+                            edgeCount: Option[Long] = None)
 
 /** Iterative graph analytics over edge DataFrames.
   *
@@ -206,6 +207,17 @@ object Graph {
     val teleport = ((dampDen - dampNum) * init) / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var prevCkpt: Option[DataFrame] = None
+    // MULTI-frame loops must checkpoint EVERY iteration: each frame's
+    // join consumes perSrc (= ranks⋈deg) independently, and Spark does
+    // not share non-exchange subtrees — without a materialization
+    // between iterations, iteration i re-executes iteration i-1's whole
+    // subtree once per frame, i.e. frames^(i-1) times (measured as the
+    // delta loop costing 2.2× the indexed loop at 3 iterations; at 10
+    // it would be 512×). A checkpoint per iteration bounds the
+    // re-execution at one |V|-sized materialized frame and changes no
+    // results. Single-frame loops keep the caller's cadence — perSrc is
+    // consumed once there, so the plan is linear without it.
+    val ckptEvery = if (es.size > 1) 1 else checkpointEvery
     for (i <- 1 to iterations) {
       val sums = contribSumsMulti(es, ranks, deg)
       ranks = nodes.join(sums, Seq("node"), "left")
@@ -214,7 +226,7 @@ object Graph {
           .as("rank_fp"))
       // bound lineage/plan depth on long runs without changing results;
       // the previous pin is dead the moment the new one materializes
-      if (i % checkpointEvery == 0 && i < iterations) {
+      if (i % ckptEvery == 0 && i < iterations) {
         // layout-preserving: ranks leaves the nodes⋈sums join hash(node)
         // partitioned — captured, the next round's ranks⋈deg join (key
         // src = renamed node) consumes it exchange-free
@@ -313,10 +325,16 @@ object Graph {
     writeBucketed(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct(),
       "node", path, "nodes", b)
+    // edge count: one cheap count on the materialized checkpoint, paid
+    // at build time so query-time strategy gates (deltaNewEdges' hash-
+    // vs sort-merge anti-join) can size the per-partition build side
+    // without re-counting |E| per query
+    val n = e.count()
     CacheControl.release(e)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(path, "_graph_index.json"), true)
-    try out.write(s"""{"buckets":$b}""".getBytes("UTF-8")) finally out.close()
+    try out.write(s"""{"buckets":$b,"edges":$n}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Load a [[buildGraphIndex]] artifact. Registers each table in the
@@ -352,7 +370,10 @@ object Graph {
     GraphIndex(
       tbl("edges", "src BIGINT, dst BIGINT", "src"),
       tbl("deg", "src BIGINT, deg BIGINT", "src"),
-      tbl("nodes", "node BIGINT", "node"), b)
+      tbl("nodes", "node BIGINT", "node"), b,
+      // optional: indexes written before the field default to None and
+      // query-time gates fall back to their conservative branch
+      """"edges":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong))
   }
 
   /** Refresh a standing graph index UNDER LIVE READERS: build the new
@@ -463,6 +484,13 @@ object Graph {
     * caller-sized broadcast is the classic OOM): an oversized delta
     * falls back to the full re-layout `pagerank` over the union — the
     * honest plan once "delta" stops being small.
+    *
+    * Hand this a STAGED (materialized) delta — the deployment shape for
+    * a fresh-edge batch anyway: the gate and the canonicalization each
+    * execute `deltaEdges` once, which is two cheap scans on a staged
+    * table but two full executions of a derived plan (a join+distinct
+    * delta derivation dominated the measured delta-path cost before the
+    * bench fixture was staged, round-13 log).
     */
   def pagerankOnIndexDelta(idx: GraphIndex, deltaEdges: DataFrame,
                            srcCol: String, dstCol: String,
@@ -539,17 +567,43 @@ object Graph {
     * `idx.edges` by construction. Package-visible so the plan-shape
     * spec can pin what the layout buys.
     */
-  private[ops] def deltaNewEdges(idx: GraphIndex, rawDelta: DataFrame): DataFrame = {
+  private[ops] def deltaNewEdges(idx: GraphIndex, rawDelta: DataFrame,
+                                 maxHashBuildRows: Long = 2000000L): DataFrame = {
     val spark = idx.edges.sparkSession
     val deltaCanon = CacheControl.checkpointWithLayout(spark) {
       rawDelta.repartition(idx.buckets, col("src")).distinct()
         .sortWithinPartitions("src", "dst")
     }
-    val srcs = deltaCanon.select("src").distinct()
-    val relevant = idx.edges.join(broadcast(srcs), Seq("src"), "left_semi")
+    // Dedup against the index without re-laying it out. Both sides are
+    // hash(src, buckets)-partitioned (deltaCanon's captured layout; the
+    // bucketed edge scan — src is a subset of the (src, dst) join keys,
+    // so the layouts satisfy the join's distribution with NO exchange).
+    // Strategy is gated on the per-bucket index size, known at load
+    // time from the build's edge count:
+    //  - within `maxHashBuildRows`/bucket: per-partition HASH anti-join
+    //    building on the index side — zero exchange, ZERO SORT. This is
+    //    the common case; the alternative sorted the index side on
+    //    (src, dst) per query, and on re-crawl deltas (sources touch
+    //    most of the graph — the bench fixture's shape) the broadcast
+    //    semi-join "narrowing" below kept nearly all of |E|, making the
+    //    per-query sort the dominant delta-path cost (round-13 log).
+    //  - above it (or unknown edge count): broadcast-semi narrow by the
+    //    delta's sources, then sort-merge — SMJ spills gracefully where
+    //    a huge hash build would not, and the semi-join bounds what
+    //    gets sorted by the delta's actual source neighborhood.
+    val hashOk = idx.edgeCount.exists(_ / math.max(idx.buckets, 1)
+      <= maxHashBuildRows)
     val deltaNew = CacheControl.checkpointWithLayout(spark) {
-      deltaCanon.join(relevant, Seq("src", "dst"), "left_anti")
-        .sortWithinPartitions("src")
+      val deduped =
+        if (hashOk)
+          deltaCanon.join(idx.edges.hint("shuffle_hash"),
+            Seq("src", "dst"), "left_anti")
+        else {
+          val srcs = deltaCanon.select("src").distinct()
+          val relevant = idx.edges.join(broadcast(srcs), Seq("src"), "left_semi")
+          deltaCanon.join(relevant, Seq("src", "dst"), "left_anti")
+        }
+      deduped.sortWithinPartitions("src")
     }
     CacheControl.release(deltaCanon)
     deltaNew

@@ -4503,9 +4503,25 @@ object ExtendedQueries {
   // orientations of the HIGH-QUANTITY co-purchase pairs twice — once in
   // the index's id space (re-crawled edges, absorbed by the delta
   // dedup) and once against a shifted +2000000 supplier id space
-  // (genuinely new edges AND nodes).
+  // (genuinely new edges AND nodes). STAGED to parquet once per dir
+  // (the deployment shape: a fresh-edge batch is a materialized staged
+  // table, not a join re-derived per query) — the delta operators
+  // execute their input twice (bounded gate + canonicalization), which
+  // is two cheap scans on a staged table but two join+distinct
+  // executions on the raw derivation (measured: graph_pagerank_delta
+  // 15.3 → the derivation dominated the delta path's setup).
+  private val deltaEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def deltaSupplierEdges(s: org.apache.spark.sql.SparkSession,
-                                 dir: String): org.apache.spark.sql.DataFrame = {
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(deltaEdgesCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_delta").toString + "/d"
+      deriveDeltaSupplierEdges(s, dir).write.parquet(path)
+      path
+    }))
+
+  private def deriveDeltaSupplierEdges(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): org.apache.spark.sql.DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_suppkey"))
