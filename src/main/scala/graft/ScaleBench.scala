@@ -28,6 +28,13 @@ import graft.ops._
   *
   * Usage: runMain graft.ScaleBench [baseSfDir] [multipliers] [outJson]
   * (defaults: /root/testdata/sf0.1, "1,10,30", /tmp/scale_curves.json).
+  * `SPARK_GRAFT_SCALE_OPS=a,b` restricts the run to the named rows —
+  * the quiet-window targeted re-fold workflow (NOTES r12: replicate a
+  * disputed point across invocations, then merge_curves.py folds it
+  * into the published table). Corpora and standing artifacts build
+  * lazily, so a graph-only rerun never synthesizes the 30× document
+  * corpus; unfiltered runs keep the historical block order and timed
+  * regions exactly.
   * Driver fast paths are FORCED OFF (maxDriver* = 0) so every point
   * measures the distributed loop — the path that exists at 100 TB.
   * Run with SPARK_DRIVER_MEM=48g: the 30× corpus plus its localCheckpoint
@@ -153,30 +160,47 @@ object ScaleBench {
     // materialized (count) inside the timed region; corpora materialize
     // OUTSIDE it (localCheckpoint) so synthesis cost never pollutes the
     // operator measurement.
+    // SPARK_GRAFT_SCALE_OPS=a,b: run only the named rows (targeted
+    // quiet-window re-measurement); unset = every row, original order
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
     def measure(m: Int): Seq[(String, Double)] = {
-      val docs = scaledDocs(m).localCheckpoint()
-      val docsSample = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
-      val sigs = Dedup.signatures(docsSample, "doc_id", "text")
-      val sets = sigs.select(col("id"), array_distinct(col("toks")).as("toks"))
-      val edges = scaledEdges(m).localCheckpoint()
+      // shared corpora pin LAZILY so a filtered run synthesizes only
+      // what its rows consume; everything that materialized is released
+      // on exit exactly like the historical eager pins were
+      val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def pin(df: DataFrame): DataFrame = { pins += df; df }
+      lazy val docs = pin(scaledDocs(m).localCheckpoint())
+      lazy val docsSample =
+        pin(docs.filter(col("doc_id") % 5 === 0).localCheckpoint())
+      lazy val sigs = pin(Dedup.signatures(docsSample, "doc_id", "text"))
+      lazy val sets =
+        sigs.select(col("id"), array_distinct(col("toks")).as("toks"))
+      lazy val edges = pin(scaledEdges(m).localCheckpoint())
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      // time-and-record iff wanted; `body` never runs otherwise
+      def row(name: String)(body: => Unit): Unit =
+        if (want(name)) out += name -> timeIt(body)
 
-      out += "jaccard_pairs" -> timeIt {
+      row("jaccard_pairs") {
         val r = Dedup.jaccardPairsOnSets(sets, 0.5)
         r.count(); CacheControl.release(r)
       }
-      val pairs = Dedup.lshCandidatePairsOnSets(sets)
-      out += "connected_components" -> timeIt {
-        val r = Dedup.connectedComponents(pairs, maxDriverPairs = 0L)
-        r.count(); CacheControl.release(r)
+      if (want("connected_components")) {
+        val pairs = Dedup.lshCandidatePairsOnSets(sets)
+        row("connected_components") {
+          val r = Dedup.connectedComponents(pairs, maxDriverPairs = 0L)
+          r.count(); CacheControl.release(r)
+        }
+        CacheControl.release(pairs)
       }
-      CacheControl.release(pairs)
-      out += "remove_duplicate_spans" -> timeIt {
+      row("remove_duplicate_spans") {
         val r = Dedup.removeDuplicateSpans(docsSample, "doc_id", "text",
           n = 3, keepFirst = true)
         r.count(); CacheControl.release(r)
       }
-      out += "pagerank" -> timeIt {
+      row("pagerank") {
         val r = Graph.pagerank(edges, "src", "dst", iterations = 3,
           maxDriverEdges = 0L)
         r.count(); CacheControl.release(r)
@@ -185,7 +209,7 @@ object ScaleBench {
       // so the node set reads off the degree aggregate and the general
       // path's union+distinct+checkpoint over 2·|E| rows is skipped — the
       // delta between these two rows IS that pass's cost at each scale
-      out += "pagerank_sym" -> timeIt {
+      row("pagerank_sym") {
         val r = Graph.pagerank(edges, "src", "dst", iterations = 3,
           maxDriverEdges = 0L, symmetricEdges = true)
         r.count(); CacheControl.release(r)
@@ -198,10 +222,14 @@ object ScaleBench {
       // to the pagerank/pagerank_sym rows above is the per-query rebuild
       // the index amortizes away.
       val gIdxPath = s"$work/gidx-$m"
-      out += "graph_index_build" -> timeIt {
+      // pagerank_indexed needs the artifact even when the build row is
+      // filtered out — build untimed then
+      if (want("graph_index_build")) out += "graph_index_build" -> timeIt {
         Graph.buildGraphIndex(edges, "src", "dst", gIdxPath)
       }
-      out += "pagerank_indexed" -> timeIt {
+      else if (want("pagerank_indexed"))
+        Graph.buildGraphIndex(edges, "src", "dst", gIdxPath)
+      row("pagerank_indexed") {
         val idx = Graph.loadGraphIndex(spark, gIdxPath)
         val r = Graph.pagerankOnIndex(idx, iterations = 3,
           maxDriverEdges = 0L)
@@ -212,18 +240,22 @@ object ScaleBench {
       // This is the sub-linear claim: per-batch cost ∝ batch + pruned
       // index slices.
       val idxPath = s"$work/idx-$m"
-      out += "index_build" -> timeIt {
+      val needLshIdx =
+        Seq("index_build", "gate_batch", "compact_index").exists(want)
+      if (want("index_build")) out += "index_build" -> timeIt {
         Dedup.buildLshIndex(docs, "doc_id", "text", 8, 2, idxPath)
       }
+      else if (needLshIdx)
+        Dedup.buildLshIndex(docs, "doc_id", "text", 8, 2, idxPath)
       // fixed-size crawl batch; 500 docs — every one is a near-copy of a
       // corpus doc AND shares vocabulary with the others (the worst case
       // for in-batch verification), so the batch-local quadratic term is
       // kept honest but bounded
-      val batch = baseDocs.limit(500)
+      lazy val batch = pin(baseDocs.limit(500)
         .select((col("doc_id") + 900000000L).as("doc_id"),
           concat(col("text"), lit(" probeonly")).as("text"))
-        .localCheckpoint()
-      out += "gate_batch" -> timeIt {
+        .localCheckpoint())
+      row("gate_batch") {
         val (accepted, bands) = Dedup.gateBatchWithBands(batch, "doc_id",
           "text", idxPath, docs, 8, 2, 0.7)
         accepted.count()
@@ -237,13 +269,13 @@ object ScaleBench {
         bands.unpersist()
         CacheControl.release(accepted)
       }
-      out += "compact_index" -> timeIt { Dedup.compactLshIndex(spark, idxPath) }
-      out += "winnow_pairs" -> timeIt {
+      row("compact_index") { Dedup.compactLshIndex(spark, idxPath): Unit }
+      row("winnow_pairs") {
         val r = TextAnalysis.winnowPairsOfTokens(sigs, k = 5, w = 4,
           minShared = 2)
         r.count(); CacheControl.release(r)
       }
-      out += "dedup_lines" -> timeIt {
+      row("dedup_lines") {
         val r = Dedup.dedupLines(docsSample, "doc_id", "text",
           tokensPerLine = 8)
         r.count(); CacheControl.release(r)
@@ -257,13 +289,13 @@ object ScaleBench {
       // the curve measures operator cost, not output blowup. Results are
       // PLAIN plans — no release (see the ANN note below); count()
       // leaves nothing persistent.
-      val benchSlice = baseDocs.filter(col("doc_id") % 97 === 0)
-        .localCheckpoint()
-      out += "contam_overlap" -> timeIt {
+      lazy val benchSlice = pin(baseDocs.filter(col("doc_id") % 97 === 0)
+        .localCheckpoint())
+      row("contam_overlap") {
         Contamination.ngramOverlap(docs, benchSlice, "doc_id", "text",
           n = 3).count(): Unit
       }
-      out += "contam_decontaminate" -> timeIt {
+      row("contam_decontaminate") {
         Contamination.decontaminate(docs, benchSlice, "doc_id", "text",
           n = 3, minShared = 2L).count(): Unit
       }
@@ -271,7 +303,7 @@ object ScaleBench {
       // rank window — the expected-linear text-analysis representative;
       // (doc, term) rows AND the vocabulary both grow m× (disjoint copy
       // suffixes), the worst case for the df_t aggregation.
-      out += "text_tfidf" -> timeIt {
+      row("text_tfidf") {
         TextAnalysis.tfidfTopTerms(docsSample, "doc_id", "text", 5)
           .count(): Unit
       }
@@ -279,10 +311,10 @@ object ScaleBench {
       // FIXED (200 vectors) — per-query probe cost is the scale claim
       // (IVF: ~N/nCentroids per query on balanced lists, so ~linear at
       // fixed nCentroids; a real deployment grows nCentroids ~√N)
-      val emb = scaledEmb(m).localCheckpoint()
-      val annQueries = baseEmb.limit(200)
+      lazy val emb = pin(scaledEmb(m).localCheckpoint())
+      lazy val annQueries = pin(baseEmb.limit(200)
         .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
-        .localCheckpoint()
+        .localCheckpoint())
       // NO CacheControl.release on the ANN results: ivfTopK/lshTopKBanded
       // return PLAIN plans (no output checkpoint), so their analyzed
       // lineage still contains emb's and annQueries' LogicalRDDs — a
@@ -290,14 +322,14 @@ object ScaleBench {
       // under every later consumer (bit us: ann_lsh_banded crashed with
       // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND after ann_ivf_topk's release).
       // count() leaves nothing persistent behind for these rows.
-      out += "ann_ivf_topk" -> timeIt {
+      row("ann_ivf_topk") {
         Similarity.ivfTopK(annQueries, emb, "vec_id", "embedding",
           k = 5, nCentroids = 64).count(): Unit
       }
       // banded-LSH ANN — the production recall path (recall@5 = 0.975,
       // oracle-gated in ann_recall): candidates collapse to narrow id
       // pairs in the band join before any vector rides a shuffle
-      out += "ann_lsh_banded" -> timeIt {
+      row("ann_lsh_banded") {
         Similarity.lshTopKBanded(annQueries, emb, "vec_id",
           "embedding", k = 5, planes = 24, nBands = 12, dims = 64)
           .count(): Unit
@@ -308,21 +340,29 @@ object ScaleBench {
       // pruned scan of the probed lists, ~batch·√N rows touched, so the
       // curve should hold near 0.5 where fixed-list ann_ivf_topk is ~1
       val ivfPath = s"$work/ivf-$m"
-      workFs.delete(new org.apache.hadoop.fs.Path(ivfPath), true): Unit
-      var ivfCents: DataFrame = null
-      out += "ivf_build_sqrt_lists" -> timeIt {
-        ivfCents = Similarity.buildIvfIndexAuto(emb, "vec_id", "embedding",
-          ivfPath)
+      if (Seq("ivf_build_sqrt_lists", "ivf_probe_persisted").exists(want)) {
+        workFs.delete(new org.apache.hadoop.fs.Path(ivfPath), true): Unit
+        var ivfCents: DataFrame = null
+        // the probe row needs the standing index even when the build row
+        // is filtered out — build untimed then
+        if (want("ivf_build_sqrt_lists"))
+          out += "ivf_build_sqrt_lists" -> timeIt {
+            ivfCents = Similarity.buildIvfIndexAuto(emb, "vec_id", "embedding",
+              ivfPath)
+          }
+        else
+          ivfCents = Similarity.buildIvfIndexAuto(emb, "vec_id", "embedding",
+            ivfPath)
+        row("ivf_probe_persisted") {
+          Similarity.probeIvfIndexBatch(spark, ivfPath, annQueries,
+            "vec_id", "embedding", ivfCents, k = 5).count(): Unit
+        }
+        CacheControl.release(ivfCents)
       }
-      out += "ivf_probe_persisted" -> timeIt {
-        Similarity.probeIvfIndexBatch(spark, ivfPath, annQueries,
-          "vec_id", "embedding", ivfCents, k = 5).count(): Unit
-      }
-      CacheControl.release(ivfCents)
       // perceptual-hash near-dup pairs (the heaviest bench query): the
       // phash fold is linear in docs; the banded join must track bucket
       // occupancy, never all-pairs
-      out += "mm_phash_pairs" -> timeIt {
+      row("mm_phash_pairs") {
         val r = Multimodal.phashPairs(docsSample, "doc_id", "text",
           maxHamming = 3)
         r.count(); CacheControl.release(r)
@@ -330,19 +370,21 @@ object ScaleBench {
       // degree-oriented triangles on the hub-heavy graph — the one
       // power-law hazard left in the graph family (r9 verdict): the hub
       // must never own a wedge key
-      val hubEdges = scaledHubEdges(m).localCheckpoint()
-      out += "triangles_hub" -> timeIt {
-        val r = Graph.triangleCounts(hubEdges, "a", "b")
-        r.count(); CacheControl.release(r)
+      if (want("triangles_hub")) {
+        val hubEdges = scaledHubEdges(m).localCheckpoint()
+        out += "triangles_hub" -> timeIt {
+          val r = Graph.triangleCounts(hubEdges, "a", "b")
+          r.count(); CacheControl.release(r)
+        }
+        CacheControl.release(hubEdges)
       }
-      CacheControl.release(hubEdges)
       // capstone corpus pipeline (VERDICT r10 #6): the single most
       // expensive bench query, measured AS SHIPPED — quality gate → line
       // dedup → span removal → PPJoin clustering (incl. its adaptive
       // small-input fast paths) → decontamination → packing. The bench
       // set is a ~1% residue slice of the same scaled corpus, so both
       // sides grow m× while per-copy dedup structure stays constant.
-      out += "pipeline_end_to_end" -> timeIt {
+      row("pipeline_end_to_end") {
         val r = Prep.corpusPipeline(docsSample,
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
         r.count(); CacheControl.release(r)
@@ -357,6 +399,7 @@ object ScaleBench {
       // work is the full AvailableNow execution: state build, join,
       // watermark eviction, sink commit.
       val evDir = s"$work/ev-$m"
+      if (want("stream_stream_join")) {
       workFs.delete(new org.apache.hadoop.fs.Path(evDir), true): Unit
       graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -385,6 +428,7 @@ object ScaleBench {
         spark.table(name).count()
         spark.catalog.dropTempView(name): Unit // memory sink holds rows
       }
+      }
       // manifest: commit + point-scan latency against an m-commit,
       // m×-data table — the metadata path (rebase + version listing +
       // min/max pruning) must stay bounded by the FILE count, not rows.
@@ -393,10 +437,11 @@ object ScaleBench {
       // fresh table per measure() call — the warm-up and both sweeps
       // would otherwise keep growing one table's history across passes
       val mfPath = s"$work/mf-$m"
+      if (want("manifest_commit_scan")) {
       workFs.delete(new org.apache.hadoop.fs.Path(mfPath), true): Unit
-      val mfBatch = baseDocs.limit(500)
+      val mfBatch = pin(baseDocs.limit(500)
         .select(col("doc_id"), length(col("text")).as("len"))
-        .localCheckpoint()
+        .localCheckpoint())
       // probe key taken from an ACTUAL batch row — an assumed id could
       // be absent from the unordered limit(500) sample, and the "point
       // scan" would then match zero files and measure only pruning
@@ -413,24 +458,26 @@ object ScaleBench {
           .filter(col("doc_id") === probeId).count()
         require(n > 0, s"point scan matched nothing (doc_id=$probeId)")
       }
+      }
       // skew: salted two-phase agg + salted join over the hot-key fact —
       // results equal the unsalted forms (oracle-gated at sf0.01 by the
       // skew_salted_* queries); here the claim under measure is the
       // SCALING of the mitigation itself
-      val skewed = scaledSkewed(m).localCheckpoint()
-      val dim = spark.range(1000)
+      lazy val skewed = pin(scaledSkewed(m).localCheckpoint())
+      lazy val dim = spark.range(1000)
         .select(col("id").as("k"), (col("id") * 7L).as("w"))
-      out += "skew_salted_agg" -> timeIt {
+      row("skew_salted_agg") {
         Skew.saltedSumCount(skewed, Seq("k"), "v",
           saltN = 32, saltBy = Seq("id")).count(): Unit
       }
-      out += "skew_salted_join" -> timeIt {
+      row("skew_salted_join") {
         Skew.saltedJoin(skewed, dim, Seq("k"),
           saltN = 32, saltBy = Seq("id"))
           .agg(sum(col("w"))).count(): Unit
       }
-      Seq(skewed, mfBatch, annQueries, emb, batch, benchSlice, edges, sigs, docsSample,
-        docs).foreach(CacheControl.release)
+      // release every corpus/fixture that actually materialized, in
+      // reverse pin order (dependents before their sources)
+      pins.reverseIterator.foreach(CacheControl.release)
       out.toSeq
     }
 
