@@ -31,10 +31,12 @@ import org.apache.spark.sql.types._
   * shared this property; what it could not avoid was interpreted
   * per-element lambda evaluation and a 64-struct sort per subspace).
   *
-  * Requires `vec.length ≥ m·subDim`; extra trailing dimensions are
-  * ignored (slice semantics). Null elements are not supported (the
-  * embedding corpus has none — same documented divergence as
-  * [[DotProduct]]).
+  * Requires `vec.length ≥ m·subDim` — ENFORCED per row (Unsafe array
+  * accessors past numElements read unchecked memory; a short vector
+  * must fail loudly, never reconstruct from garbage); extra trailing
+  * dimensions are ignored (slice semantics). Null elements read as 0
+  * ([[DotProduct]]'s documented divergence from the HOF's
+  * null-propagation; the embedding corpus has none).
   */
 case class PqEncode(child: Expression, book: Seq[Double],
                     m: Int, nCodes: Int, subDim: Int)
@@ -62,10 +64,20 @@ case class PqEncode(child: Expression, book: Seq[Double],
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
+    // enforced, not assumed: UnsafeArrayData accessors past numElements
+    // read unchecked memory — a short vector would silently produce a
+    // garbage reconstruction instead of an error
+    if (vec.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${vec.numElements()} dims, " +
+          s"codebook needs ${m * subDim}")
     val xs = new Array[Double](m * subDim)
     var i = 0
     while (i < xs.length) {
-      xs(i) = if (isF) vec.getFloat(i).toDouble else vec.getDouble(i)
+      xs(i) =
+        if (vec.isNullAt(i)) 0.0 // DotProduct's null-as-0 divergence
+        else if (isF) vec.getFloat(i).toDouble
+        else vec.getDouble(i)
       i += 1
     }
     new GenericArrayData(PqEncode.reconstruct(xs, bookArr, m, nCodes, subDim))
@@ -78,9 +90,14 @@ case class PqEncode(child: Expression, book: Seq[Double],
       val xs = ctx.freshName("xs")
       val i = ctx.freshName("i")
       s"""
+         |if ($v.numElements() < ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pq_encode: vector has " + $v.numElements() +
+         |    " dims, codebook needs ${m * subDim}");
+         |}
          |double[] $xs = new double[${m * subDim}];
          |for (int $i = 0; $i < ${m * subDim}; $i++) {
-         |  $xs[$i] = (double) $v.$get($i);
+         |  $xs[$i] = $v.isNullAt($i) ? 0.0 : (double) $v.$get($i);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  graft.functions.PqEncode.reconstruct(

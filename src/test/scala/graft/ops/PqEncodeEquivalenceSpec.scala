@@ -63,6 +63,20 @@ class PqEncodeEquivalenceSpec extends SparkSpec {
     assert(fast == hof)
   }
 
+  test("short vectors fail loudly (unchecked Unsafe reads must never reconstruct garbage)") {
+    val m = 2; val codebook = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 1.0)),
+      (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(1.0, 1.0)))
+    val df = Seq((0L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqReconFrame(df, "vec_id", "embedding", m, codebook).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("codebook needs 4"))))
+  }
+
   test("codegen path actually evaluates (no fallback): plan contains the expression") {
     val m = 1; val codebook = Seq((0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 1.0)))
     // repartition keeps the projection out of ConvertToLocalRelation's
