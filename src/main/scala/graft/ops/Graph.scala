@@ -657,6 +657,25 @@ object Graph {
   def triangleCountsOnIndex(idx: GraphIndex): DataFrame =
     triangleCounts(idx.edges, "src", "dst")
 
+  /** [[triangleCountsOnIndex]] UNION a fresh-edge delta — the triangle
+    * side of the query-time churn pattern ([[pagerankOnIndexDelta]] /
+    * [[bfsLevelsOnIndexDelta]]). The simplest of the three: triangle
+    * counting canonicalizes and dedups its whole input anyway
+    * (least/greatest + distinct inside [[triangleCounts]]), so
+    * re-crawled delta edges absorb with no extra pass, and — unlike the
+    * iterative operators — there is no per-frame optimization to claim:
+    * the DEGREE ORIENTATION must be recomputed over the union (a delta
+    * edge can change any endpoint's degree, which can flip the
+    * orientation of index edges far from the delta). What the index
+    * still amortizes is the upstream edge derivation. Bit-identical to
+    * [[triangleCounts]] over the union by construction.
+    */
+  def triangleCountsOnIndexDelta(idx: GraphIndex, deltaEdges: DataFrame,
+                                 aCol: String, bCol: String): DataFrame =
+    triangleCounts(idx.edges.unionByName(
+      deltaEdges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))), "src", "dst")
+
   /** Deterministic per-path catalog name, so the same artifact loaded
     * twice (or by concurrent queries) resolves to one table and two
     * different artifacts can never collide.

@@ -4365,6 +4365,38 @@ object ExtendedQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Triangles over the standing index UNION a fresh-edge delta — the
+    // third indexed operator joins the churn pattern. The delta is the
+    // co-supply pairs the q>=45 index MISSES at a q>=44 threshold (both
+    // sides >=44, at least one <45): new edges among EXISTING nodes, so
+    // the union's triangles genuinely need BOTH frames (index-only,
+    // delta-only, and mixed triangles all occur) and the oracle is the
+    // closed-form enumeration over the q>=44 union. Unlike pagerank/bfs
+    // the operator recomputes the degree orientation over the union —
+    // a delta edge can flip orientations far from itself.
+    QueryDef(
+      "graph_triangles_delta",
+      (s, dir) => {
+        val idx = Graph.loadGraphIndex(s, triangleIndexFor(s, dir))
+        Graph.triangleCountsOnIndexDelta(idx, triangleDeltaEdges(s, dir),
+          "a", "b").orderBy("node")
+      },
+      Some("""WITH co AS (
+             |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+             |  WHERE x.l_quantity >= 44 AND y.l_quantity >= 44),
+             |w AS (SELECT e1.a, e1.b, e2.b AS c
+             |      FROM co e1 JOIN co e2 ON e2.a = e1.b),
+             |t AS (SELECT w.a, w.b, w.c
+             |      FROM w JOIN co e3 ON e3.a = w.a AND e3.b = w.c)
+             |SELECT node, count(*) AS n_triangles FROM (
+             |  SELECT a AS node FROM t
+             |  UNION ALL SELECT b FROM t
+             |  UNION ALL SELECT c FROM t)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // PageRank over the standing index UNION a small fresh-edge delta
     // (VERDICT r12 #3): the delta mixes RE-CRAWLED edges (the existing
     // high-quantity co-purchase pairs — absorbed by the dedup, proving
@@ -4517,6 +4549,27 @@ object ExtendedQueries {
     s.read.parquet(deltaEdgesCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_delta").toString + "/d"
       deriveDeltaSupplierEdges(s, dir).write.parquet(path)
+      path
+    }))
+
+  // graph_triangles_delta's staged fresh-edge batch: the co-supply pairs
+  // a q>=45 index misses at a q>=44 crawl (both sides >=44, at least one
+  // <45) — new edges among existing nodes. Staged like deltaEdgesCache.
+  private val triDeltaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def triangleDeltaEdges(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(triDeltaCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_tdelta").toString + "/d"
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_quantity").as("q"))
+        .filter(col("q") >= 44)
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .filter(!(col("x.q") >= 45 && col("y.q") >= 45))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+        .write.parquet(path)
       path
     }))
 

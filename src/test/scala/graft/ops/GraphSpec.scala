@@ -327,6 +327,23 @@ class GraphSpec extends SparkSpec {
         maxDriverEdges = 0)))
   }
 
+  test("triangleCountsOnIndexDelta: overlap absorbs, mixed triangles count, equals from-scratch") {
+    val rnd = new scala.util.Random(61)
+    val all = (1 to 300)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val (baseE, freshE) = all.splitAt(all.size - 40)
+    // re-crawled overlap + genuinely new edges, like the oracle row
+    val delta = (freshE ++ baseE.take(15)).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("gidxt").toString + "/g"
+    Graph.buildGraphIndex(baseE.toDF("a", "b"), "a", "b", root)
+    val idx = Graph.loadGraphIndex(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Graph.triangleCountsOnIndexDelta(idx, delta, "a", "b"))
+      == rows(Graph.triangleCounts(all.toDF("a", "b"), "a", "b")))
+  }
+
   test("delta pattern: pagerank over index ∪ fresh edges equals a full rebuild") {
     // the churn story buildGraphIndex's scaladoc documents: between
     // index rebuilds, new edges ride as a small unindexed delta UNIONed
