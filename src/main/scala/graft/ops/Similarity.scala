@@ -774,6 +774,28 @@ object Similarity {
       .getOrElse(CosineScore)
   }
 
+  /** ENFORCE the scorer contract at probe time: a probe whose metric
+    * disagrees with the one the index was built under reads the wrong
+    * lists and silently ships wrong neighbors — the exact
+    * by-construction guarantee the [[VecScore]] family exists for, made
+    * loud at the last boundary a caller can cross it. Indexes without a
+    * recorded scorer (raw [[buildIvfIndex]] builds, pre-scorer
+    * artifacts) accept any metric — there is nothing recorded to
+    * contradict. One tiny sidecar read per probe CALL (not per row).
+    */
+  private def requireScorerMatches(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, scorer: VecScore): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_scorer.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val rec = recordedScorer(spark, path)
+      require(rec == scorer,
+        s"IVF index at $path was built under '${rec.name}' but the probe " +
+          s"asked for '${scorer.name}' — probe with recordedScorer(path), " +
+          "or rebuild the index under the intended metric")
+    }
+  }
+
   /** Index maintenance: assign a NEW vector batch to the existing
     * centroids and append into the index's list partitions — no rebuild,
     * no touch of existing files; probes immediately see old and new
@@ -890,6 +912,7 @@ object Similarity {
                     queryId: Long, queryVec: Seq[Float],
                     centroids: DataFrame, k: Int,
                     scorer: VecScore = CosineScore): DataFrame = {
+    requireScorerMatches(spark, path, scorer)
     val qv = typedLit(queryVec)
     val qCent = centroids
       .withColumn("__cs", scorer(qv, col("cent_v")))
@@ -921,6 +944,7 @@ object Similarity {
                          maxBroadcastRows: Long = 100000L,
                          scorer: VecScore = CosineScore): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    requireScorerMatches(spark, path, scorer)
     val cents = broadcast(centroids.select(col("cent_id"), col("cent_v")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wAssign = Window.partitionBy("query_id").orderBy(desc("__cs"), col("cent_id"))

@@ -98,6 +98,24 @@ class IvfScorerSpec extends SparkSpec {
     graft.ops.CacheControl.release(cents)
   }
 
+  test("probing a recorded index under the wrong metric fails loudly") {
+    val df = corpus(30)
+    val root = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    Similarity.rebuildIvfIndexAuto(df, "vec_id", "embedding", root,
+      scorer = Similarity.L2Score): Unit
+    val (genPath, cents) = Similarity.loadIvfIndexCurrent(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexBatch(spark, genPath, df.limit(2),
+        "vec_id", "embedding", cents, k = 2) // default cosine ≠ built l2
+    }
+    assert(e.getMessage.contains("built under 'l2'"))
+    // matching metric passes; a scorer-less (raw-build) index accepts any
+    assert(Similarity.probeIvfIndexBatch(spark, genPath, df.limit(2),
+      "vec_id", "embedding", cents, k = 2,
+      scorer = Similarity.recordedScorer(spark, genPath)).count() > 0)
+    graft.ops.CacheControl.release(cents)
+  }
+
   test("VecScore.byName round-trips every member and rejects unknowns") {
     Similarity.VecScore.all.foreach(s =>
       assert(Similarity.VecScore.byName(s.name) == s))
