@@ -1547,6 +1547,45 @@ object ExtendedQueries {
       }
     ),
 
+    // The third VecScore member under the gate: inner-product (MIPS)
+    // IVF. On unnormalized vectors dot ranking differs from both cosine
+    // and L2 (magnitude matters), so this row pins a genuinely third
+    // ordering — assignment and ranking replayed closed-form like the
+    // cosine and L2 rows.
+    QueryDef(
+      "ann_ivf_dot_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, nCentroids = 16, scorer = Similarity.DotScore)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val dQC = dotSql("qv", "cv", Dims)
+        val dVC = dotSql("v", "cent_v", Dims)
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round($dVC, 6) DESC, c.cent_id) AS rn
+           |    FROM (SELECT vec_id, embedding AS v FROM embeddings) e CROSS JOIN cents c)
+           |  WHERE rn = 1),
+           |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+           |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.cent_id
+           |      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+           |sc AS (SELECT query_id, neighbor_id, round($dQC, 6) AS score
+           |       FROM c JOIN q USING (cent_id) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+           |        score
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // Same semantics as ann_ivf_topk but through the PERSISTED index and
     // the batch probe: build once, then ONE cent_id-IN-pruned scan serves
     // all 8 queries. The oracle is the same closed-form IVF as above —

@@ -53,6 +53,23 @@ class IvfScorerSpec extends SparkSpec {
       != exactTopK(df, 3, Similarity.CosineScore))
   }
 
+  test("dot ivfTopKWith with one list reproduces exact inner-product ranking") {
+    val df = corpus(40)
+    val oneList = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").cast("int").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cent_v"))
+    val got = Similarity.ivfTopKWith(df, df, "vec_id", "embedding", 3,
+        oneList, Similarity.DotScore)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == exactTopK(df, 3, Similarity.DotScore))
+    // unnormalized vectors: the third ordering really is distinct
+    assert(exactTopK(df, 3, Similarity.DotScore)
+      != exactTopK(df, 3, Similarity.CosineScore))
+    assert(exactTopK(df, 3, Similarity.DotScore)
+      != exactTopK(df, 3, Similarity.L2Score))
+  }
+
   test("rebuild persists the scorer; recorded-scorer probe at full width is exact") {
     val df = corpus(60)
     val root = java.nio.file.Files.createTempDirectory("ivf_l2").toString
