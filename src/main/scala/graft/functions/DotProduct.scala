@@ -25,30 +25,51 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(ByteType | ShortType | IntegerType |
+                     FloatType | DoubleType, _) => true
       case _                                    => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+        s"graft_dot expects array<byte|short|int|float|double>, got " +
+          s"${left.dataType} / ${right.dataType}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Per-element accessor for the side's element type — every input
+    * widens to double. Integer elements are EXACT in double while
+    * |value| < 2^26 (products < 2^52 < 2^53) — the int8-quantized
+    * vectors ([[graft.ops.Similarity.quantizeInt8]]) are bounded ±127
+    * by construction, far inside that. */
+  private def getter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case ByteType    => "getByte"
+      case ShortType   => "getShort"
+      case IntegerType => "getInt"
+      case FloatType   => "getFloat"
+      case DoubleType  => "getDouble"
+      case t => throw new IllegalStateException(s"unreachable: $t")
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a  = l.asInstanceOf[ArrayData]
     val b  = r.asInstanceOf[ArrayData]
     val n  = math.min(a.numElements(), b.numElements())
-    val lf = elemIsFloat(left)
-    val rf = elemIsFloat(right)
+    def elem(d: ArrayData, get: String, i: Int): Double = get match {
+      case "getByte"   => d.getByte(i).toDouble
+      case "getShort"  => d.getShort(i).toDouble
+      case "getInt"    => d.getInt(i).toDouble
+      case "getFloat"  => d.getFloat(i).toDouble
+      case _           => d.getDouble(i)
+    }
+    val lg = getter(left)
+    val rg = getter(right)
     var s  = 0.0
     var i  = 0
     while (i < n) {
-      val x = if (a.isNullAt(i)) 0.0 else if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (b.isNullAt(i)) 0.0 else if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (a.isNullAt(i)) 0.0 else elem(a, lg, i)
+      val y = if (b.isNullAt(i)) 0.0 else elem(b, rg, i)
       s += x * y
       i += 1
     }
@@ -56,8 +77,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

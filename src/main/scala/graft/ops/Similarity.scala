@@ -1077,8 +1077,25 @@ object Similarity {
 
   /** Exact integer dot product of two quantized vectors — order-independent
     * (integer addition is associative), so no fold-order parity concerns.
+    *
+    * Routed through the codegen'd [[dot]] (which widens integer elements
+    * to double) and cast back: for int8-scaled inputs every product
+    * (≤ 127² = 16129) and every partial sum stays inside double's exact
+    * integer range up to absurd dimensionality (16129·dims < 2^53 →
+    * dims < 5·10⁸), so the result is bit-identical to the integer fold —
+    * [[intDotHof]] keeps that reference semantics, equivalence
+    * spec-pinned. This was measured as the int8 family's dominant cost:
+    * the interpreted zip_with+aggregate ran per SCORED PAIR while every
+    * float path already used the codegen loop (ann_recall sf1 probe,
+    * round-13 NOTES: int8 leg 2.37 s vs the brute-force float truth's
+    * 0.77 s).
     */
-  def intDot(a: Column, b: Column): Column =
+  def intDot(a: Column, b: Column): Column = dot(a, b).cast("long")
+
+  /** The built-ins-only integer-fold formulation — the reference
+    * semantics [[intDot]]'s double-widened codegen path must match
+    * bit-for-bit on int8-scaled inputs. */
+  private[graft] def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 

@@ -59,6 +59,20 @@ class DotProductSpec extends SparkSpec {
     assert(out.toSeq == Seq((0.9, 5L), (0.9, 10L), (0.8, 7L)))
   }
 
+  test("integer element arrays: codegen intDot == integer-fold HOF, bit-for-bit") {
+    import spark.implicits._
+    // int8-quantized shape: values span the full ±127 range incl. zeros
+    val rnd = new scala.util.Random(73)
+    val df = (0 until 200)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextInt(255) - 127)))
+      .toDF("id", "v").repartition(3)
+    val both = df.as("a").crossJoin(df.as("b")).limit(5000)
+      .select(graft.ops.Similarity.intDot(col("a.v"), col("b.v")).as("fast"),
+        graft.ops.Similarity.intDotHof(col("a.v"), col("b.v")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(both.count() == 5000)
+  }
+
   test("type check rejects non-array inputs") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] {
