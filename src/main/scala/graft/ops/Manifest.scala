@@ -12,40 +12,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * between a header and a count-carrying footer line. There is no mutable
   * pointer file at all: the current version IS the largest N whose
   * manifest parses complete. A writer stages new files under `data/`
-  * (invisible — readers only open manifest-listed files), then publishes
-  * by creating `_manifest.v<N+1>` with `create(overwrite = false)`.
+  * (invisible — readers only open manifest-listed files), renders the
+  * next manifest COMPLETELY into a hidden temp file, and publishes it as
+  * `_manifest.v<N+1>` in ONE atomic no-replace operation — claim of the
+  * version number and visibility of the full content are the same
+  * filesystem primitive, so there is no claimed-but-incomplete state.
   *
   * Correctness properties this buys:
   *  - **No absence window.** Earlier designs swapped a `_latest` pointer
   *    via delete-then-rename, so a reader racing a commit could observe
   *    "no committed version". Manifests are append-only and write-once, so
   *    every version that was ever visible stays visible until vacuumed.
-  *  - **Optimistic concurrency.** `create(overwrite = false)` is the
-  *    atomic claim on version N+1 (atomic on HDFS and on the local FS's
-  *    existence check). A loser gets FileAlreadyExistsException, re-reads
-  *    the new latest version, rebases its file list, and retries at N+2 —
-  *    concurrent appends both land, neither overwrites the other. (Two
-  *    concurrent *upserts touching the same keys* still last-writer-win at
-  *    the version level, like Delta's write conflicts.)
-  *  - **Torn-write safety.** A reader may see a manifest file before its
-  *    writer finished. The footer carries the entry count; a manifest
-  *    whose footer is absent or disagrees is treated as uncommitted and
-  *    skipped when resolving the latest version.
+  *  - **Optimistic concurrency.** The atomic no-replace publish is the
+  *    claim on version N+1. A loser gets FileAlreadyExistsException,
+  *    re-reads the new latest version, rebases its file list, and retries
+  *    at N+2 — concurrent appends both land, neither overwrites the
+  *    other. An earlier protocol claimed with `create(overwrite=false)`
+  *    and wrote content afterwards; that claim is check-then-act on
+  *    Hadoop's local/Checksum FS and on object stores, and an observed
+  *    concurrent-writer lost update (two writers both "owning" the same
+  *    version, second close clobbering the first's file list) is why the
+  *    claim is now the publish itself. (Two concurrent *upserts touching
+  *    the same keys* still last-writer-win at the version level, like
+  *    Delta's write conflicts.)
+  *  - **Torn-write safety.** A published manifest appears with its full
+  *    content or not at all. The count-carrying footer is still validated
+  *    on read — defense against legacy torn files and out-of-band copies
+  *    — and a manifest whose footer is absent or disagrees is treated as
+  *    uncommitted and skipped when resolving the latest version.
+  *
+  * ==Filesystem contract==
+  * The commit protocol requires ONE of these primitives, asserted at
+  * first commit ([[publishAtomic]]) — a store with neither fails loudly
+  * instead of losing data:
+  *  - atomic no-replace hard link (`link(2)`, local `file:` scheme): the
+  *    rendered temp file is linked to the manifest name; EEXIST is the
+  *    collision signal and the content is complete at the instant the
+  *    name appears;
+  *  - atomic no-replace rename (`FileContext.rename` without OVERWRITE —
+  *    HDFS/viewfs, or any scheme with an `AbstractFileSystem` binding
+  *    whose rename is arbitrated server-side);
+  *  - S3-class stores need a conditional PUT (If-None-Match); Hadoop's
+  *    `FileSystem` API does not expose one, so such schemes are refused
+  *    here rather than silently falling back to check-then-act.
   *
   * Why this beats directory swaps at 100 TB: the atomic unit is one tiny
-  * file creation (bounded metadata on any store), data files never move or
-  * rewrite on publish, and concurrent readers of version N are undisturbed
-  * by the commit of N+1.
+  * file rename/link (bounded metadata on any store), data files never
+  * move or rewrite on publish, and concurrent readers of version N are
+  * undisturbed by the commit of N+1.
   */
 object Manifest {
 
   private val Header = "#graft-manifest 1"
   private def footer(n: Int): String = s"#end $n"
   private val MaxCommitAttempts = 50
-  // how long a claimed-but-incomplete manifest is presumed to be an
-  // ACTIVE writer mid-publish (commit waits for it) before being treated
-  // as a crashed writer whose version number is simply burned
-  private val TornManifestGraceMs = 5000L
+  // test-only fault injection, run once between building a commit
+  // attempt's file list and its atomic publish — simulates a writer
+  // stalled (GC pause, saturated box) in exactly the window where the
+  // OLD claim-then-write protocol lost updates. Thread-local so one
+  // racing writer can be stalled without touching its competitors;
+  // one-shot so the OCC retry after the induced collision runs clean.
+  private[ops] val commitStallHook: ThreadLocal[Runnable] =
+    ThreadLocal.withInitial(() => null)
 
   /** Parsed manifest: file list + commit properties (`#prop k=v` lines,
     * URL-encoded) + optional per-file column bounds (`#filestat` lines)
@@ -232,6 +260,78 @@ object Manifest {
   private def manifestPath(root: Path, v: Long): Path =
     new Path(root, s"_manifest.v$v")
 
+  // schemes whose atomic no-replace capability has been verified once
+  // this JVM — the check is per-scheme, not per-dataset
+  private val capabilityChecked: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fail-loudly assertion of the class doc's filesystem contract:
+    * local `file:` publishes via `link(2)`; every other scheme must bind
+    * an `AbstractFileSystem` so `FileContext.rename` WITHOUT the
+    * OVERWRITE option can arbitrate the version claim. Called before
+    * STAGING as well as before commit, so a deployment on a store with
+    * neither primitive (s3a-class without a binding) refuses before
+    * writing any data files — not after terabytes have staged, and
+    * never by silently degrading to a check-then-act claim that loses
+    * concurrent commits.
+    */
+  private def requireAtomicPublishCapability(fs: FileSystem, dir: Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme != "file" && !capabilityChecked.contains(scheme)) {
+      try { org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf); () }
+      catch {
+        case e: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          throw new UnsupportedOperationException(
+            s"manifest commit needs an atomic no-replace publish, and scheme " +
+              s"'$scheme' has no AbstractFileSystem binding for FileContext.rename " +
+              s"(configure fs.AbstractFileSystem.$scheme.impl, or use a store " +
+              "whose client exposes conditional PUT) — refusing to fall back to " +
+              "check-then-act, which silently loses concurrent commits", e)
+      }
+      capabilityChecked.add(scheme): Unit
+    }
+  }
+
+  /** Atomically publish `content` at `dest`, failing with a
+    * FileAlreadyExistsException if `dest` exists — claim of the name and
+    * visibility of the complete content are ONE filesystem primitive
+    * (the class doc's filesystem contract). Local `file:` scheme: temp
+    * write + hard link — `link(2)` is EEXIST-atomic in the kernel, while
+    * `Files.move` without REPLACE_EXISTING is itself check-then-rename
+    * (and `rename(2)` silently replaces), i.e. the very TOCTOU this
+    * method removes. Other schemes: temp write + `FileContext.rename`
+    * WITHOUT the OVERWRITE option (namenode-arbitrated no-replace on
+    * HDFS-class stores). A scheme with no AbstractFileSystem binding
+    * (s3a/gs/abfs by default) is REFUSED at first commit: Hadoop's
+    * `FileSystem` API exposes no atomic no-replace primitive there, and
+    * a check-then-act fallback is exactly the silent lost-update hazard
+    * observed under concurrent writers on the local FS.
+    */
+  private def publishAtomic(fs: FileSystem, dir: Path, dest: Path,
+                            content: String): Unit = {
+    val bytes = content.getBytes("UTF-8")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val dirP = java.nio.file.Paths.get(fs.makeQualified(dir).toUri.getPath)
+      java.nio.file.Files.createDirectories(dirP)
+      val tmp = java.nio.file.Files.createTempFile(
+        dirP, "." + dest.getName + ".tmp-", "")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.createLink(dirP.resolve(dest.getName), tmp): Unit
+      } finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+    } else {
+      requireAtomicPublishCapability(fs, dir)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf)
+      val tmp = new Path(dir,
+        "." + dest.getName + ".tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try fc.rename(tmp, dest) // no OVERWRITE option: fails if dest exists
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    }
+  }
+
   /** All manifest version numbers present on disk (complete or not). */
   private def versionsOnDisk(fs: FileSystem, root: Path): Seq[Long] = {
     val st = try fs.globStatus(new Path(root, "_manifest.v*"))
@@ -306,6 +406,7 @@ object Manifest {
                          partitionCols: Seq[String] = Nil): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val (fs, root) = fsFor(df.sparkSession, path)
+    requireAtomicPublishCapability(fs, root) // refuse BEFORE writing data
     val batchDir = "data/" + java.util.UUID.randomUUID().toString
     val toWrite = partitionCols.foldLeft(df)((d, c) =>
       d.withColumn(partDirCol(c), col(c).cast("string")))
@@ -347,6 +448,7 @@ object Manifest {
                      validateMergeSchema: Boolean = false)
                     (filesFor: Long => Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
+    requireAtomicPublishCapability(fs, root)
     if (!fs.exists(root)) fs.mkdirs(root)
     var attempts = 0
     // footer reads memoized across retry attempts: a commit collision
@@ -360,24 +462,25 @@ object Manifest {
     // for this staged batch — zero extra scans when nothing changed.
     val validatedCs = scala.collection.mutable.HashSet.empty[(String, String)]
     while (true) {
-      // claim the next version ON DISK, not just the next complete one —
-      // a crashed writer's torn manifest occupies its number forever
-      val latestComplete = latestVersion(spark, path)
+      // Base and claim target come from ONE directory listing. An earlier
+      // shape resolved latestComplete and the on-disk max in two separate
+      // listings and claimed max+1 — a competitor completing a version
+      // between the listings was then rebased past WITHOUT a collision
+      // (its number burned as if torn), a lost update the stress spec
+      // reproduces. Invariants now: base = highest complete version in
+      // the listing; claim = smallest FREE slot above base (never jump a
+      // gap — only legacy torn manifests from the pre-atomic-publish
+      // protocol can squat a slot, and they stay incomplete forever, so
+      // any two writers racing the same base are forced onto the same
+      // slot and the atomic no-replace publish arbitrates). A stalled-
+      // then-waking writer simply loses that race and rebases — its
+      // files are never dropped, with no in-flight wait or grace lease.
       val onDisk = versionsOnDisk(fs, root)
-      // Lost-update guard: a version above latestComplete that is still
-      // being WRITTEN (claimed, content in flight) must not be rebased
-      // past — building our file list from latestComplete would silently
-      // drop the in-flight writer's files once it completes. Fresh
-      // incomplete manifests get a beat to finish (a manifest write is
-      // one small file — milliseconds); ones older than the grace window
-      // are crashed writers, their number stays burned and we proceed.
-      val inFlight = onDisk.filter(_ > latestComplete).exists { v =>
-        scala.util.Try(fs.getFileStatus(manifestPath(root, v)).getModificationTime)
-          .toOption.exists(_ > System.currentTimeMillis() - TornManifestGraceMs)
-      }
-      if (inFlight) { Thread.sleep(20) }
-      else {
-      val next = math.max(latestComplete, onDisk.foldLeft(0L)(math.max)) + 1
+      val latestComplete = onDisk.sorted(Ordering[Long].reverse)
+        .find(v => loadVersion(fs, root, v).isDefined).getOrElse(0L)
+      val squatted = onDisk.filter(_ > latestComplete).toSet
+      val next = Iterator.iterate(latestComplete + 1)(_ + 1)
+        .find(v => !squatted(v)).get
       val files = filesFor(latestComplete)
       // stats only for files that made it into this version's list
       val stats = statsFor(latestComplete).view.filterKeys(files.toSet).toMap
@@ -450,11 +553,12 @@ object Manifest {
           validatedCs ++= pending.toSeq
         }
       }
+      val rendered = render(files, effProps, stats, sizes, rowCounts, bloomDecls,
+        strBounds, nullCounts, dvState, ndvDecls, kllDecls)
+      val stall = commitStallHook.get() // test-only fault injection
+      if (stall != null) { commitStallHook.set(null); stall.run() }
       try {
-        val out = fs.create(manifestPath(root, next), false)
-        try out.write(render(files, effProps, stats, sizes, rowCounts, bloomDecls,
-          strBounds, nullCounts, dvState, ndvDecls,
-          kllDecls).getBytes("UTF-8")) finally out.close()
+        publishAtomic(fs, root, manifestPath(root, next), rendered)
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -462,7 +566,6 @@ object Manifest {
           attempts += 1
           if (attempts >= MaxCommitAttempts) throw new java.io.IOException(
             s"could not commit to $path after $MaxCommitAttempts attempts")
-      }
       }
     }
     -1L // unreachable

@@ -11,6 +11,15 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * make any interleaving equivalent to SOME serial order — no lost
   * appends, no resurrected deletes, no constraint-bypassing commits.
   */
+/** A local-disk-backed FileSystem registered under a foreign scheme with
+  * NO AbstractFileSystem (FileContext) binding — the shape of an s3a-like
+  * store as seen by the manifest commit protocol's capability check.
+  */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftmock"
+  override def getUri: java.net.URI = java.net.URI.create("graftmock://host")
+}
+
 class ManifestConcurrencySpec extends SparkSpec {
   import spark.implicits._
 
@@ -39,6 +48,91 @@ class ManifestConcurrencySpec extends SparkSpec {
       // every writer's commit claimed its own version: 1 seed + 3 writers
       assert(Manifest.latestVersion(spark, dir) == 4L, s"round $round")
     }
+  }
+
+  test("a writer stalled indefinitely between render and publish never loses its batch") {
+    // The round-13 lost update: the old claim-then-write protocol treated a
+    // writer silent >5s as crashed and rebased past it; when it woke and
+    // closed its manifest, its files were silently gone. With the atomic
+    // no-replace publish there is no grace window AT ALL: the stalled
+    // writer simply loses the publish race and rebases. Latches make the
+    // interleaving deterministic — the stall is unbounded wall-clock-wise.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dir = tmp("stall")
+    Manifest.append(spark.range(0, 100).toDF("id").coalesce(1), dir) // v1
+    val inStall = new CountDownLatch(1)
+    val fastDone = new CountDownLatch(1)
+    val slow = Future {
+      Manifest.commitStallHook.set { () =>
+        inStall.countDown()
+        assert(fastDone.await(120, TimeUnit.SECONDS), "latch timeout")
+      }
+      try Manifest.append(spark.range(1000, 1050).toDF("id").coalesce(1), dir)
+      finally Manifest.commitStallHook.remove()
+    }
+    assert(inStall.await(120, TimeUnit.SECONDS),
+      "slow writer never reached its publish attempt")
+    // slow writer is now frozen holding a fully rendered v2 manifest;
+    // a competitor claims v2 out from under it
+    val vFast = Manifest.append(spark.range(2000, 2050).toDF("id").coalesce(1), dir)
+    fastDone.countDown()
+    val vSlow = Await.result(slow, 120.seconds)
+    assert(vFast == 2L && vSlow == 3L,
+      s"expected the stalled writer to rebase to v3, got fast=$vFast slow=$vSlow")
+    val ids = Manifest.read(spark, dir).select("id").as[Long].collect().toSet
+    val expected = (0L until 100L).toSet ++ (1000L until 1050L) ++ (2000L until 2050L)
+    assert(ids == expected, "stalled writer's batch was lost or duplicated")
+  }
+
+  test("stress: 25 racing rounds under background CPU load — no lost update") {
+    // The round-13 failure only fired on a saturated machine (409/410 runs
+    // green in isolation). Reproduce that pressure: 16 spin threads while
+    // three writers race per round, 25 rounds.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (1 to 16).foreach { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) x = x * 6364136223846793005L + 1442695040888963407L
+        if (x == 42L) println(x) // keep the loop observable to the JIT
+      })
+      t.setDaemon(true); t.start()
+    }
+    try {
+      for (round <- 1 to 25) {
+        val dir = tmp(s"stress$round")
+        Manifest.append(spark.range(0, 10).toDF("id").coalesce(1), dir)
+        val fs = Seq(
+          Future(Manifest.append(spark.range(100, 110).toDF("id").coalesce(1), dir)),
+          Future(Manifest.append(spark.range(200, 210).toDF("id").coalesce(1), dir)),
+          Future(Manifest.append(spark.range(300, 310).toDF("id").coalesce(1), dir)))
+        Await.result(Future.sequence(fs), 180.seconds)
+        val ids = Manifest.read(spark, dir).select("id").as[Long].collect().toSet
+        val expected = (0L until 10L).toSet ++ (100L until 110L) ++
+          (200L until 210L) ++ (300L until 310L)
+        assert(ids == expected, s"round $round: lost update under load")
+        assert(Manifest.latestVersion(spark, dir) == 4L, s"round $round")
+      }
+    } finally stop.set(true)
+  }
+
+  test("a scheme with no atomic no-replace primitive is REFUSED at first " +
+    "commit, not silently check-then-act") {
+    // The filesystem contract (Manifest class doc): local link(2), or
+    // FileContext.rename without OVERWRITE. A scheme with neither — here
+    // a local-backed FS registered under a scheme with no
+    // AbstractFileSystem binding, the s3a-shaped deployment — must fail
+    // the COMMIT loudly; data files may stage, but no version publishes.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl", classOf[MockSchemeFs].getName)
+    val dir = "graftmock://host" +
+      java.nio.file.Files.createTempDirectory("mockfs").toString + "/ds"
+    val e = intercept[UnsupportedOperationException] {
+      Manifest.append(spark.range(0, 5).toDF("id").coalesce(1), dir)
+    }
+    assert(e.getMessage.contains("atomic no-replace") &&
+      e.getMessage.contains("graftmock"), e.getMessage)
+    assert(Manifest.latestVersion(spark, dir) == 0L,
+      "refused commit must leave no committed version")
   }
 
   test("append racing addConstraint cannot publish violating rows (TOCTOU)") {
