@@ -646,6 +646,10 @@ object Similarity {
                       scorer: VecScore = CosineScore): Int = {
     require(recallTarget > 0 && recallTarget <= 1.0,
       s"recallTarget must be in (0, 1]: $recallTarget")
+    // calibrating under a metric the index wasn't built with measures a
+    // meaningless recall curve — enforce like the probes do (no-op when
+    // no scorer is recorded, e.g. mid-build before the sidecar lands)
+    requireScorerMatches(spark, path, scorer)
     val cents = centroids.select(col("cent_id"), col("cent_v"))
     val nLists = cents.count().toInt // bounded: the quantizer size
     val q = sampleQueries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -806,8 +810,14 @@ object Similarity {
     */
   def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, path: String,
-                     scorer: VecScore = CosineScore): Unit =
+                     scorer: VecScore = CosineScore): Unit = {
+    // same contract enforcement as the probes — but MORE important here:
+    // a mismatched probe ships one wrong answer, a mismatched append
+    // assigns the batch to the wrong lists and durably corrupts the
+    // standing index for every future probe
+    requireScorerMatches(batch.sparkSession, path, scorer)
     writeIvfIndex(batch, idCol, vecCol, centroids, path, "append", scorer)
+  }
 
   /** Re-seed/re-train REBUILD of a standing IVF index UNDER LIVE
     * READERS — lifecycle parity with the graph and LSM band indexes
@@ -957,9 +967,25 @@ object Similarity {
       .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cent_id"))
     // ≤ one row per (query, probe) — the distinct list set is bounded by
-    // the CENTROID count regardless of batch size: always metadata
+    // the CENTROID count regardless of batch size: always metadata.
+    // HOW it reaches the scan is gated on its size: a literal In/InSet
+    // prunes the cent_id directories at plan time and is free for
+    // interactive probes, but at 100 TB operating points (≥1e5-list
+    // indexes probed by wide batches × nProbe) a thousands-literal set
+    // bloats every serialized plan copy and stops being a cheap plan
+    // constant — above the gate the distinct probed lists reach the scan
+    // as a broadcast LEFT SEMI join instead, and directory pruning
+    // happens through Spark's dynamic-partition-pruning subquery on the
+    // cent_id partition column (same rows and pruned-scan shape as the
+    // literal branch, both spec-pinned).
     val listIds = assigned.select("cent_id").distinct().collect().map(_.get(0))
-    val index = spark.read.parquet(path).filter(col("cent_id").isin(listIds: _*))
+    val index =
+      if (listIds.length <= ivfInPruneMaxLists)
+        spark.read.parquet(path).filter(col("cent_id").isin(listIds: _*))
+      else
+        spark.read.parquet(path).join(
+          broadcast(assigned.select("cent_id").distinct()),
+          Seq("cent_id"), "left_semi")
     // `assigned` is CALLER-sized (query batch × nProbe, raw vectors
     // riding along): broadcasting it is the right plan for interactive
     // batches — every executor probes its pruned index partitions against
@@ -990,6 +1016,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col(sc))
   }
+
+  /** [[probeIvfIndexBatch]]'s literal-In pruning cap: probed-list sets
+    * up to this size prune as a plan-time In/InSet literal; larger sets
+    * switch to the broadcast-semi + dynamic-partition-pruning branch.
+    * `var` only so the plan-shape spec can force the semi branch on a
+    * small test index — production never reassigns it.
+    */
+  private[ops] var ivfInPruneMaxLists: Int = 1000
 
   /** The [[probeIvfIndexBatch]] broadcast gate, factored pure so the
     * threshold decision is unit-testable: broadcast the assigned query
@@ -1075,8 +1109,14 @@ object Similarity {
         .otherwise(floor(x.cast("double") / mx * 127.0 + 0.5))
         .cast("int"))
 
-  /** Exact integer dot product of two quantized vectors — order-independent
-    * (integer addition is associative), so no fold-order parity concerns.
+  /** Integer dot product of two quantized vectors, EXACT only while every
+    * element product and partial sum stays below 2^53 (the double-exact
+    * integer range — always true for int8-scaled inputs, NOT for
+    * arbitrary array<int>: large-magnitude inputs silently round, and
+    * the non-ANSI double→long cast can wrap; use [[intDotHof]]'s integer
+    * fold where full 64-bit exactness is required). Order-independent
+    * within that range (integer addition is associative), so no
+    * fold-order parity concerns.
     *
     * Routed through the codegen'd [[dot]] (which widens integer elements
     * to double) and cast back: for int8-scaled inputs every product

@@ -1006,6 +1006,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"batch $got vs per-query $want")
   }
 
+  test("batch IVF probe above the In-prune gate: semi branch keeps directory " +
+    "pruning (DPP), rows identical") {
+    // At 100 TB operating points (≥1e5 lists × wide batches) the literal
+    // In set stops being a cheap plan constant — above ivfInPruneMaxLists
+    // the probed lists reach the scan as a broadcast LEFT SEMI join and
+    // the cent_id directories must still prune, now via Spark's
+    // dynamic-partition-pruning subquery. Forcing the gate to 0 runs the
+    // big-index branch on the small test index.
+    val dir = java.nio.file.Files.createTempDirectory("ivfsemi").toString + "/idx"
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", cents, dir)
+    val queries = vecs.filter(col("vec_id").isin(0L, 3L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    val viaIn = Similarity.probeIvfIndexBatch(spark, dir, queries,
+      "vec_id", "embedding", cents, k = 2)
+    val prev = Similarity.ivfInPruneMaxLists
+    val viaSemi = try {
+      Similarity.ivfInPruneMaxLists = 0
+      Similarity.probeIvfIndexBatch(spark, dir, queries,
+        "vec_id", "embedding", cents, k = 2)
+    } finally Similarity.ivfInPruneMaxLists = prev
+    assert(rows(viaSemi) == rows(viaIn), "semi branch changed the answer")
+    val plan = viaSemi.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"semi branch lost partition pruning — no DPP subquery on cent_id:\n$plan")
+    // and the literal branch still prunes the classic way
+    val inPlan = viaIn.queryExecution.executedPlan.toString
+    assert(inPlan.contains("PartitionFilters") && inPlan.contains("cent_id"))
+  }
+
   test("batch IVF probe with nProbe = nCentroids recovers exact brute-force top-k") {
     val dir = java.nio.file.Files.createTempDirectory("ivfnp").toString + "/idx"
     val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)

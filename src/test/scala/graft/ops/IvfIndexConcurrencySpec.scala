@@ -91,6 +91,54 @@ class IvfIndexConcurrencySpec extends SparkSpec {
       "one-cycle deferral must keep gen-2 while gen-3 is current")
   }
 
+  test("STEADY STATE: a current-pointer reader races the rebuild whose GC " +
+    "actually deletes an older generation — zero retries") {
+    // The basic lifecycle test's first rebuild has an EMPTY deferred-GC
+    // set (no gen N-2 exists), so it never exercises GC-under-reader at
+    // all — the vacuously-true window the LSM index specs learned to pin
+    // (r9 self-review). Here the reader resolves gen-2 while gens {1,2}
+    // are live, then gen-3's rebuild runs CONCURRENTLY and its GC deletes
+    // gen-1; every probe of the resolved handle — before, during, and
+    // after that deletion, when gen-2 has become the OLDEST live
+    // generation — must return identical rows with zero retries.
+    val root = java.nio.file.Files.createTempDirectory("ivfgc").toString + "/ivf"
+    val cal = corpus(40).filter(col("vec_id") >= 30)
+    assert(Similarity.rebuildIvfIndexAuto(corpus(40), "vec_id", "embedding",
+      root, sampleQueries = Some(cal), k = 3, recallTarget = 0.9) == 1L)
+    assert(Similarity.rebuildIvfIndexAuto(corpus(50), "vec_id", "embedding",
+      root, sampleQueries = Some(cal), k = 3, recallTarget = 0.9) == 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")),
+      "precondition: the racing rebuild must have a NON-empty GC set")
+    val (p2, cents2) = Similarity.loadIvfIndexCurrent(spark, root)
+    assert(p2.endsWith("gen-2"))
+    val np = Similarity.recordedNProbe(spark, p2).getOrElse(2)
+    val q = corpus(40).filter(col("vec_id") < 4)
+    def probeOnce(): Long =
+      Similarity.probeIvfIndexBatch(spark, p2, q, "vec_id", "embedding",
+        cents2, k = 3, nProbe = np).count()
+    val before = probeOnce()
+    assert(before == 12L, s"4 queries x top-3 expected, got $before")
+    val rebuild = Future {
+      Similarity.rebuildIvfIndexAuto(corpus(60), "vec_id", "embedding",
+        root, sampleQueries = Some(cal), k = 3, recallTarget = 0.9)
+    }
+    var racing = 0
+    while (!rebuild.isCompleted) {
+      assert(probeOnce() == before,
+        s"racing read at iteration $racing was disturbed by the rebuild")
+      racing += 1
+    }
+    assert(Await.result(rebuild, 180.seconds) == 3L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-1")),
+      "gen-3's publish must have GC'd gen-1 under the reader")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-2")),
+      "one-cycle deferral must keep the reader's generation")
+    assert(probeOnce() == before,
+      "read at the oldest live generation after the racing GC")
+  }
+
   test("maintenance job runs the rebuild under the job lifecycle") {
     val root = java.nio.file.Files.createTempDirectory("ivfjob").toString + "/ivf"
     val job = new graft.jobs.IvfIndexMaintenanceJob(root,
