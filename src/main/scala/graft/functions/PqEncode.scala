@@ -160,6 +160,12 @@ object PqEncode {
         }
         c += 1
       }
+      // all-NaN distances (a NaN vector element or codebook entry):
+      // minRaw stays +Inf and no code matches — without a default,
+      // subspace 0 would throw AIOOBE and later subspaces would silently
+      // reconstruct from the PREVIOUS subspace's last code. Match the
+      // HOF reference instead: array_sort places NaN last, so code 0 wins
+      if (best < 0) best = 0
       val cb = (s * nCodes + best) * subDim
       var d = 0
       while (d < subDim) {

@@ -49,6 +49,22 @@ class PqEncodeEquivalenceSpec extends SparkSpec {
     compare(vecs, codebook, m)
   }
 
+  test("NaN vector elements: fast == HOF (all-NaN subspace picks code 0, not garbage)") {
+    val m = 2; val sub = 2
+    val codebook = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 1.0)),
+      (1, 0, Seq(0.5, 0.5)), (1, 1, Seq(2.0, 2.0)))
+    // an all-NaN subspace used to leave best = -1: AIOOBE for subspace 0,
+    // and for s > 0 a silent reconstruction from the PREVIOUS subspace's
+    // last code — the guarded default (code 0, where array_sort's
+    // NaN-last ordering lands the HOF) must agree bit-for-bit
+    val vecs = Seq(
+      Array(Float.NaN, 0.0f, 2.1f, 2.2f), // subspace 0 NaN, 1 clean
+      Array(0.9f, 1.1f, Float.NaN, Float.NaN), // subspace 1 NaN
+      Array(Float.NaN, Float.NaN, Float.NaN, Float.NaN)) // all NaN
+    compare(vecs, codebook, m)
+  }
+
   test("double-element vectors take the getDouble path") {
     val m = 2; val nCodes = 3; val sub = 2
     val codebook = for { s <- 0 until m; c <- 0 until nCodes }
