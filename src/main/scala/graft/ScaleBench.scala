@@ -255,7 +255,7 @@ object ScaleBench {
         .select((col("doc_id") + 900000000L).as("doc_id"),
           concat(col("text"), lit(" probeonly")).as("text"))
         .localCheckpoint())
-      row("gate_batch") {
+      def gateBatchBody(): Unit = {
         val (accepted, bands) = Dedup.gateBatchWithBands(batch, "doc_id",
           "text", idxPath, docs, 8, 2, 0.7)
         accepted.count()
@@ -269,6 +269,14 @@ object ScaleBench {
         bands.unpersist()
         CacheControl.release(accepted)
       }
+      row("gate_batch")(gateBatchBody())
+      // compact_index's input contract is "an index with an appended
+      // batch": when an OPS filter keeps compact_index but drops
+      // gate_batch, run the append UNTIMED (the build-untimed pattern
+      // above) — otherwise compaction runs on a band-free index, a
+      // strictly lighter workload that merge_curves.py would fold into
+      // the published table as if comparable
+      if (want("compact_index") && !want("gate_batch")) gateBatchBody()
       row("compact_index") { Dedup.compactLshIndex(spark, idxPath): Unit }
       row("winnow_pairs") {
         val r = TextAnalysis.winnowPairsOfTokens(sigs, k = 5, w = 4,
