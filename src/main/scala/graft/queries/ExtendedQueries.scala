@@ -2410,7 +2410,7 @@ object ExtendedQueries {
           .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
         val withTs = Tables.normalizeTs(stream, "ts")
         val dst = java.nio.file.Files.createTempDirectory("ev_mfup_dst").toString + "/ev"
-        val ckpt = java.nio.file.Files.createTempDirectory("ev_mfup_ck").toString
+        val ckpt = graft.streaming.StreamOps.scratchDir("ev_mfup_ck").toString
         graft.streaming.StreamOps.manifestUpsertSink(withTs, dst,
           keys = Seq("event_id"), orderCol = "ts", checkpointDir = ckpt)
         Manifest.read(s, dst)
@@ -3536,7 +3536,7 @@ object ExtendedQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
         val path = java.nio.file.Files.createTempDirectory("mf_sink_ds").toString + "/ev"
-        val ckpt = java.nio.file.Files.createTempDirectory("mf_sink_ck").toString
+        val ckpt = graft.streaming.StreamOps.scratchDir("mf_sink_ck").toString
         graft.streaming.StreamOps.manifestSink(
           stream.select(col("event_id"), col("event_type"), col("value")), path, ckpt)
         Manifest.read(s, path)
@@ -3861,7 +3861,7 @@ object ExtendedQueries {
       (s, dir) => {
         val srcPath = manifestStreamSrcFor(s, dir)
         val dst = java.nio.file.Files.createTempDirectory("mf_src_dst").toString + "/ev"
-        val ckpt = java.nio.file.Files.createTempDirectory("mf_src_ck").toString
+        val ckpt = graft.streaming.StreamOps.scratchDir("mf_src_ck").toString
         val q = s.readStream.format("graft-manifest").load(srcPath)
           .writeStream
           .option("checkpointLocation", ckpt)
@@ -4067,7 +4067,7 @@ object ExtendedQueries {
         val src = java.nio.file.Files.createTempDirectory("gate_src")
         val idx = java.nio.file.Files.createTempDirectory("gate_idx").toString + "/idx"
         val corpus = java.nio.file.Files.createTempDirectory("gate_c").toString + "/c"
-        val ckpt = java.nio.file.Files.createTempDirectory("gate_ck").toString
+        val ckpt = graft.streaming.StreamOps.scratchDir("gate_ck").toString
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val t0 = System.currentTimeMillis()
         def writeBatch(name: String, pred: org.apache.spark.sql.Column,

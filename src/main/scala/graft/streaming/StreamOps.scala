@@ -389,6 +389,31 @@ object StreamOps {
     graft.ops.ConfFlip.withConf(spark, "spark.sql.shuffle.partitions",
       n.toString)(startQuery)
 
+  /** Optional scratch root for streaming fixtures and checkpoints
+    * (`graft.stream.scratch` system property, or the
+    * `SPARK_GRAFT_STREAM_SCRATCH` env var). The bench lane points it at
+    * tmpfs (`/dev/shm`) so the ~0.4 s/micro-batch WAL-fsync+addBatch
+    * floor ([[StreamProfile]]'s decomposition) stops being disk-fsync
+    * bound and the lane isolates QUERY cost — a measurement-honesty
+    * knob, not a deployment setting (a real deployment wants its
+    * checkpoint durable). Default: unset, plain `java.io.tmpdir`
+    * behavior everywhere.
+    */
+  def scratchOverride: Option[String] =
+    sys.props.get("graft.stream.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")).filter(_.nonEmpty)
+
+  /** A fresh temp dir for a streaming fixture/checkpoint, under
+    * [[scratchOverride]] when set, else `java.io.tmpdir`. */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    scratchOverride match {
+      case Some(root) =>
+        val r = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(r)
+        java.nio.file.Files.createTempDirectory(r, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * available input is processed — the test/driver harness shape
     * (`Trigger.AvailableNow` ≈ the reference's cron-batch cycle O12).
@@ -398,12 +423,19 @@ object StreamOps {
   def runToMemory(df: DataFrame, queryName: String,
                   outputMode: String = "append",
                   statePartitions: Option[Int] = None): Unit = {
-    def begin() = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    def begin() = {
+      val w = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+      // under a scratch override the checkpoint is placed explicitly
+      // (Spark's own temp checkpoint always lands in java.io.tmpdir);
+      // default behavior unchanged when no override is set
+      scratchOverride.fold(w)(_ =>
+        w.option("checkpointLocation",
+          scratchDir("ck_" + queryName).toString)).start()
+    }
     val q = statePartitions match {
       case Some(n) => withStatePartitions(df.sparkSession, n)(begin())
       case None => begin()
