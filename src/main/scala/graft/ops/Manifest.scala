@@ -345,14 +345,67 @@ object Manifest {
     if (!fs.exists(manifestPath(root, v))) None
     else parse(readSmall(fs, manifestPath(root, v)))
 
+  private def hintPath(root: Path): Path = new Path(root, "_latest.hint")
+
+  /** Best-effort advertisement of a known-complete version — `_latest.hint`
+    * (named OUTSIDE the `_manifest.v*` glob), replaced via
+    * [[AtomicPointer.publish]] after every successful commit. Purely an
+    * accelerator: correctness never depends on it (racing commits may
+    * leave it LOW — a lower bound is all the read path needs — and a
+    * reader tolerates it missing, torn, stale, or pointing at a vacuumed
+    * version by falling back to the listing).
+    */
+  private def publishHint(spark: SparkSession, root: Path, v: Long): Unit =
+    try AtomicPointer.publish(spark, root.toString, hintPath(root), v.toString)
+    catch { case _: Exception => () } // advisory only — never fail a commit
+
   /** Current version: the largest N whose manifest is complete; 0 when the
-    * dataset has no committed version. Incomplete manifests (a writer
-    * mid-publish, or a crashed one) are skipped, never surfaced.
+    * dataset has no committed version. Incomplete manifests (legacy torn
+    * files from the pre-atomic-publish protocol) are skipped, never
+    * surfaced.
+    *
+    * Read path is LISTING-FREE in steady state — the 100 TB metadata
+    * concern: resolving the version used to glob the dataset directory
+    * (O(versions) listing on every read; an object-store LIST round-trip
+    * per query). Now the `_latest.hint` pointer names a known-complete
+    * version and the reader probes FORWARD from it with per-slot
+    * existence checks: the commit protocol claims the SMALLEST free slot
+    * above the latest complete version, so an ABSENT slot proves nothing
+    * exists above it (files are never deleted except by vacuum below the
+    * kept horizon — and a hint below that horizon fails its own
+    * completeness check and falls back to the listing), while a
+    * present-but-incomplete slot is a legacy squatter to skip. Steady
+    * state: one hint read + one manifest parse + one miss probe,
+    * regardless of history length.
     */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val (fs, root) = fsFor(spark, path)
-    versionsOnDisk(fs, root).sorted(Ordering[Long].reverse)
-      .find(v => loadVersion(fs, root, v).isDefined).getOrElse(0L)
+    hintedLatest(fs, root).getOrElse(
+      versionsOnDisk(fs, root).sorted(Ordering[Long].reverse)
+        .find(v => loadVersion(fs, root, v).isDefined).getOrElse(0L))
+  }
+
+  /** The hint fast path: Some(latest) when the hint names a complete
+    * version (probing forward past any legacy squatters), None when the
+    * hint is absent/torn/vacuumed — caller falls back to the listing.
+    */
+  private def hintedLatest(fs: FileSystem, root: Path): Option[Long] = {
+    val hinted =
+      try AtomicPointer.read(fs, hintPath(root), _.trim.toLong)
+      catch { case _: Exception => None } // corrupt hint = no hint
+    hinted.filter(v => v > 0 && loadVersion(fs, root, v).isDefined).map { v0 =>
+      var latest = v0
+      var probe = v0 + 1
+      var open = true
+      while (open) {
+        if (!fs.exists(manifestPath(root, probe))) open = false // free slot: done
+        else {
+          if (loadVersion(fs, root, probe).isDefined) latest = probe
+          probe += 1 // occupied: complete (advance latest) or legacy squatter (skip)
+        }
+      }
+      latest
+    }
   }
 
   /** Commit properties of a version (default: latest); empty when none. */
@@ -559,6 +612,7 @@ object Manifest {
       if (stall != null) { commitStallHook.set(null); stall.run() }
       try {
         publishAtomic(fs, root, manifestPath(root, next), rendered)
+        publishHint(spark, root, next) // advisory read accelerator
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
