@@ -72,6 +72,29 @@ class ManifestHintSpec extends SparkSpec {
     assert(Manifest.latestVersion(spark, dir) == 4L)
   }
 
+  test("readers racing writers: latestVersion never goes backwards") {
+    // the hint file is atomically REPLACED by every commit while readers
+    // are mid-probe; a reader must see some committed version, and a
+    // version sequence observed by one reader must be monotone
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmp("hintrace")
+    Manifest.append(spark.range(0, 5).toDF("id").coalesce(1), dir)
+    val writer = Future {
+      (2 to 8).foreach(i => Manifest.append(
+        spark.range(i * 10, i * 10 + 5).toDF("id").coalesce(1), dir))
+    }
+    var last = 0L
+    while (!writer.isCompleted) {
+      val v = Manifest.latestVersion(spark, dir)
+      assert(v >= last, s"latestVersion went backwards: $last -> $v")
+      last = v
+    }
+    Await.result(writer, 180.seconds)
+    assert(Manifest.latestVersion(spark, dir) == 8L)
+  }
+
   test("hint survives vacuum; a hand-rolled below-horizon hint falls back") {
     val dir = tmp("hint5")
     seed(dir, 4)
