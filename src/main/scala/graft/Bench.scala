@@ -308,7 +308,18 @@ object Bench {
     // clean sf1 lane (same out path — the committed artifact or the
     // previous round's), over common queries, so lane-length windows
     // become visible across runs even when each run self-labels clean.
-    val outPath = env("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A filtered (BENCH_ONLY) run must NEVER clobber the round artifact:
+    // a 14-query iteration artifact once replaced the full prior one and
+    // the next full run's vs_prev_clean silently vanished (overlap <
+    // minCommon). Unless the caller names an output explicitly, filtered
+    // runs land in a temp file; only unfiltered runs own bench_full.json.
+    val outPath = envGet("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (only.isDefined) {
+        val p = java.nio.file.Files.createTempFile("bench_only_", ".json")
+        System.err.println(s"[bench] filtered run: artifact -> $p")
+        p.toString
+      } else "bench_full.json"
+    }
     val prevText: Option[String] = try {
       val p = java.nio.file.Paths.get(outPath)
       if (java.nio.file.Files.exists(p))
