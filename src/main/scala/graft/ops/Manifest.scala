@@ -2700,5 +2700,16 @@ object Manifest {
     versionsOnDisk(fs, root).filter(_ < keepFrom).foreach { v =>
       fs.delete(manifestPath(root, v), false)
     }
+    // orphaned publish temps: a writer that crashed between rendering
+    // its manifest and the atomic link/rename leaves a
+    // `._manifest.v<N>.tmp-<uuid>` dot-file nothing else reclaims
+    // (invisible to readers — the `_manifest.v*` glob skips dot names).
+    // A LIVE writer's temp exists for milliseconds, so the same grace
+    // window that protects staged data protects it
+    val tmps = try fs.globStatus(new Path(root, "._manifest.*.tmp-*"))
+    catch { case _: java.io.FileNotFoundException => null }
+    if (tmps != null) tmps.foreach { t =>
+      if (t.getModificationTime <= cutoff) fs.delete(t.getPath, false): Unit
+    }
   }
 }

@@ -95,6 +95,25 @@ class ManifestHintSpec extends SparkSpec {
     assert(Manifest.latestVersion(spark, dir) == 8L)
   }
 
+  test("vacuum sweeps aged orphaned publish temps, spares fresh ones") {
+    val dir = tmp("tmpsweep")
+    seed(dir, 2)
+    // a crashed writer's rendered-but-never-linked temp (aged) and a
+    // "live" writer's fresh temp
+    val aged = java.nio.file.Paths.get(dir, "._manifest.v3.tmp-deadbeef")
+    val fresh = java.nio.file.Paths.get(dir, "._manifest.v3.tmp-cafebabe")
+    java.nio.file.Files.write(aged, "partial".getBytes("UTF-8"))
+    java.nio.file.Files.write(fresh, "partial".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200L * 1000))
+    Manifest.vacuum(spark, dir, keepVersions = 2)
+    assert(!java.nio.file.Files.exists(aged), "aged orphan temp not swept")
+    assert(java.nio.file.Files.exists(fresh),
+      "grace window must protect a live writer's temp")
+    assert(Manifest.latestVersion(spark, dir) == 2L)
+  }
+
   test("hint survives vacuum; a hand-rolled below-horizon hint falls back") {
     val dir = tmp("hint5")
     seed(dir, 4)
