@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode call with a
+  // TEMP FILE (FileCacheImage{Input,Output}Stream) — two disk files
+  // created and deleted per document inside the hot partition loop, pure
+  // overhead when the payload is an in-memory byte array. Memory-cached
+  // streams produce bit-identical codec output; flipped once per JVM at
+  // first use of this object (executors initialize it before any
+  // mapPartitions body runs).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque bytes + metadata. */
   final case class MediaRecord(id: Long, content: Array[Byte], mediaType: String)
 

@@ -820,7 +820,19 @@ object CoreQueries {
     QueryDef(
       "q2_min_cost_supplier",
       (s, dir) => {
+        // The part predicate (p_size/p_type) selects WHICH partkeys are
+        // output, and every aggregation below is keyed by partkey — so a
+        // broadcast semi-join of the selected part keys pushed BELOW the
+        // (partkey, suppkey) aggregation restricts the groups without
+        // changing any surviving group's min (guide §3.2: pre-filter the
+        // big side before its shuffle; the optimizer cannot move the part
+        // join below the min-cost self-aggregation itself). Results are
+        // identical: the final inner join applies the same key filter.
+        val partsSel = Tables.part(s, dir)
+          .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
         val supply = Tables.lineitem(s, dir)
+          .join(broadcast(partsSel.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
           .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("cost"))
         val dims = Tables.supplier(s, dir)
@@ -832,9 +844,7 @@ object CoreQueries {
         val minCost = eligible.groupBy("partkey").agg(min("cost").as("mincost"))
         eligible.join(minCost, Seq("partkey"))
           .filter(col("cost") === col("mincost"))
-          .join(broadcast(Tables.part(s, dir)
-              .filter(col("p_size") <= 10 && col("p_type") === "LARGE")),
-            col("partkey") === col("p_partkey"))
+          .join(broadcast(partsSel), col("partkey") === col("p_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
             col("p_brand"), col("cost").cast("double").as("supply_cost"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -899,17 +909,27 @@ object CoreQueries {
     QueryDef(
       "q16_parts_supplier_counts",
       (s, dir) => {
-        val ps = Tables.lineitem(s, dir)
-          .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
-          .distinct()
+        // Both the NOT-IN supplier filter and the part predicate are
+        // row-wise key filters on the distinct's own columns, so they
+        // commute with the distinct — applied as broadcast anti/semi
+        // joins BELOW it, the (partkey, suppkey) dedup exchange carries
+        // only surviving keys (guide §2.3: shuffle fewer bytes; the
+        // planner cannot reorder joins past a Deduplicate). Rows are
+        // identical: distinct∘filter ≡ filter∘distinct for per-row
+        // predicates on the distinct key.
         val badSupp = Tables.supplier(s, dir)
           .filter(col("s_acctbal") < 0).select("s_suppkey")
-        ps.join(broadcast(badSupp), col("suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(Tables.part(s, dir)
-              .filter(col("p_brand") =!= "Brand#5" &&
-                !col("p_type").startsWith("PROMO") &&
-                col("p_size").isin(1, 4, 7))),
-            col("partkey") === col("p_partkey"))
+        val partsSel = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#5" &&
+            !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 4, 7))
+        val ps = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .join(broadcast(badSupp), col("suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(partsSel.select("p_partkey")),
+            col("partkey") === col("p_partkey"), "left_semi")
+          .distinct()
+        ps.join(broadcast(partsSel), col("partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -934,15 +954,21 @@ object CoreQueries {
       (s, dir) => {
         val in96 = col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
           col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'")
+        // The red-part filter is a key filter on pk, one of the two group
+        // keys — pushed BELOW the aggregation as a broadcast semi-join it
+        // prunes lineitem before the (pk, sk) shuffle instead of pruning
+        // finished groups after it (guide §3.2). Per-group sums over the
+        // surviving keys are untouched, so rows are identical to the old
+        // post-aggregation semi-join.
         val ps = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_name").startsWith("red")).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .agg(sum("l_quantity").cast("double").as("avail_qty"),
             sum(when(in96, col("l_quantity"))).cast("double").as("ship_qty"))
           .filter(col("ship_qty").isNotNull &&
             col("avail_qty") > lit(0.5) * col("ship_qty"))
-          .join(broadcast(Tables.part(s, dir)
-              .filter(col("p_name").startsWith("red")).select("p_partkey")),
-            col("pk") === col("p_partkey"), "left_semi")
         Tables.supplier(s, dir)
           .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
             col("s_nationkey") === col("n_nationkey"))
