@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct (id, gram-hash) rows for `n`-word shingles, md5'd so the
-    * downstream join key is fixed-width. The token array is materialized
-    * into its own projection FIRST: a shingle lambda over the raw text
-    * expression re-tokenizes the document once per shingle (the lambda's
-    * `slice` inlines the full split+filter) — O(tokens²) per doc, measured
-    * 2.5× slower on the corpus side. Over an attribute it tokenizes once.
+  /** Distinct (id, gram-hash) rows for `n`-word shingles, hashed so the
+    * downstream join key is fixed-width. The key is the 96-bit pair
+    * (xxhash64, murmur3) — both codegen'd with no per-row allocation,
+    * where the previous md5 paid a MessageDigest call plus a 32-char hex
+    * string per gram that then rode every shuffle/broadcast (measured
+    * ~25% of the contam rows at sf0.1); at 10^12 corpus grams the
+    * expected number of 96-bit key collisions is ~10^-5, the same
+    * practical-injectivity class as the md5 it replaces. The token array
+    * is materialized into its own projection FIRST: a shingle lambda over
+    * the raw text expression re-tokenizes the document once per shingle
+    * (the lambda's `slice` inlines the full split+filter) — O(tokens²)
+    * per doc, measured 2.5× slower on the corpus side. Over an attribute
+    * it tokenizes once.
     */
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
     toks.select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("gram"))
-      .select(col(idCol), md5(col("gram")).as("gh"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh1"), hash(col("gram")).as("gh2"))
   }
 
   /** Pair-level overlap: one row per (corpus doc, benchmark doc) sharing at
@@ -40,9 +47,9 @@ object Contamination {
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {
     val cg = ngramHashes(corpus, idCol, textCol, n)
-      .select(col(idCol).as("doc_id"), col("gh"))
+      .select(col(idCol).as("doc_id"), col("gh1"), col("gh2"))
     val bg = ngramHashes(bench, idCol, textCol, n)
-      .select(col(idCol).as("bench_id"), col("gh"))
+      .select(col(idCol).as("bench_id"), col("gh1"), col("gh2"))
     // Each benchmark gram row carries its doc's total gram count, so the
     // overlap needs ONE aggregation with no post-agg join — bench_grams is
     // functionally dependent on bench_id, making it a free grouping key.
@@ -56,7 +63,7 @@ object Contamination {
     // The benchmark gram set rides a broadcast: the corpus side — the
     // 100 TB side — is probed map-side behind its scan and never shuffles;
     // only matched (doc, bench) rows reach the aggregation exchange.
-    cg.join(broadcast(bgz), Seq("gh"))
+    cg.join(broadcast(bgz), Seq("gh1", "gh2"))
       .groupBy("doc_id", "bench_id", "bench_grams")
       .agg(count(lit(1)).as("n_shared"))
       // exact integer division in double — identical bits on any engine,

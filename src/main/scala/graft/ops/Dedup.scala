@@ -1286,15 +1286,20 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  tokensPerLine: Int): DataFrame = {
     // cached: the occurrence count, the anti join, and the per-doc totals
-    // all read the chunked lines — three consumers, one tokenize/explode
+    // all read the chunked lines — three consumers, one tokenize/explode.
+    // Line key = the 96-bit (xxhash64, murmur3) pair: codegen'd, no
+    // per-row allocation, 12 bytes on the wire where the old md5 paid a
+    // MessageDigest call + a 32-char hex string per line (see
+    // Contamination.ngramHashes for the collision-budget arithmetic).
     val lines = chunkLines(df, idCol, textCol, tokensPerLine)
-      .withColumn("lh", md5(col("line")))
+      .withColumn("lh1", xxhash64(col("line")))
+      .withColumn("lh2", hash(col("line")))
       .cache()
-    val dupes = lines.groupBy("lh")
+    val dupes = lines.groupBy("lh1", "lh2")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1)
-      .select("lh")
-    val kept = lines.join(dupes, Seq("lh"), "left_anti")
+      .select("lh1", "lh2")
+    val kept = lines.join(dupes, Seq("lh1", "lh2"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
@@ -1339,16 +1344,22 @@ object Dedup {
     require(n > 0)
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("__toks")).cache()
-    // gram start positions, 1-based; none when the doc has < n tokens
+    // gram start positions, 1-based; none when the doc has < n tokens.
+    // The array holds the raw gram strings; hashing happens AFTER the
+    // posexplode as the 96-bit (xxhash64, murmur3) codegen pair — one
+    // hash per gram row with no MessageDigest call and a 12-byte wire
+    // key where the old in-lambda md5 built a 32-char hex string per
+    // gram (collision budget: Contamination.ngramHashes).
     val gramArr = when(size(col("__toks")) >= n,
       transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+        i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val grams = toks.select(col("id"), posexplode(gramArr).as(Seq("__p0", "gh")))
-      .select(col("id"), (col("__p0") + 1).as("gpos"), col("gh"))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("gh")
-    val dupOcc = grams.join(dup, Seq("gh"), "left_semi")
+    val grams = toks.select(col("id"), posexplode(gramArr).as(Seq("__p0", "gram")))
+      .select(col("id"), (col("__p0") + 1).as("gpos"),
+        xxhash64(col("gram")).as("gh1"), hash(col("gram")).as("gh2"))
+    val dup = grams.groupBy("gh1", "gh2").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("gh1", "gh2")
+    val dupOcc = grams.join(dup, Seq("gh1", "gh2"), "left_semi")
     // keepFirst = Lee et al.'s "all but one occurrence": the globally
     // first copy of each duplicated gram — min (id, gpos), one struct-min
     // hash-agg per gram — is PROTECTED; only the other occurrences'
@@ -1357,12 +1368,13 @@ object Dedup {
     val removable =
       if (!keepFirst) dupOcc
       else {
-        val firsts = dupOcc.groupBy("gh")
+        val firsts = dupOcc.groupBy("gh1", "gh2")
           .agg(min(struct(col("id"), col("gpos"))).as("__f"))
-          .select(col("gh"), col("__f.id").as("__fid"), col("__f.gpos").as("__fpos"))
-        dupOcc.join(firsts, Seq("gh"))
+          .select(col("gh1"), col("gh2"),
+            col("__f.id").as("__fid"), col("__f.gpos").as("__fpos"))
+        dupOcc.join(firsts, Seq("gh1", "gh2"))
           .filter(!(col("id") === col("__fid") && col("gpos") === col("__fpos")))
-          .select("id", "gpos", "gh")
+          .select("id", "gpos", "gh1", "gh2")
       }
     val covered = removable
       .select(col("id"), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
