@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 final case class GraphIndex(edges: DataFrame, deg: DataFrame,
                             nodes: DataFrame, buckets: Int,
-                            edgeCount: Option[Long] = None)
+                            edgeCount: Option[Long] = None,
+                            nodeCount: Option[Long] = None)
 
 /** Iterative graph analytics over edge DataFrames.
   *
@@ -182,9 +183,10 @@ object Graph {
   private def rankLoop(spark: SparkSession, e: DataFrame, deg: DataFrame,
                        nodes: DataFrame, iterations: Int,
                        dampNum: Long, dampDen: Long, scale: Long,
-                       checkpointEvery: Int): DataFrame =
+                       checkpointEvery: Int,
+                       nodeCount: Option[Long] = None): DataFrame =
     rankLoopMulti(spark, Seq(e), deg, nodes, iterations,
-      dampNum, dampDen, scale, checkpointEvery)
+      dampNum, dampDen, scale, checkpointEvery, nodeCount)
 
   /** [[rankLoop]] over a SEQUENCE of edge frames whose union is the edge
     * set — the delta-union form ([[pagerankOnIndexDelta]]): each frame
@@ -200,8 +202,11 @@ object Graph {
   private def rankLoopMulti(spark: SparkSession, es: Seq[DataFrame],
                             deg: DataFrame, nodes: DataFrame, iterations: Int,
                             dampNum: Long, dampDen: Long, scale: Long,
-                            checkpointEvery: Int): DataFrame = {
-    val nNodes = nodes.count() // the one driver-side scalar: |V|
+                            checkpointEvery: Int,
+                            nodeCount: Option[Long] = None): DataFrame = {
+    // the one driver-side scalar: |V| — taken from the caller's build-time
+    // metadata when it has it (standing index sidecar), counted otherwise
+    val nNodes = nodeCount.getOrElse(nodes.count())
     require(nNodes > 0, "graph has no nodes")
     val init = scale / nNodes
     val teleport = ((dampDen - dampNum) * init) / dampDen
@@ -331,9 +336,14 @@ object Graph {
     // without re-counting |E| per query
     val n = e.count()
     CacheControl.release(e)
+    // node count: |V| is the one driver-side scalar every rank loop
+    // needs (rankLoopMulti) — counting it at build time turns a per-query
+    // O(|V|) count job into an O(1) metadata read. Counting the WRITTEN
+    // table is a parquet statistics-only scan (no row reads).
+    val nv = spark.table(indexTableName(path, "nodes")).count()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(path, "_graph_index.json"), true)
-    try out.write(s"""{"buckets":$b,"edges":$n}""".getBytes("UTF-8"))
+    try out.write(s"""{"buckets":$b,"edges":$n,"nodes":$nv}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -371,9 +381,11 @@ object Graph {
       tbl("edges", "src BIGINT, dst BIGINT", "src"),
       tbl("deg", "src BIGINT, deg BIGINT", "src"),
       tbl("nodes", "node BIGINT", "node"), b,
-      // optional: indexes written before the field default to None and
-      // query-time gates fall back to their conservative branch
-      """"edges":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong))
+      // optional: indexes written before the fields default to None and
+      // query-time consumers fall back to their conservative branch
+      // (counting per query)
+      """"edges":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong),
+      """"nodes":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong))
   }
 
   /** Refresh a standing graph index UNDER LIVE READERS: build the new
@@ -453,7 +465,7 @@ object Graph {
         iterations, dampNum, dampDen, scale)
     }
     rankLoop(spark, idx.edges, idx.deg, idx.nodes,
-      iterations, dampNum, dampDen, scale, checkpointEvery)
+      iterations, dampNum, dampDen, scale, checkpointEvery, idx.nodeCount)
   }
 
   /** [[pagerank]] over a standing [[GraphIndex]] UNION a small unindexed
@@ -554,13 +566,19 @@ object Graph {
     // checkpoint write that used to run unconditionally (round-13 delta
     // cost decomposition). Only a delta that genuinely grows the node
     // set pays the |V| merge.
-    def buildNodesMerged(): DataFrame = {
+    def buildNodesMerged(): (DataFrame, Option[Long]) = {
       val deltaNodes = deltaNew.select(col("src").as("node"))
         .union(deltaNew.select(col("dst").as("node"))).distinct()
       val newNodes = CacheControl.checkpointWithLayout(spark) {
         deltaNodes.join(idx.nodes, Seq("node"), "left_anti")
       }
-      if (newNodes.limit(1).count() == 0L) { CacheControl.release(newNodes); idx.nodes }
+      // FULL count instead of the old limit(1) emptiness probe: same
+      // delta-sized job on the just-checkpointed frame, and when the
+      // index sidecar carries |V| the sum hands the rank loop its
+      // |V_union| for free — the anti join makes newNodes disjoint from
+      // idx.nodes, so the counts add exactly
+      val nNew = newNodes.count()
+      if (nNew == 0L) { CacheControl.release(newNodes); (idx.nodes, idx.nodeCount) }
       else {
         val merged = CacheControl.checkpointWithLayout(spark) {
           idx.nodes.union(newNodes)
@@ -568,7 +586,7 @@ object Graph {
             .sortWithinPartitions("node")
         }
         CacheControl.release(newNodes)
-        merged
+        (merged, idx.nodeCount.map(_ + nNew))
       }
     }
     // the deg and node merges are INDEPENDENT checkpoint jobs (each
@@ -577,7 +595,7 @@ object Graph {
     // overlap on the cluster instead of running back-to-back — the
     // round-13 decomposition's "merge the merges into fewer jobs",
     // without inventing a combined frame the loop would have to unpick
-    val (degMerged, nodesMerged) = {
+    val (degMerged, (nodesMerged, mergedCount)) = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -589,7 +607,8 @@ object Graph {
       } finally pool.shutdown()
     }
     val out = rankLoopMulti(spark, Seq(idx.edges, deltaNew), degMerged,
-      nodesMerged, iterations, dampNum, dampDen, scale, checkpointEvery)
+      nodesMerged, iterations, dampNum, dampDen, scale, checkpointEvery,
+      mergedCount)
     CacheControl.release(deltaNew)
     CacheControl.release(degMerged)
     if (nodesMerged ne idx.nodes) CacheControl.release(nodesMerged)
